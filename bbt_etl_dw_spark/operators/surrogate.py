@@ -1,0 +1,43 @@
+"""Deterministic surrogate keys.
+
+The reference assigns all 7 star-schema surrogate keys with
+``monotonically_increasing_id()`` (``scripts/etl_transform/etl_gold/
+map_cols.py:44,58,73,125,180,219,269``), which is partition-layout-dependent
+and unstable across runs — it breaks SCD2 change capture and any golden
+test. The engine offers two deterministic strategies:
+
+- ``hash_key``: ``xxhash64`` of the natural key columns. O(1), shuffle-free,
+  stable under any partitioning — the 100TB default. Collision odds over
+  64 bits are ~n^2/2^65 (≈0.003 for 1e9 keys); use ``check_unique`` on
+  ingest when that matters.
+- ``ordered_key``: dense ``row_number`` over an explicit ordering —
+  reference-compatible small-dimension IDs (single partition; only for
+  dims that fit on one executor, like the reference's ≤11k-row dims).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_key(df: DataFrame, natural_key: Sequence[str], name: str) -> DataFrame:
+    """Stable 64-bit surrogate key from the natural key columns."""
+    return df.withColumn(name, F.xxhash64(*[F.col(c) for c in natural_key]))
+
+
+def ordered_key(df: DataFrame, order_by: Sequence[str], name: str) -> DataFrame:
+    """1-based dense sequential key over a total order. Small dims only:
+    the empty partitionBy funnels rows through one partition (exactly the
+    reference's W1 anti-pattern, kept for ID-compatibility at dim scale)."""
+    w = Window.orderBy(*order_by)
+    return df.withColumn(name, F.row_number().over(w).cast("long"))
+
+
+def check_unique(df: DataFrame, key: str) -> None:
+    """Raise if ``key`` has duplicates (hash-collision / bad natural key)."""
+    dup = df.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(f"surrogate key {key!r} is not unique")

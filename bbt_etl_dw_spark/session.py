@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads); the
+same configs are the right starting point on a multi-executor cluster:
+
+- AQE on: runtime partition coalescing, skew-join splitting, and plan
+  re-optimization replace hand-tuned shuffle partition counts at 100TB.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number under AQE;
+  set it ~2-3x total cores on a real cluster.
+- Session timezone pinned to UTC so date/timestamp semantics are stable
+  across driver environments (and match the DuckDB oracle).
+- Arrow enabled for the few Pandas-UDF operators (similarity, multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+RUNTIME_CONF = {
+    # Settable on a live session (e.g. one the test driver built for us).
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet TIMESTAMP(NANOS) is unreadable by Spark's vectorized reader;
+    # read as long and convert in the catalog (events.ts).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "bbt-etl-dw-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to any session (including one we did
+    not build, e.g. the verification driver's). Never raises."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark

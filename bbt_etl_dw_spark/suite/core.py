@@ -1,0 +1,527 @@
+"""Core relational operator suite: scans, projections, filters, aggregations,
+joins (incl. composite / anti / as-of), windows, calendar generation.
+
+Each query maps to a SURVEY.md §2 operator row (cited per function) and has
+a DuckDB oracle. Columns are aliased identically on both sides; money
+aggregates use the exact-decimal-sum helpers so values are bit-reproducible
+at any parallelism (see functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.catalog import table
+from bbt_etl_dw_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from bbt_etl_dw_spark.operators.asof import asof_join
+from bbt_etl_dw_spark.operators.ffill import forward_fill
+from bbt_etl_dw_spark.operators.surrogate import hash_key, ordered_key
+from bbt_etl_dw_spark.suite import register
+
+# --------------------------------------------------------------------------
+# Aggregation (SURVEY §2.4 A1 + scalar math §2.7: TotalAmount-style
+# price*(1-discount) arithmetic, reference add_columns.py:87-93)
+# --------------------------------------------------------------------------
+
+_PRICING_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {sql_davg('l_quantity', 'avg_qty')},
+       {sql_davg('l_extendedprice', 'avg_price')},
+       {sql_davg('l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", oracle=_PRICING_ORACLE)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: filter → hash agg with partial
+    (map-side) aggregation, 8 aggregates in one pass. SURVEY §2.4 A1/A4,
+    §2.7 math (reference add_columns.py:87-93 TotalAmount semantics)."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SALES_BY_REGION_ORACLE = f"""
+SELECT r.r_name AS region,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@register("sales_by_region", oracle=_SALES_BY_REGION_ORACLE)
+def sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference dashboard's 'Sales per Region' KPI
+    (README.md:69-71, SURVEY §2.4 dashboard aggs) over the star chain
+    lineitem→orders→customer→nation→region (SURVEY §2.3 J8 fact assembly).
+    nation/region are broadcast explicitly; customer is small enough for
+    Catalyst's auto-broadcast; the only real shuffle is lineitem⋈orders
+    on orderkey plus the final tiny agg."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    geo = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(geo, o.o_custkey == geo.c_custkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("region")
+    )
+
+
+_CUSTOMER_TOTALS_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       COALESCE(t.total_spend, 0.0) AS total_spend,
+       COALESCE(t.n_orders, 0) AS n_orders
+FROM customer c
+LEFT JOIN (
+    SELECT o_custkey,
+           CAST(CAST(SUM(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+) t ON c.c_custkey = t.o_custkey
+ORDER BY c.c_custkey
+"""
+
+
+@register("customer_order_totals", oracle=_CUSTOMER_TOTALS_ORACLE)
+def customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer purchase totals left-joined back onto the dim with
+    zero-fill — SURVEY §2.3 J1 + §2.2 P11 (reference add_columns.py:96-108).
+    The agg side shrinks to ≤|customers| rows, so Catalyst broadcasts it."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    totals = o.groupBy("o_custkey").agg(
+        dsum("o_totalprice", "total_spend"), F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        c.join(totals, c.c_custkey == totals.o_custkey, "left")
+        .fillna({"total_spend": 0.0, "n_orders": 0})
+        .select("c_custkey", "c_name", "c_mktsegment", "total_spend", "n_orders")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "last_sold_per_part",
+    oracle="""
+SELECT l_partkey, MAX(l_shipdate) AS last_sold, COUNT(*) AS n_sales
+FROM lineitem GROUP BY l_partkey ORDER BY l_partkey
+""",
+)
+def last_sold_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by max over the fact — SURVEY §2.4 A2 (reference
+    map_cols.py:103-105 LastSoldDate)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.max("l_shipdate").alias("last_sold"), F.count(F.lit(1)).alias("n_sales"))
+        .orderBy("l_partkey")
+    )
+
+
+@register(
+    "dup_row_stats",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM lineitem) AS total_rows,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem)) AS distinct_rows,
+       (SELECT COUNT(*) FROM lineitem)
+         - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem)) AS duplicate_rows
+""",
+)
+def dup_row_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row duplicate accounting — SURVEY §2.4 A5 (reference
+    audit_report.py:57-58). dropDuplicates is a hash agg on all columns."""
+    li = table(spark, sf_dir, "lineitem")
+    total = li.count()
+    distinct = li.dropDuplicates().count()
+    return spark.createDataFrame(
+        [(total, distinct, total - distinct)],
+        "total_rows long, distinct_rows long, duplicate_rows long",
+    )
+
+
+@register(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct projection — SURVEY §2.4 A6 (reference data_cleaning.py:108)."""
+    return table(spark, sf_dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Filters / predicates / conditionals (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "regex_filter_parts",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+WHERE regexp_matches(p_name, '^(blue|small) (widget|rod)')
+  AND NOT regexp_matches(p_brand, '[^A-Za-z#0-9]')
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def regex_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicates — SURVEY §2.2 P6/P7 (reference audit_report.py:103-127
+    phone/date shape checks; data_cleaning.py:166-175 charset validation)."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").rlike(r"^(blue|small) (widget|rod)"))
+        .filter(~F.col("p_brand").rlike(r"[^A-Za-z#0-9]"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "client_value_ladder",
+    oracle=f"""
+SELECT CASE WHEN c_acctbal > 7500 THEN 'High'
+            WHEN c_acctbal > 2500 THEN 'Medium'
+            ELSE 'Low' END AS client_value,
+       COUNT(*) AS n_customers,
+       {sql_dsum('c_acctbal', 'sum_acctbal')}
+FROM customer GROUP BY 1 ORDER BY client_value
+""",
+)
+def client_value_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match-wins conditional ladder — SURVEY §2.2 P5, the reference's
+    ClientValue segmentation (map_cols.py:86-88, thresholds adapted to the
+    synthetic acctbal domain)."""
+    c = table(spark, sf_dir, "customer")
+    ladder = (
+        F.when(F.col("c_acctbal") > 7500, "High")
+        .when(F.col("c_acctbal") > 2500, "Medium")
+        .otherwise("Low")
+    )
+    return (
+        c.groupBy(ladder.alias("client_value"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "sum_acctbal"))
+        .orderBy("client_value")
+    )
+
+
+@register(
+    "props_numeric_extract",
+    oracle="""
+SELECT event_type,
+       SUM(TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS sum_k,
+       COUNT(CASE WHEN TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) IS NULL THEN 1 END) AS n_unparseable
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def props_numeric_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract + cast-as-validation — SURVEY §2.2 P7/P8 (reference
+    data_cleaning.py:175, audit_report.py:113-138): pull the numeric payload
+    out of a semi-structured string column, count parse failures.
+    try_cast keeps ANSI-mode (Spark 4 default) from throwing on bad rows."""
+    ev = table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"[0-9]+", 0).try_cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.when(k.isNull(), 1)).alias("n_unparseable"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "composite_join_yearly_rates",
+    oracle=f"""
+WITH rates AS (
+    SELECT l_returnflag, EXTRACT(year FROM l_shipdate) AS ship_year,
+           {sql_davg('l_discount', 'avg_disc_rate')}
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT l.l_returnflag, CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+       {sql_dsum('l.l_extendedprice * (1 - r.avg_disc_rate)', 'adj_revenue')},
+       COUNT(*) AS n_rows
+FROM lineitem l
+JOIN rates r
+  ON l.l_returnflag = r.l_returnflag
+ AND EXTRACT(year FROM l.l_shipdate) = r.ship_year
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def composite_join_yearly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive-equi (composite-key) join — SURVEY §2.3 J2, the shape of
+    the reference's sales⋈taxrate on (country, year) (sales_tax.py:60-67).
+    The derived rate dim is tiny => broadcast; no extra shuffle of the fact."""
+    li = table(spark, sf_dir, "lineitem")
+    rates = (
+        li.groupBy("l_returnflag", F.year("l_shipdate").alias("ship_year"))
+        .agg(davg("l_discount", "avg_disc_rate"))
+    )
+    fact = li.select(
+        "l_returnflag",
+        F.year("l_shipdate").alias("ship_year"),
+        "l_extendedprice",
+    )
+    return (
+        fact.join(F.broadcast(rates), ["l_returnflag", "ship_year"])
+        .groupBy("l_returnflag", "ship_year")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("avg_disc_rate")), "adj_revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "ship_year")
+    )
+
+
+@register(
+    "inactive_parts_anti_join",
+    oracle="""
+SELECT p.p_partkey, p.p_name
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_partkey = p.p_partkey
+      AND l.l_shipdate > (SELECT MAX(l_shipdate) - INTERVAL 365 DAY FROM lineitem)
+)
+ORDER BY p.p_partkey
+""",
+)
+def inactive_parts_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native left_anti join replacing the reference's hand-rolled
+    left-join + null-key filter 'Active No Sales' rule — SURVEY §2.3 J7
+    (anomalies.py:90-115). The cutoff is a scalar reduction (one tiny job),
+    then the anti join runs shuffle-side; the distinct recent-part set is
+    dim-sized so Catalyst broadcasts it."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    max_ship = li.agg(F.max("l_shipdate")).first()[0]
+    cutoff = max_ship - datetime.timedelta(days=365)
+    recent = li.filter(F.col("l_shipdate") > F.lit(cutoff)).select("l_partkey")
+    return (
+        p.join(recent, p.p_partkey == recent.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "asof_join_user_rates",
+    oracle="""
+WITH purchases AS (
+    SELECT event_id, user_id, CAST(ts AS DATE) AS d, value
+    FROM events WHERE event_type = 'purchase'
+), rates AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CAST(CAST(SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT(value) AS day_rate
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.d, p.value, r.day_rate
+FROM purchases p
+ASOF LEFT JOIN rates r ON p.user_id = r.user_id AND p.d >= r.d
+ORDER BY p.event_id
+""",
+)
+def asof_join_user_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — SURVEY §2.3 J5 / §7 phase 3: each purchase event picks
+    up the most recent prior daily click-rate for the same user (the
+    reference's exchange-rate-as-of-date semantics, sales_currency.py:76-100,
+    as one reusable operator). Single shuffle on user_id; both sides can be
+    100TB-scale."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.to_date("ts").alias("d"), "value"
+    )
+    rates = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(davg("value", "day_rate"))
+    )
+    joined = asof_join(purchases, rates, on="d", by=["user_id"], value_cols=["day_rate"])
+    return joined.select("event_id", "user_id", "d", "value", "day_rate").orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Windows (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "nation_ordered_ids",
+    oracle="""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS BIGINT) AS nation_id,
+       n_name, n_nationkey
+FROM nation ORDER BY nation_id
+""",
+)
+def nation_ordered_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sequential ID assignment on a small dimension — SURVEY §2.5
+    W1 (reference add_columns.py:170-197 TaxRateID/ExchangeID). Deliberately
+    dim-scale-only; large tables use hash surrogate keys instead
+    (operators/surrogate.py)."""
+    n = table(spark, sf_dir, "nation")
+    return ordered_key(n, ["n_name"], "nation_id").select(
+        "nation_id", "n_name", "n_nationkey"
+    ).orderBy("nation_id")
+
+
+@register("surrogate_hash_keys", oracle=None)
+def surrogate_hash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic xxhash64 surrogate keys (fixes the reference's
+    monotonically_increasing_id instability, SURVEY §4). No SQL oracle —
+    xxhash64 is Spark-specific — but results are run-stable; the test suite
+    asserts determinism + uniqueness. Rows-only driver check."""
+    c = table(spark, sf_dir, "customer")
+    out = hash_key(c, ["c_custkey"], "customer_sk")
+    return out.select("c_custkey", "customer_sk").orderBy("c_custkey")
+
+
+@register(
+    "forward_fill_values",
+    oracle="""
+SELECT event_id, user_id, ts,
+       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM events ORDER BY event_id
+""",
+)
+def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill — SURVEY §2.5 W2 (reference sales_currency.py:76-82
+    last-observation-carried-forward for gap days). 'error' events' values
+    are treated as missing and carried forward per user."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value_filled",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    filled = forward_fill(
+        ev, ["value_filled"], partition_by=["user_id"], order_by=["ts", "event_id"]
+    )
+    return filled.select("event_id", "user_id", "ts", "value_filled").orderBy("event_id")
+
+
+@register(
+    "top_customers_per_segment",
+    oracle="""
+WITH totals AS (
+    SELECT o_custkey,
+           CAST(CAST(SUM(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT c.c_mktsegment, c.c_custkey, t.total_spend,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                   ORDER BY t.total_spend DESC, c.c_custkey) AS BIGINT) AS rk
+    FROM customer c JOIN totals t ON c.c_custkey = t.o_custkey
+)
+SELECT c_mktsegment, c_custkey, total_spend, rk
+FROM ranked WHERE rk <= 5 ORDER BY c_mktsegment, rk
+""",
+)
+def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned top-k — the scalable form of W1 ranking (SURVEY §2.5):
+    rank within segment, keep top 5. Exact-decimal totals make the ordering
+    (and hence row_number) deterministic across engines."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    totals = o.groupBy("o_custkey").agg(dsum("o_totalprice", "total_spend"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey")
+    )
+    return (
+        c.join(totals, c.c_custkey == totals.o_custkey)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("c_mktsegment", "c_custkey", "total_spend", "rk")
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Generators (SURVEY §2.1 S6: calendar dimension)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "calendar_dim",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM d)*10000 + EXTRACT(month FROM d)*100 + EXTRACT(day FROM d) AS BIGINT) AS calendar_key,
+       CAST(d AS DATE) AS cal_date,
+       CAST(EXTRACT(isodow FROM d) AS INT) AS day_of_week,
+       CAST(EXTRACT(month FROM d) AS INT) AS month,
+       CAST(EXTRACT(year FROM d) AS INT) AS year,
+       CAST(EXTRACT(quarter FROM d) AS INT) AS quarter
+FROM generate_series(DATE '2022-01-01', DATE '2025-01-01', INTERVAL 1 DAY) t(d)
+ORDER BY cal_date
+""",
+)
+def calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generator — SURVEY §2.1 S6 / §1.4 DimCalendar
+    (reference map_cols.py:199-224): sequence+explode date range with
+    ISO day-of-week/month/year/quarter and a deterministic yyyymmdd key
+    (replacing monotonically_increasing_id)."""
+    cal = spark.sql(
+        "SELECT explode(sequence(to_date('2022-01-01'), to_date('2025-01-01'), "
+        "interval 1 day)) AS cal_date"
+    )
+    return cal.select(
+        (F.year("cal_date") * 10000 + F.month("cal_date") * 100 + F.dayofmonth("cal_date"))
+        .cast("long")
+        .alias("calendar_key"),
+        "cal_date",
+        (F.weekday("cal_date") + 1).alias("day_of_week"),
+        F.month("cal_date").alias("month"),
+        F.year("cal_date").alias("year"),
+        F.quarter("cal_date").alias("quarter"),
+    ).orderBy("cal_date")

@@ -1,0 +1,62 @@
+"""Data-quality suite: audit metrics and anomaly rules as oracle-paired
+queries (SURVEY §2.10, §2.4 A3/A5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.catalog import table
+from bbt_etl_dw_spark.operators.anomalies import AnomalyRule, anomaly_summary
+from bbt_etl_dw_spark.operators.audit import missing_counts
+from bbt_etl_dw_spark.suite import register
+
+_ORDERS_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_MISSING_ORACLE = "SELECT " + ", ".join(
+    f"COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS {c}" for c in _ORDERS_COLS
+) + " FROM orders"
+
+
+@register("missing_value_audit", oracle=_MISSING_ORACLE)
+def missing_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column missing counts in ONE aggregation pass — SURVEY §2.4 A3
+    (reference audit_report.py:51-54, which runs this shape per source)."""
+    return missing_counts(table(spark, sf_dir, "orders"))
+
+
+_ANOMALY_ORACLE = """
+WITH flagged AS (
+    SELECT CASE
+        WHEN o_orderdate > TIMESTAMP '2001-06-01 00:00:00' THEN 'future_order'
+        WHEN o_totalprice <= 0 THEN 'non_positive_amount'
+        WHEN o_totalprice > 400000 THEN 'unrealistic_amount'
+    END AS anomaly_type
+    FROM orders
+)
+SELECT anomaly_type, COUNT(*) AS n_anomalies
+FROM flagged WHERE anomaly_type IS NOT NULL
+GROUP BY anomaly_type ORDER BY anomaly_type
+"""
+
+
+@register("orders_anomaly_summary", oracle=_ANOMALY_ORACLE)
+def orders_anomaly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match-wins anomaly ladder + summary counts — SURVEY §2.10
+    (reference anomalies.py:42-68: future dates / non-positive amounts /
+    unrealistic magnitudes, with first-match labeling; thresholds adapted
+    to the synthetic domain)."""
+    o = table(spark, sf_dir, "orders")
+    rules = [
+        AnomalyRule("future_order", F.col("o_orderdate") > F.lit("2001-06-01 00:00:00").cast("timestamp")),
+        AnomalyRule("non_positive_amount", F.col("o_totalprice") <= 0),
+        AnomalyRule("unrealistic_amount", F.col("o_totalprice") > 400000),
+    ]
+    return anomaly_summary(o, rules)

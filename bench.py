@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline suite queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full compute, no
+driver-side result serialization cost)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "sales_by_region",
+    "customer_order_totals",
+    "top_customers_per_segment",
+    "composite_join_yearly_rates",
+    "asof_join_user_rates",
+    "forward_fill_values",
+    "inactive_parts_anti_join",
+    "orders_anomaly_summary",
+    "missing_value_audit",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from bbt_etl_dw_spark.session import get_spark
+    from bbt_etl_dw_spark.suite import load_all
+
+    queries = load_all()
+    names = [n for n in HEADLINE if n in queries]
+    # Suite queries added after this list was written still get benched:
+    names += [n for n in sorted(queries) if n not in names and queries[n].bench]
+
+    spark = get_spark(app_name="bbt-etl-dw-spark-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    # Warm the JVM + parquet footers once so per-query times measure compute.
+    queries["sales_by_region"].builder(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name].builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
