@@ -1,0 +1,213 @@
+"""Star-schema and dashboard-KPI suite (SURVEY §1.4, §2.3 J8, §2.4
+dashboard aggregations, §7 phase 4-5)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.catalog import table
+from bbt_etl_dw_spark.functions.numeric import dsum, sql_dsum
+from bbt_etl_dw_spark.operators.enrich import client_value, product_status
+from bbt_etl_dw_spark.operators.scd2 import scd2_init, scd2_merge
+from bbt_etl_dw_spark.plans.star import fact_sales
+from bbt_etl_dw_spark.suite import register
+
+_FACT_ORACLE = """
+WITH dim_c AS (
+    SELECT c_custkey, CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_key
+    FROM customer
+), dim_p AS (
+    SELECT p_partkey, CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS BIGINT) AS part_key
+    FROM part
+), dim_s AS (
+    SELECT s_suppkey, CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS BIGINT) AS supplier_key
+    FROM supplier
+)
+SELECT l.l_orderkey AS order_key, l.l_linenumber AS line_number,
+       c.customer_key, p.part_key, s.supplier_key,
+       CAST(EXTRACT(year FROM l.l_shipdate)*10000 + EXTRACT(month FROM l.l_shipdate)*100
+            + EXTRACT(day FROM l.l_shipdate) AS BIGINT) AS ship_calendar_key,
+       CAST(EXTRACT(year FROM o.o_orderdate)*10000 + EXTRACT(month FROM o.o_orderdate)*100
+            + EXTRACT(day FROM o.o_orderdate) AS BIGINT) AS order_calendar_key,
+       l.l_quantity AS quantity, l.l_extendedprice AS extended_price,
+       l.l_discount AS discount,
+       l.l_extendedprice * (1 - l.l_discount) AS net_amount
+FROM lineitem l
+LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN dim_c c ON o.o_custkey = c.c_custkey
+LEFT JOIN dim_p p ON l.l_partkey = p.p_partkey
+LEFT JOIN dim_s s ON l.l_suppkey = s.s_suppkey
+ORDER BY order_key, line_number
+"""
+
+
+@register("star_fact_assembly", oracle=_FACT_ORACLE, bench=True)
+def star_fact_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fact assembly with deterministic surrogate keys — SURVEY §2.3 J8
+    (reference map_cols.py:228-282), with left joins + explicit null keys
+    instead of silent inner-join row loss. Dims broadcast; calendar keys
+    resolve as pure expressions (no join, no shuffle)."""
+    return fact_sales(spark, sf_dir).orderBy("order_key", "line_number")
+
+
+_CLIENT_VALUE_KPI_ORACLE = f"""
+WITH seg AS (
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 7500 THEN 'High'
+                WHEN c_acctbal > 2500 THEN 'Medium'
+                ELSE 'Low' END AS client_value
+    FROM customer
+)
+SELECT s.client_value,
+       {sql_dsum('o.o_totalprice', 'total_amount')},
+       COUNT(*) AS n_orders
+FROM orders o JOIN seg s ON o.o_custkey = s.c_custkey
+GROUP BY s.client_value ORDER BY s.client_value
+"""
+
+
+@register("kpi_sales_by_client_value", oracle=_CLIENT_VALUE_KPI_ORACLE)
+def kpi_sales_by_client_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard KPI 'TotalAmount by ClientValue' (reference
+    README.md:69-71; BASELINE.md High 1.079M/Medium 0.211M/Low 0.002M
+    shape) — segment ladder broadcast onto the fact, one shuffle."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    seg = F.broadcast(
+        c.select("c_custkey", client_value(F.col("c_acctbal"), 7500.0, 2500.0).alias("client_value"))
+    )
+    return (
+        o.join(seg, o.o_custkey == seg.c_custkey)
+        .groupBy("client_value")
+        .agg(dsum("o_totalprice", "total_amount"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("client_value")
+    )
+
+
+_STORE_GROWTH_ORACLE = f"""
+SELECT s.s_name AS store_name, CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS year,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       COUNT(*) AS n_sales
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("kpi_store_growth", oracle=_STORE_GROWTH_ORACLE)
+def kpi_store_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard KPI 'Store growth trends' (reference README.md:91,
+    suppliers-as-stores map_cols.py:144-182): revenue per store per year."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("store_name"), F.year("l_shipdate").alias("year"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_sales"),
+        )
+        .orderBy("store_name", "year")
+    )
+
+
+_ATTRACTIVENESS_ORACLE = f"""
+SELECT s.s_name AS store_name,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       COUNT(*) AS n_transactions,
+       CAST(CAST(SUM(TRY_CAST(CAST((l.l_extendedprice * (1 - l.l_discount)) AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS attractiveness_index
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name ORDER BY s.s_name
+"""
+
+
+@register("kpi_store_attractiveness", oracle=_ATTRACTIVENESS_ORACLE)
+def kpi_store_attractiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AttractivenessIndex = revenue / transactions per store — the
+    reference computes this in Power BI (agg commented at map_cols.py:
+    167-170; BASELINE.md top-stores row)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    rev = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("store_name"))
+        .agg(rev, F.count(F.lit(1)).alias("n_transactions"))
+        .withColumn("attractiveness_index", F.col("revenue") / F.col("n_transactions"))
+        .orderBy("store_name")
+    )
+
+
+_PRODUCT_STATUS_ORACLE = """
+WITH last_sold AS (
+    SELECT l_partkey, MAX(CAST(l_shipdate AS DATE)) AS last_sold
+    FROM lineitem GROUP BY l_partkey
+), statused AS (
+    SELECT CASE
+        WHEN ls.last_sold IS NULL OR date_diff('day', ls.last_sold, DATE '2001-11-04') > 365 THEN 'Obsolete'
+        WHEN date_diff('day', ls.last_sold, DATE '2001-11-04') > 180 THEN 'End of Lifecycle'
+        ELSE 'Active' END AS product_status
+    FROM part p LEFT JOIN last_sold ls ON p.p_partkey = ls.l_partkey
+)
+SELECT product_status, COUNT(*) AS n_products
+FROM statused GROUP BY product_status ORDER BY product_status
+"""
+
+
+@register("kpi_product_status", oracle=_PRODUCT_STATUS_ORACLE)
+def kpi_product_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard KPI 'Products per Status' — the Active / End of Lifecycle /
+    Obsolete ladder from days-since-last-sale (reference map_cols.py:116-123,
+    add_columns.py:134-139; BASELINE.md Active 59/Obsolete 10/EoL 8 shape)."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    last_sold = li.groupBy("l_partkey").agg(F.max(F.to_date("l_shipdate")).alias("last_sold"))
+    return (
+        p.join(last_sold, p.p_partkey == last_sold.l_partkey, "left")
+        .withColumn(
+            "product_status",
+            product_status(F.col("last_sold"), F.to_date(F.lit("2001-11-04"))),
+        )
+        .groupBy("product_status")
+        .agg(F.count(F.lit(1)).alias("n_products"))
+        .orderBy("product_status")
+    )
+
+
+_SCD2_ORACLE = """
+SELECT TRUE AS is_current, (SELECT COUNT(*) FROM customer) AS n_rows
+UNION ALL
+SELECT FALSE AS is_current,
+       (SELECT COUNT(*) FROM customer
+        WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'PROMO') AS n_rows
+ORDER BY is_current
+"""
+
+
+@register("scd2_merge_counts", oracle=_SCD2_ORACLE)
+def scd2_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real SCD2 change capture — SURVEY §7 phase 5 (the reference only
+    scaffolds IsCurrent/Effective* constants, map_cols.py:89-91). Simulates
+    day 2: customers with custkey%7==0 switch segment to PROMO; the merge
+    must expire exactly those (still-current count stays |customers|:
+    unchanged + new versions)."""
+    c = table(spark, sf_dir, "customer")
+    current = scd2_init(c, datetime.date(2024, 1, 1))
+    incoming = c.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("PROMO")).otherwise(F.col("c_mktsegment")),
+    )
+    merged = scd2_merge(
+        current,
+        incoming,
+        natural_key=["c_custkey"],
+        tracked_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        asof=datetime.date(2024, 6, 1),
+    )
+    return (
+        merged.groupBy("is_current")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("is_current")
+    )

@@ -1,0 +1,92 @@
+"""Sources layer tests: dirty-CSV ingestion parity (dup headers, ragged
+rows, quoted commas), medallion parquet snapshots, report round-trip."""
+
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.operators.audit import audit, rule_positive_number
+from bbt_etl_dw_spark.sources.csv import dedup_headers, read_csv, read_headers
+from bbt_etl_dw_spark.sources.jdbc import jdbc_options
+from bbt_etl_dw_spark.sources.parquet import read_snapshot, write_snapshot
+from bbt_etl_dw_spark.sources.report import read_audit_json, write_audit_json, write_audit_txt
+
+DIRTY_CSV = """OrderID,CustomerID,ShipAddress,Freight,OrderID,UnitPrice
+1,ALFKI,"Rua do Paço, 67",12.5,1,9.99
+2,ANATR,Main St 5,-3.0,2,15.00
+3,BERGS,Short row,4.2
+4,BONAP,"Quote ""inner"" test",8.0,4,20.5
+"""
+
+
+def _write_tmp(content: str) -> str:
+    d = tempfile.mkdtemp()
+    p = Path(d) / "sales.csv"
+    p.write_text(content)
+    return str(p)
+
+
+def test_dedup_headers():
+    assert dedup_headers(["OrderID", "A", "OrderID"]) == ["OrderID0", "A", "OrderID2"]
+    assert dedup_headers(["a", "b"]) == ["a", "b"]
+
+
+def test_read_headers_quoted(spark):
+    path = _write_tmp(DIRTY_CSV)
+    assert read_headers(spark, path) == [
+        "OrderID0",
+        "CustomerID",
+        "ShipAddress",
+        "Freight",
+        "OrderID4",
+        "UnitPrice",
+    ]
+
+
+def test_read_csv_dirty(spark):
+    path = _write_tmp(DIRTY_CSV)
+    df = read_csv(spark, path)
+    rows = {r["OrderID0"]: r for r in df.collect()}
+    assert len(rows) == 4
+    # quoted comma preserved
+    assert rows["1"]["ShipAddress"] == "Rua do Paço, 67"
+    # embedded escaped quotes
+    assert rows["4"]["ShipAddress"] == 'Quote "inner" test'
+    # ragged row null-padded (PERMISSIVE)
+    assert rows["3"]["OrderID4"] is None and rows["3"]["UnitPrice"] is None
+    # audit over the ingested strings sees the dup column + bad freight
+    rep = audit(df, "sales", id_col="OrderID0", rules=[rule_positive_number("Freight")])
+    assert rep.duplicate_columns == {"OrderID": ["OrderID0", "OrderID4"]}
+    assert rep.inconsistencies["Freight"]["count"] == 1
+
+
+def test_parquet_snapshot_roundtrip(spark):
+    root = tempfile.mkdtemp()
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    write_snapshot(df, root, "bronze", "t", "2024-01-01")
+    write_snapshot(df.withColumn("v", F.upper("v")), root, "bronze", "t", "2024-01-02")
+    day1 = read_snapshot(spark, root, "bronze", "t", "2024-01-01")
+    allrows = read_snapshot(spark, root, "bronze", "t")
+    assert day1.count() == 2 and allrows.count() == 4
+    assert {r["v"] for r in day1.collect()} == {"a", "b"}
+    # dynamic overwrite replaces only its own partition
+    write_snapshot(df.limit(1), root, "bronze", "t", "2024-01-02")
+    assert read_snapshot(spark, root, "bronze", "t").count() == 3
+
+
+def test_report_roundtrip(spark):
+    df = spark.createDataFrame([("x", -1.0), ("y", 2.0)], "id string, amt double")
+    rep = audit(df, "src", id_col="id", rules=[rule_positive_number("amt")])
+    d = tempfile.mkdtemp()
+    write_audit_json([rep], f"{d}/audit.json")
+    write_audit_txt([rep], f"{d}/audit.txt")
+    loaded = read_audit_json(f"{d}/audit.json")
+    assert loaded[0]["source"] == "src"
+    assert loaded[0]["inconsistencies"]["amt"]["count"] == 1
+    assert "inconsistent amt" in Path(f"{d}/audit.txt").read_text()
+
+
+def test_jdbc_options():
+    opts = jdbc_options("jdbc:sqlserver://h:1433;db=dw", "FactSales", user="u", num_partitions=8)
+    assert opts["dbtable"] == "FactSales" and opts["numPartitions"] == "8"
