@@ -1,0 +1,128 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schema contracts, Arrow-batched
+``mapInPandas`` iteration, partition sizing, deterministic frame sampling.
+The actual codec work (Pillow/ffmpeg/torchaudio) is stubbed behind
+``_HAS_CODECS``: this container has no media libraries, so ``decode``
+raises ``NotImplementedError`` unless ``fake=True``, which runs a
+deterministic fake decoder (dimensions/features derived from the payload
+bytes) exercising the identical batch path.
+
+Scale notes: media payloads dominate row size, so operators here
+- never shuffle payload bytes (feature extraction projects them away
+  before any wide transformation),
+- bound Arrow batch memory with ``spark.sql.execution.arrow.
+  maxRecordsPerBatch`` (set it so batch_size x avg_payload fits the
+  executor), and
+- sample frames/clips inside the UDF (per-row fan-out happens AFTER the
+  payload is already local to the worker).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not installed in this environment
+    from PIL import Image  # noqa: F401
+
+    _HAS_CODECS = True
+except ImportError:
+    _HAS_CODECS = False
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("source_uri", T.StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for a codec: dims + an 8-dim feature derived
+    from the payload digest. Same bytes -> same output on every executor."""
+    d = hashlib.sha256(payload or b"").digest()
+    width = 64 + d[0] % 192
+    height = 64 + d[1] % 192
+    feature = [b / 255.0 for b in d[2:10]]
+    return width, height, feature
+
+
+def decode_media(df: DataFrame, fake: bool = False, batch_size: int = 64) -> DataFrame:
+    """Decode/feature-extract media rows via Arrow-batched mapInPandas.
+
+    ``fake=True`` uses the deterministic fake codec (tests, this
+    environment); otherwise requires real codec libraries.
+    """
+    if not fake and not _HAS_CODECS:
+        raise NotImplementedError(
+            "media codecs (Pillow/ffmpeg) not available in this environment; "
+            "pass fake=True for the deterministic stub decoder"
+        )
+
+    spark = df.sparkSession
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    except Exception:
+        pass
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "width": [],
+                "height": [],
+                "n_bytes": [],
+                "feature": [],
+            }
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                w, h, feat = _fake_decode(raw)  # real codecs would branch on kind
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(raw))
+                out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, n_frames_col: str = "n_frames") -> DataFrame:
+    """Deterministic frame-index sampling for video rows: explode frame
+    indices 0, n, 2n, ... as a pure expression (the decode of each sampled
+    frame then happens payload-local inside the UDF stage)."""
+    idx = F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n))
+    return df.withColumn("frame_index", F.explode(idx))
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Cheap metadata pass that never decodes: payload sizes per kind."""
+    return (
+        df.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max(F.length("payload")).alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )

@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure column expressions (JVM-side, codegen-friendly): language ID,
+quality scoring, token counting, fingerprinting. At 100TB these run as a
+single narrow map stage over the documents table — no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker vocabularies for the n-gram/stopword heuristic
+# language ID. Real pipelines swap in bigger tables; the operator shape
+# (argmax of per-language evidence counts) is what matters.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "des", "une", "dans"),
+    "es": ("el", "los", "las", "es", "una", "que", "por", "con"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text_col: str) -> Column:
+    """Lower-cased whitespace tokens (empty array for blank text)."""
+    t = F.trim(F.lower(F.col(text_col)))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def whitespace_token_count(text_col: str) -> Column:
+    return F.size(words(text_col)).cast("long")
+
+
+def regex_token_count(text_col: str) -> Column:
+    """Sub-word token count under the BPE-ish pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), F.lit(0))).cast("long")
+
+
+def _marker_count(ws: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
+
+
+def lang_scores(text_col: str) -> dict[str, Column]:
+    ws = words(text_col)
+    return {lang: _marker_count(ws, m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(text_col: str, min_evidence: int = 1) -> Column:
+    """Argmax of marker-word evidence; deterministic tie-break by language
+    code order; 'und' (undetermined) below ``min_evidence``."""
+    scores = lang_scores(text_col)
+    langs = sorted(scores)  # deterministic tie-break: alphabetical
+    best = F.greatest(*[scores[lg] for lg in langs])
+    expr = F.lit("und")
+    for lg in reversed(langs):
+        expr = F.when(scores[lg] == best, F.lit(lg)).otherwise(expr)
+    return F.when(best >= min_evidence, expr).otherwise(F.lit("und"))
+
+
+def quality_features(text_col: str) -> dict[str, Column]:
+    """Length / punctuation / stopword / word-shape features
+    (the usual pre-training quality filters)."""
+    t = F.col(text_col)
+    ws = words(text_col)
+    n_chars = F.length(t).cast("long")
+    n_words = F.size(ws).cast("long")
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("long")
+    n_stop = _marker_count(ws, STOPWORDS).cast("long")
+    safe_words = F.greatest(n_words, F.lit(1).cast("long"))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": (n_chars - (n_words - 1)) / safe_words,
+        "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1).cast("long")),
+        "stopword_ratio": n_stop / safe_words,
+    }
+
+
+def quality_score(text_col: str) -> Column:
+    """Composite [0,1]-ish quality score: enough length, sane word length,
+    some stopwords (fluency proxy), not punctuation soup. Weights are
+    illustrative; the operator is the deterministic expression shape."""
+    f_ = quality_features(text_col)
+    len_ok = F.when(f_["n_words"] >= 20, 1.0).when(f_["n_words"] >= 5, 0.5).otherwise(0.0)
+    wordlen_ok = F.when((f_["avg_word_len"] >= 3) & (f_["avg_word_len"] <= 12), 1.0).otherwise(0.0)
+    stop_ok = F.when(f_["stopword_ratio"] >= 0.05, 1.0).otherwise(0.0)
+    punct_ok = F.when(f_["punct_ratio"] <= 0.2, 1.0).otherwise(0.0)
+    return (0.4 * len_ok + 0.2 * wordlen_ok + 0.2 * stop_ok + 0.2 * punct_ok).alias(
+        "quality_score"
+    )
+
+
+def normalize_text(text_col: str) -> Column:
+    """Canonical form for fingerprinting: lower, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def md5_fingerprint(text_col: str) -> Column:
+    """Exact-dup fingerprint: md5 of normalized text (md5 is identical in
+    every engine => oracle-checkable, unlike xxhash64)."""
+    return F.md5(normalize_text(text_col))
+
+
+def shingles(text_col: str, k: int = 3) -> Column:
+    """Word k-shingles (distinct), the unit set for Jaccard similarity.
+    Short texts fall back to the whole normalized text as one shingle."""
+    ws = words(text_col)
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array(normalize_text(text_col))
+    )
+
+
+def rolling_fingerprint(text_col: str, k: int = 3) -> Column:
+    """Document fingerprint: minimum shingle hash (winnowing-style 'rolling
+    hash' selection — robust to local edits, unlike the whole-text md5).
+    md5-based and returned as the 16-hex-char prefix so any engine can
+    reproduce it (hex strings order like the integers they encode)."""
+    hashed = F.transform(shingles(text_col, k), lambda s: F.substring(F.md5(s), 1, 16))
+    return F.array_min(hashed)

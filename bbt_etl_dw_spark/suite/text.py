@@ -1,0 +1,199 @@
+"""Training-data text-pipeline suite over the documents table: dedup
+(exact / MinHash-LSH / SimHash), language ID, quality scoring, token
+counting, fingerprinting. Oracle-paired wherever the computation is
+SQL-expressible; hash-family ops (xxhash64) are rows-only with pytest
+ground-truth tests instead."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.catalog import table
+from bbt_etl_dw_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_dedup_pairs,
+    simhash_near_dups,
+)
+from bbt_etl_dw_spark.operators.textstats import (
+    LANG_MARKERS,
+    lang_id,
+    lang_scores,
+    md5_fingerprint,
+    quality_features,
+    quality_score,
+    regex_token_count,
+    rolling_fingerprint,
+    whitespace_token_count,
+)
+from bbt_etl_dw_spark.suite import register
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+_EXACT_DEDUP_ORACLE = f"""
+WITH fps AS (
+    SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+)
+SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+FROM fps GROUP BY fp ORDER BY fp
+"""
+
+
+@register("doc_exact_dedup_groups", oracle=_EXACT_DEDUP_ORACLE)
+def doc_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the md5 of normalized text, keeping the
+    min-id representative. The shuffle key is a 32-char digest, never the
+    document body — at 100TB the shuffle moves ~50 bytes/doc."""
+    docs = table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "doc_id", "text").orderBy("fp")
+
+
+_TOKEN_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("doc_token_counts", oracle=_TOKEN_ORACLE)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish pre-tokenizer regex
+    (letter runs / digit runs / single punctuation). Narrow map stage."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        regex_token_count("text").alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+_STOP_LIST = "['" + "','".join(LANG_MARKERS["en"]) + "']"
+
+_QUALITY_ORACLE = f"""
+WITH feats AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter({_WORDS_SQL}, w -> list_contains({_STOP_LIST}, w))) AS BIGINT) AS n_stop
+    FROM documents
+), ratios AS (
+    SELECT doc_id, n_chars, n_words,
+           (n_chars - (n_words - 1)) / greatest(n_words, 1) AS avg_word_len,
+           n_punct / greatest(n_chars, 1) AS punct_ratio,
+           n_stop / greatest(n_words, 1) AS stopword_ratio
+    FROM feats
+)
+SELECT doc_id, n_chars, n_words, avg_word_len, punct_ratio, stopword_ratio,
+       0.4::DOUBLE * (CASE WHEN n_words >= 20 THEN 1.0 WHEN n_words >= 5 THEN 0.5 ELSE 0.0 END)::DOUBLE
+     + 0.2::DOUBLE * (CASE WHEN avg_word_len >= 3 AND avg_word_len <= 12 THEN 1.0 ELSE 0.0 END)::DOUBLE
+     + 0.2::DOUBLE * (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)::DOUBLE
+     + 0.2::DOUBLE * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)::DOUBLE AS quality_score
+FROM ratios ORDER BY doc_id
+"""
+
+
+@register("doc_quality_scores", oracle=_QUALITY_ORACLE)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio features and
+    a composite score — the standard pre-training quality filter shape."""
+    docs = table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_words"].alias("n_words"),
+        feats["avg_word_len"].alias("avg_word_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_score("text"),
+    ).orderBy("doc_id")
+
+
+def _lang_count_sql(lang: str) -> str:
+    markers = "['" + "','".join(LANG_MARKERS[lang]) + "']"
+    return (
+        f"CAST(len(list_filter({_WORDS_SQL}, w -> list_contains({markers}, w))) AS INT)"
+    )
+
+
+_LANG_ORACLE = f"""
+WITH scores AS (
+    SELECT doc_id, lang AS labeled_lang,
+           {_lang_count_sql("de")} AS score_de,
+           {_lang_count_sql("en")} AS score_en,
+           {_lang_count_sql("es")} AS score_es,
+           {_lang_count_sql("fr")} AS score_fr
+    FROM documents
+)
+SELECT doc_id, labeled_lang, score_de, score_en, score_es, score_fr,
+       CASE WHEN greatest(score_de, score_en, score_es, score_fr) < 1 THEN 'und'
+            WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+            WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+            WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM scores ORDER BY doc_id
+"""
+
+
+@register("doc_lang_id", oracle=_LANG_ORACLE)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: per-language marker-word evidence counts, argmax with
+    deterministic alphabetical tie-break, 'und' when no evidence."""
+    docs = table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lg].cast("int").alias(f"score_{lg}") for lg in sorted(scores)],
+        lang_id("text").alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+_FP_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, text, {_WORDS_SQL} AS ws FROM documents
+), sh AS (
+    SELECT doc_id, text,
+           CASE WHEN len(ws) >= 3 THEN
+               list_transform(range(1, len(ws) - 1), j -> array_to_string(list_slice(ws, j, j + 2), ' '))
+           ELSE [{_NORM_SQL}] END AS shingles
+    FROM words
+)
+SELECT doc_id,
+       md5({_NORM_SQL}) AS exact_fp,
+       list_aggregate(list_transform(shingles, s -> substring(md5(s), 1, 16)), 'min') AS rolling_fp
+FROM sh ORDER BY doc_id
+"""
+
+
+@register("doc_fingerprints", oracle=_FP_ORACLE)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text md5 (exact dedup key) + minimum
+    shingle-hash 'rolling' fingerprint (stable under small local edits)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        md5_fingerprint("text").alias("exact_fp"),
+        rolling_fingerprint("text", 3).alias("rolling_fp"),
+    ).orderBy("doc_id")
+
+
+@register("minhash_near_dup_pairs", oracle=None, bench=True)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) candidates -> exact n-gram-Jaccard
+    verification >= 0.5. xxhash64 signature family is Spark-native (no SQL
+    oracle); ground truth covered by pytest brute-force Jaccard tests."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+@register("simhash_near_dup_pairs", oracle=None)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dups: 16-bit-chunk candidate buckets, Hamming
+    distance <= 3 verify. Signature is a pure array-fold expression."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "doc_id", "text").orderBy("id_a", "id_b")

@@ -1,0 +1,105 @@
+"""Similarity-search suite over the embeddings table (array<float>, 64-d).
+
+Brute-force cosine top-k is the oracle-checked baseline (exact decimal
+dot products => bit-identical ranks); LSH-bucketed ANN and cosine near-dup
+are the scale paths, rows-only with pytest recall tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.catalog import table
+from bbt_etl_dw_spark.operators.dedup import cosine_near_dups
+from bbt_etl_dw_spark.operators.similarity import brute_force_topk, lsh_topk, norm_expr
+from bbt_etl_dw_spark.suite import register
+
+# Exact decimal sum of per-element products, as double (twin of
+# operators/similarity._dec_fold_sum) — see functions/numeric.py for why
+# every conversion is string-mediated.
+_DOT_SQL = (
+    "CAST(CAST(SUM(TRY_CAST(CAST(p AS VARCHAR) AS DECIMAL(25,18))) AS VARCHAR) AS DOUBLE)"
+)
+
+
+_NORMS_ORACLE = f"""
+WITH prods AS (
+    SELECT vec_id, UNNEST(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS p
+    FROM embeddings
+)
+SELECT vec_id, sqrt({_DOT_SQL}) AS l2_norm
+FROM prods GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+@register("embedding_norms", oracle=_NORMS_ORACLE)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms of the embedding column — the array-fold primitive under
+    all similarity ops, exact and oracle-checked."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        norm_expr(F.col("embedding").cast("array<double>")).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+_TOPK_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+), pairs AS (
+    SELECT e.vec_id AS corpus_id, q.query_id,
+           UNNEST(list_transform(range(1, len(e.embedding) + 1),
+                                 i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) AS p,
+           UNNEST(list_transform(range(1, len(e.embedding) + 1),
+                                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS pc,
+           UNNEST(list_transform(range(1, len(e.embedding) + 1),
+                                 i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)) AS pq
+    FROM embeddings e CROSS JOIN q
+), scored AS (
+    SELECT query_id, corpus_id,
+           {_DOT_SQL} /
+           (sqrt(CAST(CAST(SUM(TRY_CAST(CAST(pc AS VARCHAR) AS DECIMAL(25,18))) AS VARCHAR) AS DOUBLE))
+            * sqrt(CAST(CAST(SUM(TRY_CAST(CAST(pq AS VARCHAR) AS DECIMAL(25,18))) AS VARCHAR) AS DOUBLE))) AS cosine
+    FROM pairs GROUP BY query_id, corpus_id
+), ranked AS (
+    SELECT query_id, corpus_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT query_id, corpus_id, cosine, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+@register("ann_bruteforce_topk", oracle=_TOPK_ORACLE, bench=True)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors against the whole corpus:
+    broadcast queries, per-pair array-fold cosine, partitioned rank window.
+    The correctness baseline every ANN variant is measured against."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+@register("ann_lsh_topk", oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH buckets (8 planes) with
+    exact re-rank inside the bucket. Hash-derived hyperplanes are
+    Spark-native => rows-only; recall vs brute force asserted in pytest."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=10, planes=8).orderBy("query_id", "rank")
+
+
+@register("embedding_cosine_near_dups", oracle=None)
+def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: 16-plane LSH buckets ->
+    exact cosine >= 0.95 verify. The embedding-space analog of MinHash."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_near_dups(emb, "vec_id", "embedding", threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )
