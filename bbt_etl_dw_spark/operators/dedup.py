@@ -51,32 +51,61 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _min_slot_hash(sh: Column, seed: int) -> Column:
-    # NB: the lambda must stay single-parameter — a two-parameter lambda
-    # makes Spark bind the second as the array index, not a closure value.
-    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+_LONG_MAX = (1 << 63) - 1
+
+
+def _per_shingle_hashes(text_col: str, num_hashes: int, shingle_k: int) -> Column:
+    """array<array<long>>: the full hash-family row per shingle. The
+    shingle array is referenced exactly ONCE — computing H mins as separate
+    expressions would re-inline (and re-evaluate) the shingle computation H
+    times after projection collapse, since higher-order functions get no
+    codegen subexpression elimination."""
+    sh = shingles(text_col, shingle_k)
+    return F.transform(
+        sh, lambda s: F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)])
+    )
+
+
+def _minhash_fold(text_col: str, num_hashes: int, shingle_k: int, finish=None) -> Column:
+    """Single-pass element-wise-min fold of the per-shingle hash rows.
+    ``finish`` (if given) post-processes the EVALUATED signature array —
+    the only safe place to fan out many references to it."""
+    return F.aggregate(
+        _per_shingle_hashes(text_col, num_hashes, shingle_k),
+        F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes),
+        lambda acc, hs: F.zip_with(acc, hs, lambda a, h: F.least(a, h)),
+        finish,
+    )
 
 
 def minhash_signature(text_col: str, num_hashes: int = 64, shingle_k: int = 3) -> Column:
-    """MinHash signature as an array<long>, one xxhash64 family member per
-    slot (seed mixed in as an extra hashed column). Pure expression."""
-    sh = shingles(text_col, shingle_k)
-    return F.array(*[_min_slot_hash(sh, i) for i in range(num_hashes)])
+    """MinHash signature as an array<long> (xxhash64 family, one seed per
+    slot). One pass over the shingle array."""
+    return _minhash_fold(text_col, num_hashes, shingle_k)
 
 
-def _band_keys(sig_col: str, bands: int, rows: int) -> Column:
-    """B band-bucket keys: hash of each R-slot slice of the signature."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[F.element_at(F.col(sig_col), b * rows + r + 1) for r in range(rows)])
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
+def minhash_band_keys(
+    text_col: str, num_hashes: int, bands: int, shingle_k: int
+) -> Column:
+    """B band-bucket keys: hash of each R-slot slice of the signature,
+    computed in the fold's finish lambda so the signature is an evaluated
+    array, never a re-inlined expression."""
+    rows = num_hashes // bands
+
+    def finish(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", *[sig[b * rows + r].cast("string") for r in range(rows)])
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+
+    return _minhash_fold(text_col, num_hashes, shingle_k, finish)
 
 
 def minhash_candidates(
@@ -90,13 +119,9 @@ def minhash_candidates(
     """Candidate near-dup pairs (id_a < id_b) from banded MinHash-LSH.
     With H=64, B=16 (R=4), the match-probability curve crosses ~0.5 at
     Jaccard ≈ (1/16)^(1/4) ≈ 0.5 — tune B/R for the target threshold."""
-    rows = num_hashes // bands
-    sigs = df.select(
+    buckets = df.select(
         F.col(id_col).alias("doc_id"),
-        minhash_signature(text_col, num_hashes, shingle_k).alias("sig"),
-    )
-    buckets = sigs.select(
-        "doc_id", F.explode(_band_keys("sig", bands, rows)).alias("bk")
+        F.explode(minhash_band_keys(text_col, num_hashes, bands, shingle_k)).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bucket")
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
@@ -157,29 +182,72 @@ def minhash_dedup_pairs(
 # --------------------------------------------------------------------------
 
 
-def simhash(text_col: str, shingle_k: int = 1) -> Column:
-    """64-bit SimHash as a pure expression: per bit, sum ±1 over token
-    hashes (aggregate over the token array — no explode/groupBy), then
-    assemble the sign bits into one long."""
-    sh = shingles(text_col, shingle_k)
+def _bit_mask(b: int) -> int:
+    # 1<<63 overflows signed long; the sign bit is its own mask.
+    return (1 << b) if b < 63 else -(1 << 63)
 
-    def bit_vote(b: int) -> Column:
-        vote = F.aggregate(
-            sh,
-            F.lit(0).cast("long"),
-            lambda acc, s: acc
-            + F.when(
-                F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
-        )
-        return F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-            F.lit(0).cast("long")
-        )
 
-    out = bit_vote(0)
-    for b in range(1, 64):
-        out = out.bitwiseOR(bit_vote(b))
+_BIT_MASKS = [_bit_mask(b) for b in range(64)]
+
+
+def _assemble_sign_bits(votes: Column) -> Column:
+    """Sign bits of an EVALUATED 64-slot vote array -> one long."""
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out.bitwiseOR(
+            F.when(votes[b] > 0, F.lit(_BIT_MASKS[b]).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
     return out
+
+
+def _simhash_fold(text_col: str, shingle_k: int, finish) -> Column:
+    """Single-pass SimHash vote fold: hash each token once, keep a 64-slot
+    ±1 vote accumulator (zip_with against a constant mask array); ``finish``
+    maps the evaluated vote array to the final value. The naive
+    per-bit-aggregate formulation re-evaluates the tokenization 64×."""
+    hashes = F.transform(shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+
+    def merge(acc: Column, h: Column) -> Column:
+        return F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        )
+
+    return F.aggregate(hashes, F.array_repeat(F.lit(0).cast("long"), 64), merge, finish)
+
+
+def simhash(text_col: str, shingle_k: int = 1) -> Column:
+    """64-bit SimHash: sign bits of the per-bit ±1 vote sums over token
+    hashes, computed in one pass over the token array."""
+    return _simhash_fold(text_col, shingle_k, _assemble_sign_bits)
+
+
+def simhash_chunk_keys(text_col: str, chunks: int, shingle_k: int) -> Column:
+    """array of {chunk, val, sig}: the candidate bucket keys AND the full
+    signature, all derived inside one finish lambda so the fold runs exactly
+    once per row (each struct carries sig so downstream needs no second
+    reference to the aggregate)."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+
+    def finish(votes: Column) -> Column:
+        sig = _assemble_sign_bits(votes)
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright(sig, c * width).bitwiseAND(F.lit(mask)).alias("val"),
+                    sig.alias("sig"),
+                )
+                for c in range(chunks)
+            ]
+        )
+
+    return _simhash_fold(text_col, shingle_k, finish)
 
 
 def simhash_candidates(
@@ -187,26 +255,10 @@ def simhash_candidates(
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any 16-bit chunk of the SimHash
     (covers all pairs within Hamming distance < chunks)."""
-    width = 64 // chunks
-    mask = (1 << width) - 1
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"), simhash(text_col, shingle_k).alias("sig")
-    )
-    chunked = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("sig", c * width).bitwiseAND(F.lit(mask)).alias("val"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("ck"),
-    ).select("doc_id", "sig", "ck.chunk", "ck.val")
+    chunked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(simhash_chunk_keys(text_col, chunks, shingle_k)).alias("ck"),
+    ).select("doc_id", F.col("ck.sig").alias("sig"), "ck.chunk", "ck.val")
     a, b = chunked.alias("a"), chunked.alias("b")
     return (
         a.join(

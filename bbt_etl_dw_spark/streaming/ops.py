@@ -1,0 +1,138 @@
+"""Unified batch/stream event-time operators.
+
+Every function here takes a DataFrame that may be BATCH or STREAMING and
+returns the same logical plan for both — Structured Streaming's core
+promise. Watermarks are applied only on streaming inputs (they are a
+no-op barrier on batch). At scale each of these is one shuffle on its
+grouping keys; state-store size is bounded by the watermark horizon.
+
+The reference pipeline has no streaming (SURVEY §2.9) — this is the
+engine's scale extension (§7 phase 6) for the events table
+(event_id, ts, user_id, event_type, value, props).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bbt_etl_dw_spark.functions.numeric import dsum
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _with_watermark(df: DataFrame, watermark: str) -> DataFrame:
+    return df.withWatermark("ts", watermark) if df.isStreaming else df
+
+
+def events_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Parquet file-source stream over an events directory. Each file is a
+    micro-batch unit; in production the same plan reads Kafka/queue sources
+    — only this constructor changes, never the transformations."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_event_stats(
+    df: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time windows per event_type: count + exact value sum.
+    On a stream: append-mode emits each window once its end passes the
+    watermark; state per open window is O(#event_types)."""
+    return (
+        _with_watermark(df, watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_stats(
+    df: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in window/slide
+    overlapping windows. Same shuffle shape as tumbling; state scales by
+    the overlap factor."""
+    return (
+        _with_watermark(df, watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_stats(
+    df: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based): a session closes after ``gap``
+    of inactivity; end = last event + gap (Spark session_window semantics).
+    Streaming state per user is one open session row."""
+    return (
+        _with_watermark(df, watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(
+    df: DataFrame, keys: list[str], watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Streaming-safe dedup on ``keys``. With a ``watermark``, stream state
+    is bounded by the horizon (dropDuplicatesWithinWatermark) — duplicates
+    farther apart in event time than the horizon re-emit, the price of
+    bounded state at 100TB. ``watermark=None`` keeps exact forever-dedup at
+    the cost of state growing with key cardinality. Batch is a plain
+    dropDuplicates. Row choice is engine-arbitrary — use
+    :func:`first_event_per_key` when determinism matters."""
+    if df.isStreaming and watermark is not None:
+        return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def first_event_per_key(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Deterministic dedup: the earliest event per key (ties broken by
+    event_id). Batch twin of :func:`stream_dedup` with exact semantics —
+    one shuffle on the keys, rank window inside each partition."""
+    w = Window.partitionBy(*keys).orderBy("ts", "event_id")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

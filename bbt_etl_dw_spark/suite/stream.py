@@ -1,0 +1,146 @@
+"""Event-time streaming suite over the events table.
+
+Each query runs the SAME transformation the streaming path uses
+(bbt_etl_dw_spark.streaming.ops) on the batch events table — Structured
+Streaming's unified semantics make the batch result the ground truth for
+the stream, so these are oracle-checkable; the real readStream →
+micro-batch → memory-sink execution of the identical plans is asserted in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bbt_etl_dw_spark.catalog import table
+from bbt_etl_dw_spark.functions.numeric import sql_dsum
+from bbt_etl_dw_spark.streaming.ops import (
+    first_event_per_key,
+    session_window_stats,
+    sliding_event_stats,
+    tumbling_event_stats,
+)
+from bbt_etl_dw_spark.streaming.stateful import running_totals_batch
+from bbt_etl_dw_spark.suite import register
+
+_TUMBLING_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 'total_value')}
+FROM events
+GROUP BY 1, 2, 3 ORDER BY 1, 3
+"""
+
+
+@register("events_tumbling_hourly", oracle=_TUMBLING_ORACLE, bench=True)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows per event_type — the canonical
+    streaming aggregation, run in batch mode (identical plan on a stream
+    with a 2h watermark). One shuffle on (window, event_type)."""
+    ev = table(spark, sf_dir, "events")
+    return tumbling_event_stats(ev, "1 hour").orderBy("window_start", "event_type")
+
+
+_SLIDING_ORACLE = f"""
+WITH fanout AS (
+    SELECT event_type, value,
+           UNNEST([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+               AS window_start
+    FROM events
+)
+SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end, event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 'total_value')}
+FROM fanout
+GROUP BY 1, 2, 3 ORDER BY 1, 3
+"""
+
+
+@register("events_sliding_2h1h", oracle=_SLIDING_ORACLE)
+def events_sliding_2h1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h windows hopping every 1h: each event contributes to
+    exactly window/slide = 2 windows (the oracle fans out both starts)."""
+    ev = table(spark, sf_dir, "events")
+    return sliding_event_stats(ev, "2 hours", "1 hour").orderBy(
+        "window_start", "event_type"
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), numbered AS (
+    SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 'total_value')}
+FROM numbered
+GROUP BY user_id, session_id ORDER BY user_id, session_start
+"""
+
+
+@register("events_session_windows", oracle=_SESSION_ORACLE)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (30 min inactivity closes the
+    session; end = last event + gap). The oracle is the classic
+    gaps-and-islands rewrite — Spark's session_window must agree."""
+    ev = table(spark, sf_dir, "events")
+    return session_window_stats(ev, "30 minutes").orderBy("user_id", "session_start")
+
+
+_FIRST_EVENT_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id
+    ) AS rn
+    FROM events
+) WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+@register("events_first_per_user_type", oracle=_FIRST_EVENT_ORACLE)
+def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic streaming-dedup twin: earliest event per
+    (user_id, event_type). The stream path is dropDuplicatesWithinWatermark
+    (state bounded by the watermark horizon) — asserted equivalent on
+    ordered arrival in tests/test_streaming.py."""
+    ev = table(spark, sf_dir, "events")
+    return first_event_per_key(ev, ["user_id", "event_type"]).orderBy(
+        "user_id", "event_type"
+    )
+
+
+_RUNNING_ORACLE = """
+SELECT user_id, event_id, ts,
+       COUNT(*) OVER w AS n_events,
+       CAST(CAST(SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18))) OVER w
+            AS VARCHAR) AS DOUBLE) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+@register("events_running_user_totals", oracle=_RUNNING_ORACLE)
+def events_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event running (count, value-sum) per user — the batch twin of
+    the custom applyInPandasWithState stateful operator; cumulative decimal
+    window keeps it exact and oracle-matchable."""
+    ev = table(spark, sf_dir, "events")
+    return running_totals_batch(ev).orderBy("user_id", "event_id")

@@ -1,0 +1,165 @@
+"""Structured Streaming execution tests: the SAME plans the suite checks
+in batch mode (suite/stream.py, DuckDB-oracled) are run here as real
+micro-batch streams — parquet file source (1 file per trigger) → memory
+sink — and compared against their batch results."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.catalog import table
+from bbt_etl_dw_spark.streaming.ops import (
+    events_file_stream,
+    first_event_per_key,
+    session_window_stats,
+    stream_dedup,
+    tumbling_event_stats,
+)
+from bbt_etl_dw_spark.streaming.stateful import (
+    final_user_totals_batch,
+    running_user_totals_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def chunked_dir(spark, events_batch, tmp_path_factory):
+    """events split into 3 parquet files in event-time order, so the file
+    stream replays them as 3 in-order micro-batches."""
+    root = tmp_path_factory.mktemp("events_stream")
+    n = events_batch.count()
+    ordered = events_batch.orderBy("ts", "event_id").collect()
+    per = (n + 2) // 3
+    for i in range(3):
+        chunk = ordered[i * per : (i + 1) * per]
+        if chunk:
+            spark.createDataFrame(chunk, events_batch.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(root / f"chunk{i}"))
+    # flatten: file source wants one directory of files
+    files_dir = root / "files"
+    files_dir.mkdir()
+    idx = 0
+    for i in range(3):
+        d = root / f"chunk{i}"
+        if d.exists():
+            for f_ in sorted(d.glob("*.parquet")):
+                f_.rename(files_dir / f"part-{idx:03d}.parquet")
+                idx += 1
+    return str(files_dir)
+
+
+def _run_stream(spark, sdf, name, mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _key_rows(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_tumbling_stream_equals_batch(spark, events_batch, chunked_dir):
+    stream = events_file_stream(spark, chunked_dir)
+    got = _run_stream(
+        spark, tumbling_event_stats(stream, "1 hour"), "t_tumbling", "complete"
+    )
+    want = tumbling_event_stats(events_batch, "1 hour")
+    cols = ["window_start", "window_end", "event_type", "n_events", "total_value"]
+    assert _key_rows(got, cols) == _key_rows(want, cols)
+
+
+def test_tumbling_append_emits_closed_windows_only(spark, events_batch, chunked_dir):
+    stream = events_file_stream(spark, chunked_dir)
+    got = _run_stream(
+        spark,
+        tumbling_event_stats(stream, "1 hour", watermark="2 hours"),
+        "t_append",
+        "append",
+    )
+    batch_rows = _key_rows(
+        tumbling_event_stats(events_batch, "1 hour"),
+        ["window_start", "event_type", "n_events"],
+    )
+    got_rows = _key_rows(got, ["window_start", "event_type", "n_events"])
+    # every finalized window matches batch exactly; windows past the final
+    # watermark are (correctly) still open and unemitted
+    assert got_rows <= batch_rows
+    assert len(got_rows) > 0.5 * len(batch_rows)
+
+
+def test_session_stream_subset_of_batch(spark, events_batch, chunked_dir):
+    stream = events_file_stream(spark, chunked_dir)
+    got = _run_stream(
+        spark,
+        session_window_stats(stream, "30 minutes", watermark="2 hours"),
+        "t_session",
+        "append",
+    )
+    want = _key_rows(
+        session_window_stats(events_batch, "30 minutes"),
+        ["user_id", "session_start", "session_end", "n_events"],
+    )
+    got_rows = _key_rows(got, ["user_id", "session_start", "session_end", "n_events"])
+    assert got_rows <= want
+    assert len(got_rows) > 0
+
+
+def test_stream_dedup_matches_deterministic_batch(spark, events_batch, chunked_dir):
+    keys = ["user_id", "event_type"]
+    stream = events_file_stream(spark, chunked_dir)
+    got = _run_stream(
+        spark, stream_dedup(stream, keys, watermark=None), "t_dedup", "append"
+    )
+    want = first_event_per_key(events_batch, keys)
+    # unbounded-state dedup: exactly one row per key, same key universe
+    # (row choice may differ on ties)
+    assert _key_rows(got, keys) == _key_rows(want, keys)
+    assert got.count() == want.count()
+
+    # bounded-state variant: still covers every key, but duplicates farther
+    # apart than the watermark horizon re-emit (state was evicted)
+    bounded = _run_stream(
+        spark,
+        stream_dedup(events_file_stream(spark, chunked_dir), keys, watermark="10 hours"),
+        "t_dedup_bounded",
+        "append",
+    )
+    assert _key_rows(bounded, keys) == _key_rows(want, keys)
+    assert bounded.count() >= want.count()
+
+
+def test_stateful_running_totals_final_state(spark, events_batch, chunked_dir):
+    stream = events_file_stream(spark, chunked_dir)
+    got = _run_stream(
+        spark, running_user_totals_stream(stream), "t_state", "update"
+    )
+    # last emitted row per user == final cumulative state
+    final = {
+        r["user_id"]: r
+        for r in got.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    want = {r["user_id"]: r for r in final_user_totals_batch(events_batch).collect()}
+    assert set(final) == set(want)
+    for uid, row in want.items():
+        assert final[uid]["n_events"] == row["n_events"]
+        assert final[uid]["total_value"] == pytest.approx(row["total_value"], rel=1e-9)
