@@ -14,10 +14,10 @@ Scale design (the whole point at 100TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bbt_etl_dw_spark.operators.textstats import md5_fingerprint, shingles
+from bbt_etl_dw_spark.operators.textstats import bind_once, md5_fingerprint, shingles
 
 
 # --------------------------------------------------------------------------
@@ -59,10 +59,16 @@ def _per_shingle_hashes(text_col: str, num_hashes: int, shingle_k: int) -> Colum
     shingle array is referenced exactly ONCE — computing H mins as separate
     expressions would re-inline (and re-evaluate) the shingle computation H
     times after projection collapse, since higher-order functions get no
-    codegen subexpression elimination."""
+    codegen subexpression elimination. Each shingle STRING is hashed once;
+    the H family members are derived by re-hashing that fixed-width long —
+    H string hashes per shingle would dominate the signature cost."""
     sh = shingles(text_col, shingle_k)
     return F.transform(
-        sh, lambda s: F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)])
+        sh,
+        lambda s: bind_once(
+            F.xxhash64(s),
+            lambda h: F.array(*[F.xxhash64(h, F.lit(i)) for i in range(num_hashes)]),
+        ),
     )
 
 
@@ -108,6 +114,52 @@ def minhash_band_keys(
     return _minhash_fold(text_col, num_hashes, shingle_k, finish)
 
 
+def bucket_pairs(
+    buckets: DataFrame,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = (),
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Distinct candidate pairs of items sharing a bucket key, as struct
+    columns ``a``/``b`` with fields (id, *payload_cols) and a.id < b.id.
+
+    One groupBy shuffle of skinny (key, id, payload) rows + in-bucket pair
+    expansion — NOT a self-join, which would re-run the (expensive)
+    signature computation for each side and shuffle the rows twice.
+    Buckets larger than ``max_bucket_size`` are dropped: at scale a
+    degenerate bucket (e.g. boilerplate/empty docs) explodes O(n²) and its
+    members are near-certainly exact dups already caught by
+    :func:`exact_dedup`."""
+    w = Window.partitionBy(*key_cols)
+    capped = (
+        buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+    # Sort-merge self-join, NOT broadcast: SMJ streams the O(n²)-per-bucket
+    # pair expansion and both sides share one shuffle layout. (A
+    # collect_list + in-array expansion materializes each bucket's full
+    # pair set in memory — measurably slower on dense buckets.) The window
+    # count rides the join's own hash partitioning — no extra shuffle.
+    a, b = capped.alias("a").hint("merge"), capped.alias("b").hint("merge")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+
+    def side(tag: str) -> Column:
+        return F.struct(
+            F.col(f"{tag}.{id_col}").alias("id"),
+            *[F.col(f"{tag}.{c}").alias(c) for c in payload_cols],
+        )
+
+    return (
+        a.join(b, cond)
+        .select(side("a").alias("a"), side("b").alias("b"))
+        .distinct()
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -123,16 +175,8 @@ def minhash_candidates(
         F.col(id_col).alias("doc_id"),
         F.explode(minhash_band_keys(text_col, num_hashes, bands, shingle_k)).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bucket")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    return bucket_pairs(buckets, ["band", "bucket"]).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
     )
 
 
@@ -259,20 +303,10 @@ def simhash_candidates(
         F.col(id_col).alias("doc_id"),
         F.explode(simhash_chunk_keys(text_col, chunks, shingle_k)).alias("ck"),
     ).select("doc_id", F.col("ck.sig").alias("sig"), "ck.chunk", "ck.val")
-    a, b = chunked.alias("a"), chunked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
-        )
-        .distinct()
+    return bucket_pairs(chunked, ["chunk", "val"], payload_cols=("sig",)).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
     )
 
 

@@ -109,18 +109,30 @@ def md5_fingerprint(text_col: str) -> Column:
     return F.md5(normalize_text(text_col))
 
 
+def bind_once(value: Column, build) -> Column:
+    """Evaluate ``value`` once and pass it to ``build`` as a lambda
+    variable (a poor man's `let`): transform over a 1-element array. An
+    expression captured directly in a higher-order-function lambda is
+    re-evaluated on EVERY element — for shingles that meant re-running the
+    tokenizing regex split once per shingle index."""
+    return F.transform(F.array(value), build)[0]
+
+
 def shingles(text_col: str, k: int = 3) -> Column:
     """Word k-shingles (distinct), the unit set for Jaccard similarity.
-    Short texts fall back to the whole normalized text as one shingle."""
-    ws = words(text_col)
-    n = F.size(ws)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
-    )
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array(normalize_text(text_col))
-    )
+    Short texts fall back to the whole normalized text as one shingle.
+    The words array is bound once; each shingle is a k-slice concat."""
+
+    def build(ws: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(ws) - k),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
+        )
+        return F.when(F.size(ws) >= k, F.array_distinct(grams)).otherwise(
+            F.array(normalize_text(text_col))
+        )
+
+    return bind_once(words(text_col), build)
 
 
 def rolling_fingerprint(text_col: str, k: int = 3) -> Column:
