@@ -20,7 +20,6 @@ Scale notes: media payloads dominate row size, so operators here
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -57,14 +56,29 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+def _make_fake_decode():
     """Deterministic stand-in for a codec: dims + an 8-dim feature derived
-    from the payload digest. Same bytes -> same output on every executor."""
-    d = hashlib.sha256(payload or b"").digest()
-    width = 64 + d[0] % 192
-    height = 64 + d[1] % 192
-    feature = [b / 255.0 for b in d[2:10]]
-    return width, height, feature
+    from the payload digest. Same bytes -> same output on every executor.
+
+    Built as a NESTED function so cloudpickle ships it by value inside the
+    UDF closure: executors' Python workers may not have this package on
+    their import path (e.g. a verification driver running from another
+    cwd), and a module-level function would pickle as an import reference.
+    """
+
+    def fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+        import hashlib as _hashlib
+
+        d = _hashlib.sha256(payload or b"").digest()
+        width = 64 + d[0] % 192
+        height = 64 + d[1] % 192
+        feature = [b / 255.0 for b in d[2:10]]
+        return width, height, feature
+
+    return fake_decode
+
+
+_fake_decode = _make_fake_decode()
 
 
 def decode_media(df: DataFrame, fake: bool = False, batch_size: int = 64) -> DataFrame:
@@ -85,6 +99,8 @@ def decode_media(df: DataFrame, fake: bool = False, batch_size: int = 64) -> Dat
     except Exception:
         pass
 
+    fake_decode = _make_fake_decode()  # nested def => pickled by value
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
@@ -97,7 +113,7 @@ def decode_media(df: DataFrame, fake: bool = False, batch_size: int = 64) -> Dat
             }
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
-                w, h, feat = _fake_decode(raw)  # real codecs would branch on kind
+                w, h, feat = fake_decode(raw)  # real codecs would branch on kind
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_bytes"].append(len(raw))

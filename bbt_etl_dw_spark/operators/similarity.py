@@ -36,7 +36,10 @@ def _dec_fold_sum(arr: Column) -> Column:
     total = F.aggregate(
         arr,
         F.lit("0").cast(DEC),
-        lambda acc, x: (acc + x.cast("string").try_cast(DEC)).cast(DEC),
+        # direct double->decimal is bit-identical to the string-mediated
+        # hop on the Spark side (see functions/numeric._dec) and much
+        # cheaper inside a per-element fold
+        lambda acc, x: (acc + x.try_cast(DEC)).cast(DEC),
     )
     return total.cast("string").cast("double")
 

@@ -26,17 +26,24 @@ OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 STATE_SCHEMA = "n long, total double"
 
 
-def _update_user_totals(
-    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].fillna(0.0).sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
-    )
+def _make_update_user_totals():
+    # nested def => cloudpickle ships it by value; executors' Python
+    # workers may not have this package importable (see multimodal.py)
+    def update_user_totals(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return update_user_totals
 
 
 def running_user_totals_stream(events: DataFrame) -> DataFrame:
@@ -44,7 +51,7 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     micro-batch that touches that user. Arrow-batched state updates — the
     Python boundary is per-group-per-batch, never per-row."""
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_user_totals,
+        _make_update_user_totals(),
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "update",
