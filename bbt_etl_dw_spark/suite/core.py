@@ -525,3 +525,100 @@ def calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("cal_date").alias("year"),
         F.quarter("cal_date").alias("quarter"),
     ).orderBy("cal_date")
+
+
+# --------------------------------------------------------------------------
+# Multi-dimensional aggregation & set ops — absent from the reference
+# (SURVEY §2.4 / §2.6 "engine gets them free"); first-class here.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "revenue_rollup_region_nation",
+    oracle=f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS gid,
+       {sql_dsum('o.o_totalprice', 'revenue')},
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+ORDER BY gid, region, nation
+""",
+)
+def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) revenue with grouping_id — subtotal +
+    grand-total levels in ONE pass (Spark expands grouping sets before the
+    partial agg, so it is still a single shuffle). The reference computes
+    only flat groupings; rollup/cube come free from Catalyst."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "o_totalprice")
+    )
+    return (
+        joined.rollup("region", "nation")
+        .agg(
+            F.grouping_id().alias("gid"),
+            dsum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("region", "nation", "gid", "revenue", "n_orders")
+        .orderBy("gid", "region", "nation")
+    )
+
+
+@register(
+    "order_status_priority_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+""",
+)
+def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority) order counts — all 4 grouping sets in one
+    shuffle (Catalyst's Expand feeds a single partial aggregation)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "nation_customer_supplier_setops",
+    oracle="""
+WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+SELECT 'both' AS side, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+UNION ALL
+SELECT 'customer_only' AS side, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+UNION ALL
+SELECT 'supplier_only' AS side, nk FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
+ORDER BY side, nk
+""",
+)
+def nation_customer_supplier_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (intersect / except / union) — absent from the
+    reference (SURVEY §2.6), native DataFrame ops here. Nation keys with
+    customers vs suppliers, labeled per side."""
+    cn = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    out = (
+        cn.intersect(sn).select(F.lit("both").alias("side"), "nk")
+        .unionAll(cn.exceptAll(sn).distinct().select(F.lit("customer_only").alias("side"), "nk"))
+        .unionAll(sn.exceptAll(cn).distinct().select(F.lit("supplier_only").alias("side"), "nk"))
+    )
+    return out.orderBy("side", "nk")
