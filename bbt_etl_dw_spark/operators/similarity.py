@@ -9,8 +9,10 @@
   xxhash64(plane, dim) signs: deterministic, no stored model, identical on
   every executor. At 100TB, bucket probing turns an O(N·Q) scan into
   O(N/2^planes · Q) with a single shuffle on bucket keys.
-- An IVF-style variant would replace the hash planes with k-means
-  centroids; the probe/re-rank plumbing here is unchanged.
+- ``ivf_topk``: the centroid-partitioned scale path — deterministic
+  hash-seeded k-means (exact-decimal Lloyd steps, so centroids are
+  identical at any parallelism), inverted lists by nearest centroid,
+  nprobe-list probing with exact re-rank.
 
 Dot products fold into DECIMAL(38,18) via the string-mediated conversion
 (see functions/numeric.py) so sums are order-independent and match the
@@ -19,8 +21,10 @@ SQL oracle bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.operators.textstats import bind_once
 
 # Fold accumulator: 7 integer digits / 18 fractional. Spark's decimal
 # addition widens precision and SHRINKS scale when p would exceed 38
@@ -159,6 +163,128 @@ def lsh_topk(
         .select(
             "query_id", "corpus_id", cosine_expr(F.col("cv"), F.col("qv")).alias("cosine")
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-partitioned scale path.
+# --------------------------------------------------------------------------
+
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _l2sq(vec: Column, cvec: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(vec, cvec, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the nearest (L2) centroid; ties -> lowest index.
+    Centroids are plan literals — broadcast with the plan, a narrow map
+    stage over the corpus, never a shuffle."""
+    dists = F.array(*[_l2sq(vec, _lit_vec(c)) for c in centroids])
+    return bind_once(
+        dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int")
+    )
+
+
+def probe_centroids(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest centroid ids for a query vector (array<int>),
+    deterministic (distance, then index) order."""
+    ds = F.array(
+        *[
+            F.struct(_l2sq(vec, _lit_vec(c)).alias("dist"), F.lit(j).alias("cid"))
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(ds), 1, nprobe), lambda s: s["cid"])
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF centroid training, pure DataFrame jobs.
+
+    Seeds = the ``nlist`` corpus vectors with the smallest xxhash64(id)
+    (a reproducible pseudo-random sample); then ``iters`` Lloyd steps where
+    the element-wise means use exact decimal sums (order-independent, so
+    the centroids are IDENTICAL at any parallelism — k-means on floats is
+    normally partitioning-dependent). Per step: one narrow assignment pass
+    + one groupBy(cid, dim) shuffle of nlist*dim skinny rows."""
+    v = F.col(vec_col).cast("array<double>")
+    seeds = (
+        corpus.select(F.col(id_col).alias("sid"), v.alias("sv"))
+        .orderBy(F.xxhash64(F.col("sid")), F.col("sid"))
+        .limit(nlist)
+        .collect()
+    )
+    centroids = [list(r["sv"]) for r in seeds]
+    from bbt_etl_dw_spark.functions.numeric import davg
+
+    for _ in range(iters):
+        assigned = corpus.select(
+            assign_centroid(v, centroids).alias("cid"),
+            F.posexplode(v).alias("pos", "x"),
+        )
+        means = (
+            assigned.groupBy("cid", "pos").agg(davg("x", "m")).collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [by_cid[j][p] for p in sorted(by_cid[j])] if j in by_cid else centroids[j]
+            for j in range(nlist)
+        ]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are bucketed by nearest centroid
+    (inverted lists); each query probes its ``nprobe`` nearest lists and
+    exact-cosine re-ranks inside them. Scan cost ~ nprobe/nlist of the
+    corpus per query. At 100TB the corpus side would be written
+    partitioned by cid so a probe prunes partitions; here the probe is a
+    (cid) equi-join with the tiny query fan-out broadcast."""
+    cents = ivf_centroids(corpus, nlist, iters, id_col, vec_col)
+    cv = F.col(vec_col).cast("array<double>")
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        cv.alias("cvec"),
+        assign_centroid(cv, cents).alias("cid"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        cv.alias("qv"),
+        F.explode(probe_centroids(cv, cents, nprobe)).alias("cid"),
+    )
+    scored = c.join(F.broadcast(q), "cid").select(
+        "query_id", "corpus_id", cosine_expr(F.col("cvec"), F.col("qv")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
     return (

@@ -1,0 +1,63 @@
+"""Skew-aware join: explicit key salting.
+
+AQE's skew-join splitting (on by default, session.py) handles most skew at
+runtime by splitting oversized partitions, but it only works for sort-merge
+joins with statistics; salting is the deterministic, planner-independent
+fallback — and the only option for skewed aggregations.
+
+``salted_join``: replicate the small side ``salt`` times, spray the big
+side's rows uniformly across the salt space, join on (key, salt). The big
+side's hot key now lands on ``salt`` reducers instead of one. Correct for
+inner/left joins where the small side is unique per key (a dimension).
+
+``salted_count``: two-phase aggregation — partial count per (key, salt),
+then final sum per key. A hot key's rows combine on ``salt`` reducers
+first; the final shuffle moves one row per (key, salt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed big side to a per-key-unique small side on ``on``.
+
+    big rows get salt = crc32(row-random-free: xxhash64 of all key cols +
+    monotonically spread via spark_partition_id) — deterministic per row
+    position is NOT required, only uniformity; we use pmod(xxhash64(keys,
+    rand-free row fingerprint), salt). The small side is exploded
+    ``salt``x (bounded: dims only).
+    """
+    salt_col = F.pmod(
+        F.xxhash64(*[F.col(c) for c in on], F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(salt),
+    ).cast("int")
+    big_s = big.withColumn("_salt", salt_col)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    out = big_s.join(small_s, [*on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def salted_count(df: DataFrame, key_cols: list[str], salt: int = 16) -> DataFrame:
+    """Two-phase count per key, skew-proof: partial count on (key, salt),
+    final sum on key. Output column: n_rows."""
+    salt_col = F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols], F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(salt),
+    ).cast("int")
+    partial = (
+        df.withColumn("_salt", salt_col)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.count(F.lit(1)).alias("_pc"))
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("_pc").alias("n_rows"))

@@ -622,3 +622,56 @@ def nation_customer_supplier_setops(spark: SparkSession, sf_dir: str) -> DataFra
         .unionAll(sn.exceptAll(cn).distinct().select(F.lit("supplier_only").alias("side"), "nk"))
     )
     return out.orderBy("side", "nk")
+
+
+# --------------------------------------------------------------------------
+# Skew handling (scale extension: explicit salting; AQE skew-join is the
+# runtime complement — session.py turns it on)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_user_counts_salted",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_rows
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def events_user_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted count per user: partial count on (key, salt) then
+    final sum on key — a hot key combines on `salt` reducers before the
+    final 1-row-per-(key,salt) shuffle. MUST equal the plain GROUP BY
+    (the oracle is the unsalted query)."""
+    from bbt_etl_dw_spark.operators.skew import salted_count
+
+    ev = table(spark, sf_dir, "events")
+    return salted_count(ev, ["user_id"], salt=8).orderBy("user_id")
+
+
+@register(
+    "events_salted_dim_join",
+    oracle=f"""
+SELECT e.user_id, n.n_name AS nation,
+       COUNT(*) AS n_events,
+       {sql_dsum('e.value', 'total_value')}
+FROM events e
+JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY e.user_id, n.n_name ORDER BY e.user_id
+""",
+)
+def events_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted big⋈small join: events keyed to the nation dim; the dim side
+    is replicated salt× so any hot user key spreads over salt reducers.
+    Results MUST equal the plain join (the oracle is unsalted)."""
+    from bbt_etl_dw_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "n_nationkey", (F.col("user_id") % 25).cast("long")
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    joined = salted_join(ev, n, on=["n_nationkey"], salt=8)
+    return (
+        joined.groupBy("user_id", "nation")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .orderBy("user_id")
+    )

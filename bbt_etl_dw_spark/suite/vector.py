@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 
 from bbt_etl_dw_spark.catalog import table
 from bbt_etl_dw_spark.operators.dedup import cosine_near_dups
-from bbt_etl_dw_spark.operators.similarity import brute_force_topk, lsh_topk, norm_expr
+from bbt_etl_dw_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    norm_expr,
+)
 from bbt_etl_dw_spark.suite import register
 
 # Exact decimal sum of per-element products, as double (twin of
@@ -93,6 +98,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(emb, queries, k=10, planes=8).orderBy("query_id", "rank")
+
+
+@register("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: deterministic hash-seeded k-means centroids
+    (exact-decimal Lloyd steps), corpus bucketed into inverted lists, each
+    query probes its 4 nearest of 16 lists with exact cosine re-rank.
+    Rows-only; recall vs brute force asserted in pytest."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).orderBy("query_id", "rank")
 
 
 @register("embedding_cosine_near_dups", oracle=None)

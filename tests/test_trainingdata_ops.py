@@ -108,6 +108,29 @@ def test_lsh_ann_recall(spark, sf_dir):
         assert (q, q) in a
 
 
+def test_ivf_ann_recall(spark, sf_dir):
+    from bbt_etl_dw_spark.catalog import table
+    from bbt_etl_dw_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["corpus_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall} suspiciously low"
+    # probing the query's own list must always find the query itself
+    for q in range(5):
+        assert (q, q) in a
+    # determinism: identical result on a rerun (exact-decimal centroids)
+    a2 = {(r["query_id"], r["corpus_id"]) for r in
+          ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).collect()}
+    assert a == a2
+
+
 def test_cosine_near_dups_self_similarity(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
