@@ -1,0 +1,96 @@
+"""Interval (range) join — absent from the reference (SURVEY §2.3), a
+first-class scale operator here.
+
+Pairs (l, r) with equal ``by`` keys and ``r.time`` in
+``[l.time + lower_s, l.time + upper_s]`` (inclusive).
+
+Naive formulations are either a cross join + filter (O(n²)) or a theta
+join Spark executes as BroadcastNestedLoop — both collapse at scale. The
+scalable shape is TIME-BUCKETED fan-out: bucket width = the interval span,
+the right side lands in one bucket, the left side explodes into the (at
+most 2) buckets its window can touch, and the join is a plain equi-join on
+(by, bucket) followed by the exact range filter. One shuffle, AQE/skew
+friendly, both sides can be 100TB.
+
+The streaming twin is Spark's native stream-stream inner join with
+watermarks + a time-range condition (tests/test_streaming.py asserts both
+produce the same pairs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Bucketed interval join; ``lower_s``/``upper_s`` are second offsets
+    (e.g. (-3600, 0) = right events in the hour before each left event).
+    Column names must be disjoint apart from ``by``."""
+    if upper_s < lower_s:
+        raise ValueError("upper_s must be >= lower_s")
+    if how != "inner":
+        raise NotImplementedError("interval_join currently supports inner joins")
+    by = list(by)
+    # microsecond precision end-to-end: unix_timestamp would truncate to
+    # seconds and disagree with interval arithmetic on boundary rows
+    lower_us = lower_s * 1_000_000
+    upper_us = upper_s * 1_000_000
+    width = max(upper_us - lower_us, 1)
+
+    le = F.unix_micros(F.col(left_ts))
+    re_ = F.unix_micros(F.col(right_ts))
+
+    l_bucketed = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor((le + F.lit(lower_us)) / F.lit(width)),
+                F.floor((le + F.lit(upper_us)) / F.lit(width)),
+            )
+        ),
+    )
+    r_bucketed = right.withColumn("_bucket", F.floor(re_ / F.lit(width)))
+
+    joined = l_bucketed.join(r_bucketed, [*by, "_bucket"], "inner").filter(
+        (F.unix_micros(F.col(right_ts)) >= F.unix_micros(F.col(left_ts)) + F.lit(lower_us))
+        & (F.unix_micros(F.col(right_ts)) <= F.unix_micros(F.col(left_ts)) + F.lit(upper_us))
+    )
+    return joined.drop("_bucket")
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native stream-stream inner join with the same semantics: both sides
+    watermarked, join condition = equi keys + time range. State per side is
+    bounded by watermark + interval span."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = F.lit(True)
+    for k in by:
+        cond = cond & (l[k] == r[k])
+    cond = (
+        cond
+        & (r[right_ts] >= l[left_ts] + F.expr(f"INTERVAL {lower_s} SECOND"))
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper_s} SECOND"))
+    )
+    return l.join(r, cond, "inner")

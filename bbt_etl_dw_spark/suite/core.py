@@ -675,3 +675,38 @@ def events_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "order_stats_by_status",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(*) AS n_orders,
+       median(o_totalprice) AS median_price,
+       CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90_price
+FROM orders
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def order_stats_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates + exact percentiles per group — absent from the
+    reference (SURVEY §2.4 'distinct-agg absent'). Spark plans multiple
+    count-distincts via Expand (one shuffle); percentiles here are EXACT
+    (sort-based) to stay oracle-checkable — at 100TB swap in
+    approx_percentile (t-digest sketch, single pass)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.expr("percentile_approx(o_totalprice, 0.9, 2147483647)")
+            .cast("double")
+            .alias("p90_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

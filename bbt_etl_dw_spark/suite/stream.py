@@ -11,6 +11,7 @@ tests/test_streaming.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bbt_etl_dw_spark.catalog import table
 from bbt_etl_dw_spark.functions.numeric import sql_dsum
@@ -144,3 +145,43 @@ def events_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     window keeps it exact and oracle-matchable."""
     ev = table(spark, sf_dir, "events")
     return running_totals_batch(ev).orderBy("user_id", "event_id")
+
+
+_INTERVAL_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       p.ts AS purchase_ts, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+ORDER BY purchase_id, click_id
+"""
+
+
+@register("events_interval_join", oracle=_INTERVAL_ORACLE)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: each purchase paired with the same user's clicks in
+    the preceding hour. Time-bucketed equi-join fan-out (never a nested
+    loop — SURVEY §2.3 'range joins absent'); the streaming twin is the
+    native watermarked stream-stream join, asserted equivalent in
+    tests/test_streaming.py."""
+    from bbt_etl_dw_spark.operators.rangejoin import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    j = interval_join(
+        purchases, clicks, ["user_id"], "purchase_ts", "click_ts", -3600, 0
+    )
+    return j.select(
+        "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts"
+    ).orderBy("purchase_id", "click_id")

@@ -141,6 +141,45 @@ def test_stream_dedup_matches_deterministic_batch(spark, events_batch, chunked_d
     assert bounded.count() >= want.count()
 
 
+def test_stream_stream_interval_join_equals_batch(spark, events_batch, chunked_dir):
+    from bbt_etl_dw_spark.operators.rangejoin import interval_join, stream_interval_join
+
+    def split(df, kind, idc, tsc):
+        return df.filter(F.col("event_type") == kind).select(
+            F.col("event_id").alias(idc), "user_id", F.col("ts").alias(tsc)
+        )
+
+    want_df = interval_join(
+        split(events_batch, "purchase", "purchase_id", "purchase_ts"),
+        split(events_batch, "click", "click_id", "click_ts"),
+        ["user_id"],
+        "purchase_ts",
+        "click_ts",
+        -3600,
+        0,
+    )
+    want = _key_rows(want_df, ["purchase_id", "click_id"])
+
+    got_df = _run_stream(
+        spark,
+        stream_interval_join(
+            split(events_file_stream(spark, chunked_dir), "purchase", "purchase_id", "purchase_ts"),
+            split(events_file_stream(spark, chunked_dir), "click", "click_id", "click_ts"),
+            ["user_id"],
+            "purchase_ts",
+            "click_ts",
+            -3600,
+            0,
+            watermark="2 hours",
+        ),
+        "t_ssjoin",
+        "append",
+    )
+    got = _key_rows(got_df, ["purchase_id", "click_id"])
+    assert got == want
+    assert len(want) > 0
+
+
 def test_stateful_running_totals_final_state(spark, events_batch, chunked_dir):
     stream = events_file_stream(spark, chunked_dir)
     got = _run_stream(
