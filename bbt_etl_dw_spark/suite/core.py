@@ -710,3 +710,33 @@ def order_stats_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "events_props_json",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(json_extract_string(props, '$.k')) AS n_with_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JSON parsing of the semi-structured props column: from_json
+    with an explicit schema (typed struct access, JVM-side Jackson parse —
+    the scalable path; the reference only handled JSON driver-side,
+    SURVEY §2.7 'json scalar fns absent')."""
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json("props", "k long")["k"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(k).alias("n_with_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

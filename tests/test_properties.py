@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis): the custom operators the engine adds
+over stock Spark — as-of join, interval join, forward-fill — checked
+against brute-force Python semantics on adversarial small inputs
+(duplicate keys, equal timestamps, empty sides, all-null runs).
+
+Example counts are kept small: each example is a full Spark job."""
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.operators.asof import asof_join
+from bbt_etl_dw_spark.operators.ffill import forward_fill
+from bbt_etl_dw_spark.operators.rangejoin import interval_join
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=2)
+times = st.integers(min_value=0, max_value=20)
+vals = st.integers(min_value=-5, max_value=5)
+
+
+@given(
+    left=st.lists(st.tuples(keys, times), max_size=12),
+    right=st.lists(st.tuples(keys, times, vals), max_size=12, unique_by=lambda r: (r[0], r[1])),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, t long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "k long, t long, v long")
+    got = {
+        (r["lid"]): r["v"]
+        for r in asof_join(ldf, rdf, on="t", by=["k"], value_cols=["v"]).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, f"lid={i} k={k} t={t}: {got[i]} != {want}"
+
+
+@given(
+    left=st.lists(st.tuples(keys, times), max_size=10),
+    right=st.lists(st.tuples(keys, times), max_size=10),
+    bounds=st.tuples(st.integers(-5, 5), st.integers(-5, 5)).map(sorted),
+)
+@settings(**SETTINGS)
+def test_interval_join_matches_bruteforce(spark, left, right, bounds):
+    lo, hi = bounds
+    base = datetime.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(k, base + datetime.timedelta(seconds=t), i) for i, (k, t) in enumerate(left)],
+        "k long, lt timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, base + datetime.timedelta(seconds=t), i) for i, (k, t) in enumerate(right)],
+        "k long, rt timestamp, rid long",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(ldf, rdf, ["k"], "lt", "rt", lo, hi).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lk, lt) in enumerate(left)
+        for j, (rk, rt) in enumerate(right)
+        if lk == rk and lo <= rt - lt <= hi
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(keys, st.one_of(st.none(), vals)), max_size=15
+    ),
+)
+@settings(**SETTINGS)
+def test_forward_fill_matches_bruteforce(spark, rows):
+    df = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(rows)], "k long, seq long, v long"
+    )
+    filled = forward_fill(df, ["v"], partition_by=["k"], order_by=["seq"])
+    got = {r["seq"]: r["v"] for r in filled.collect()}
+    last: dict[int, int | None] = {}
+    for i, (k, v) in enumerate(rows):
+        if v is not None:
+            last[k] = v
+        assert got[i] == last.get(k), f"seq={i}"
