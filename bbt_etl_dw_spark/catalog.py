@@ -8,6 +8,7 @@ layout, reference ``scripts/etl_extract.py:13-14``) over
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,15 +33,46 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table. Columnar parquet scan => pushdown + pruning free."""
+@functools.lru_cache(maxsize=256)
+def _needs_spread(path: str) -> bool:
+    """True when the parquet file cannot split into enough tasks: Spark's
+    input splits align to row groups, so a non-trivial single-row-group
+    file runs every downstream narrow computation single-threaded. On a
+    real lake (many files / many row groups) this returns False and the
+    spread is a no-op."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.getsize(path) < 512 * 1024:  # broadcast-dim sized: skip
+            return False
+        return pq.ParquetFile(path).num_row_groups < 4
+    except Exception:
+        return False
+
+
+def table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Load one table. Columnar parquet scan => pushdown + pruning free.
+
+    ``spread=True`` is for queries whose per-row compute dominates their
+    shuffle cost (hash signatures, exact-decimal folds): when the file
+    cannot split into enough row groups, a round-robin repartition to
+    defaultParallelism moves the (pruned) columns once so the heavy map
+    work runs on every core instead of one. Deterministic filters still
+    push down through the exchange into the scan. Shuffle-bound queries
+    should keep the default — the extra exchange only adds latency. On a
+    real lake (many files/row groups) the spread is a no-op."""
     tune(spark)
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # nanos-as-long (see session.RUNTIME_CONF): truncate to micros with
         # integer division (exact on int64; float division would lose
         # precision above 2^53) — same truncation DuckDB applies to ns.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread and _needs_spread(path):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

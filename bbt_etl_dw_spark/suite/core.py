@@ -48,7 +48,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary: filter → hash agg with partial
     (map-side) aggregation, 8 aggregates in one pass. SURVEY §2.4 A1/A4,
     §2.7 math (reference add_columns.py:87-93 TotalAmount semantics)."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", spread=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

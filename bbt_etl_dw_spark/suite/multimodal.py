@@ -67,7 +67,7 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch plumbing (schema contract, maxRecordsPerBatch sizing) is the real
     path a Pillow/ffmpeg decoder would run in. Rows-only check: the digest
     math is not SQL-expressible; determinism is pytest-asserted."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return decode_media(synth_media(docs), fake=True, batch_size=256).orderBy(
         "media_id"
     )

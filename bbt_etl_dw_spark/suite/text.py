@@ -46,7 +46,7 @@ def doc_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the md5 of normalized text, keeping the
     min-id representative. The shuffle key is a 32-char digest, never the
     document body — at 100TB the shuffle moves ~50 bytes/doc."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return exact_dup_groups(docs, "doc_id", "text").orderBy("fp")
 
 
@@ -62,7 +62,7 @@ FROM documents ORDER BY doc_id
 def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish pre-tokenizer regex
     (letter runs / digit runs / single punctuation). Narrow map stage."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         whitespace_token_count("text").alias("ws_tokens"),
@@ -100,7 +100,7 @@ FROM ratios ORDER BY doc_id
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / punctuation / stopword-ratio features and
     a composite score — the standard pre-training quality filter shape."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     feats = quality_features("text")
     return docs.select(
         "doc_id",
@@ -143,7 +143,7 @@ FROM scores ORDER BY doc_id
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID: per-language marker-word evidence counts, argmax with
     deterministic alphabetical tie-break, 'und' when no evidence."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     scores = lang_scores("text")
     return docs.select(
         "doc_id",
@@ -174,7 +174,7 @@ FROM sh ORDER BY doc_id
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-text md5 (exact dedup key) + minimum
     shingle-hash 'rolling' fingerprint (stable under small local edits)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         md5_fingerprint("text").alias("exact_fp"),
@@ -187,7 +187,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands) candidates -> exact n-gram-Jaccard
     verification >= 0.5. xxhash64 signature family is Spark-native (no SQL
     oracle); ground truth covered by pytest brute-force Jaccard tests."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return minhash_dedup_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
 
 
@@ -195,5 +195,5 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dups: 16-bit-chunk candidate buckets, Hamming
     distance <= 3 verify. Signature is a pure array-fold expression."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return simhash_near_dups(docs, "doc_id", "text").orderBy("id_a", "id_b")

@@ -41,7 +41,7 @@ FROM prods GROUP BY vec_id ORDER BY vec_id
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 norms of the embedding column — the array-fold primitive under
     all similarity ops, exact and oracle-checked."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     return emb.select(
         "vec_id",
         norm_expr(F.col("embedding").cast("array<double>")).alias("l2_norm"),
@@ -81,7 +81,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for 5 query vectors against the whole corpus:
     broadcast queries, per-pair array-fold cosine, partitioned rank window.
     The correctness baseline every ANN variant is measured against."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -93,7 +93,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH buckets (8 planes) with
     exact re-rank inside the bucket. Hash-derived hyperplanes are
     Spark-native => rows-only; recall vs brute force asserted in pytest."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -106,7 +106,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact-decimal Lloyd steps), corpus bucketed into inverted lists, each
     query probes its 4 nearest of 16 lists with exact cosine re-rank.
     Rows-only; recall vs brute force asserted in pytest."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -117,7 +117,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: 16-plane LSH buckets ->
     exact cosine >= 0.95 verify. The embedding-space analog of MinHash."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     return cosine_near_dups(emb, "vec_id", "embedding", threshold=0.95).orderBy(
         "id_a", "id_b"
     )
