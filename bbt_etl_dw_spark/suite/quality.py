@@ -60,3 +60,33 @@ def orders_anomaly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         AnomalyRule("unrealistic_amount", F.col("o_totalprice") > 400000),
     ]
     return anomaly_summary(o, rules)
+
+
+_VIOLATIONS_ORACLE = """
+SELECT o_orderkey AS id, 'o_totalprice' AS "column", 'below 400000' AS expected
+FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey AS id, 'o_orderpriority' AS "column", 'not urgent while open' AS expected
+FROM orders WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+ORDER BY id, "column"
+"""
+
+
+@register("orders_violations_table", oracle=_VIOLATIONS_ORACLE)
+def orders_violations_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit engine's 100TB output mode: rule violations emitted as a
+    TABLE (id, column, expected) instead of collect()ed ids — SURVEY §4
+    'per-rule filter+collect' fix. One narrow pass, array-of-structs
+    explode, nothing on the driver."""
+    from bbt_etl_dw_spark.operators.audit import AuditRule, violations
+
+    o = table(spark, sf_dir, "orders")
+    rules = [
+        AuditRule("o_totalprice", "below 400000", F.col("o_totalprice") > 400000),
+        AuditRule(
+            "o_orderpriority",
+            "not urgent while open",
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderpriority") == "1-URGENT"),
+        ),
+    ]
+    return violations(o, rules, "o_orderkey").orderBy("id", "column")
