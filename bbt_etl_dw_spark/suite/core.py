@@ -302,7 +302,7 @@ def composite_join_yearly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive-equi (composite-key) join — SURVEY §2.3 J2, the shape of
     the reference's sales⋈taxrate on (country, year) (sales_tax.py:60-67).
     The derived rate dim is tiny => broadcast; no extra shuffle of the fact."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", spread=True)
     rates = (
         li.groupBy("l_returnflag", F.year("l_shipdate").alias("ship_year"))
         .agg(davg("l_discount", "avg_disc_rate"))
