@@ -740,3 +740,21 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register("customer_cardinality_sketch", oracle=None)
+def customer_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct customers per order status beside
+    the exact count — the single-pass sketch path for 100TB cardinality
+    (exact count-distinct needs a full shuffle of the keys; the sketch is
+    mergeable map-side state). Rows-only: sketch estimates are
+    engine-specific; the relative-error bound is pytest-asserted."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .orderBy("o_orderstatus")
+    )

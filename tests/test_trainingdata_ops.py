@@ -171,3 +171,13 @@ def test_sample_frames(spark):
     df = spark.createDataFrame([(1, 25)], "video_id long, n_frames int")
     idx = [r["frame_index"] for r in sample_frames(df, every_n=10).collect()]
     assert idx == [0, 10, 20]
+
+
+def test_cardinality_sketch_error_bound(spark, sf_dir):
+    from bbt_etl_dw_spark.suite import load_all
+
+    rows = load_all()["customer_cardinality_sketch"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx_customers"] - r["exact_customers"]) / max(r["exact_customers"], 1)
+        assert rel_err < 0.1, f"{r['o_orderstatus']}: {rel_err}"
