@@ -93,3 +93,48 @@ def test_forward_fill_matches_bruteforce(spark, rows):
         if v is not None:
             last[k] = v
         assert got[i] == last.get(k), f"seq={i}"
+
+
+@given(
+    snapshots=st.lists(
+        st.lists(st.tuples(keys, vals), max_size=4, unique_by=lambda r: r[0]),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(**SETTINGS)
+def test_scd2_invariants(spark, snapshots):
+    """Replay arbitrary snapshot sequences through scd2_merge and check the
+    structural invariants: exactly one current row per live key, current
+    rows match the latest snapshot, expired rows are closed with an end
+    date, and history length equals the number of value changes."""
+    import datetime as dt
+
+    from bbt_etl_dw_spark.operators.scd2 import END, IS_CURRENT, scd2_init, scd2_merge
+
+    base = dt.date(2024, 1, 1)
+    dim = scd2_init(
+        spark.createDataFrame(snapshots[0] or [(99, 0)], "k long, v long"), base
+    )
+    seen = {k: v for k, v in (snapshots[0] or [(99, 0)])}
+    changes = dict(seen)
+    n_versions = len(seen)
+    for i, snap in enumerate(snapshots[1:], start=1):
+        incoming = spark.createDataFrame(snap or [(99, 0)], "k long, v long")
+        dim = scd2_merge(dim, incoming, ["k"], ["v"], base + dt.timedelta(days=i))
+        snap_d = dict(snap or [(99, 0)])
+        for k, v in snap_d.items():
+            if k not in changes or changes[k] != v:
+                n_versions += 1
+            changes[k] = v
+        # keys absent from the snapshot are expired (deleted)
+        changes = {k: v for k, v in changes.items() if k in snap_d}
+        rows = dim.collect()
+        cur = [r for r in rows if r[IS_CURRENT]]
+        # one current row per live key, values = latest snapshot
+        assert {r["k"]: r["v"] for r in cur} == snap_d
+        assert len(cur) == len(snap_d)
+        # every non-current row is properly closed
+        assert all(r[END] is not None for r in rows if not r[IS_CURRENT])
+        # full history: one row per (key, version-change)
+        assert len(rows) == n_versions
