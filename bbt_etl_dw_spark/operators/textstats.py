@@ -142,3 +142,25 @@ def rolling_fingerprint(text_col: str, k: int = 3) -> Column:
     reproduce it (hex strings order like the integers they encode)."""
     hashed = F.transform(shingles(text_col, k), lambda s: F.substring(F.md5(s), 1, 16))
     return F.array_min(hashed)
+
+
+def split_bucket(id_col: str, n_buckets: int = 100) -> Column:
+    """Deterministic [0, n_buckets) bucket from the md5 of the id — the
+    standard train/val/test splitter for training-data pipelines. md5 (not
+    xxhash) so ANY engine reproduces the assignment; stable under
+    repartitioning, appends, and reruns (unlike rand() or row position)."""
+    hex8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("long") % n_buckets).cast("int")
+
+
+def assign_split(
+    id_col: str, train: int = 80, valid: int = 10, n_buckets: int = 100
+) -> Column:
+    """'train' / 'valid' / 'test' label by hash bucket (train%, valid%,
+    remainder test)."""
+    b = split_bucket(id_col, n_buckets)
+    return (
+        F.when(b < train, "train")
+        .when(b < train + valid, "valid")
+        .otherwise("test")
+    )

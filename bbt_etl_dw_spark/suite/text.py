@@ -197,3 +197,35 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance <= 3 verify. Signature is a pure array-fold expression."""
     docs = table(spark, sf_dir, "documents", spread=True)
     return simhash_near_dups(docs, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+_SPLIT_ORACLE = """
+WITH bucketed AS (
+    SELECT doc_id,
+           CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_id
+FROM bucketed GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("doc_train_test_split", oracle=_SPLIT_ORACLE)
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by md5 hash bucket —
+    stable under repartitioning/appends/reruns (never rand() or row
+    position), reproducible by any engine (the oracle recomputes the same
+    md5 buckets in DuckDB)."""
+    from bbt_etl_dw_spark.operators.textstats import assign_split
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", assign_split("doc_id").alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))
+        .orderBy("split")
+    )

@@ -121,3 +121,23 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dups(emb, "vec_id", "embedding", threshold=0.95).orderBy(
         "id_a", "id_b"
     )
+
+
+@register("embedding_kmeans_clusters", oracle=None)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means clustering of the corpus (the IVF trainer used
+    directly as a clustering operator): hash-seeded centroids, 2
+    exact-decimal Lloyd steps, per-cluster sizes. Rows-only (xxhash seeds
+    are Spark-native); determinism follows from the exact-decimal means —
+    identical clusters at any parallelism."""
+    from bbt_etl_dw_spark.operators.similarity import assign_centroid, ivf_centroids
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    cents = ivf_centroids(emb, nlist=8, iters=2)
+    v = F.col("embedding").cast("array<double>")
+    return (
+        emb.select(assign_centroid(v, cents).alias("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster_id")
+    )
