@@ -1,0 +1,83 @@
+"""Physical-plan quality gates: the scale properties the engine promises
+(README "Scale design") asserted as regression tests, so a refactor that
+silently de-optimizes a plan fails CI, not a 100TB run.
+
+Checks the INITIAL physical plan (pre-AQE) — join strategy choices,
+filter pushdown into the parquet scan, and absence of cartesian /
+nested-loop joins across the whole suite."""
+
+import contextlib
+import io
+
+import pytest
+
+from bbt_etl_dw_spark.suite import load_all
+
+# crossJoin of the corpus against the tiny broadcast query set is the
+# intended brute-force baseline (BroadcastNestedLoopJoin by construction).
+NESTED_LOOP_OK = {"ann_bruteforce_topk"}
+
+
+def _plan(df) -> str:
+    # formatted explain keeps full scan detail (PushedFilters/ReadSchema);
+    # plan.toString() truncates long field lists
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, q in load_all().items():
+        out[name] = _plan(q.builder(spark, sf_dir))
+    return out
+
+
+def test_no_accidental_cartesian_or_nested_loop(plans):
+    bad = {
+        name: True
+        for name, plan in plans.items()
+        if name not in NESTED_LOOP_OK
+        and ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan)
+    }
+    assert not bad, f"nested-loop/cartesian joins leaked into: {sorted(bad)}"
+
+
+def test_pricing_summary_pushdown_and_pruning(plans):
+    plan = plans["pricing_summary"]
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 16-column lineitem scan reads only the 7 needed
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read_schema.count(":") <= 8, read_schema
+
+
+def test_star_joins_broadcast(plans):
+    assert plans["sales_by_region"].count("BroadcastHashJoin") >= 4
+    assert plans["star_fact_assembly"].count("BroadcastHashJoin") >= 3
+
+
+def test_aggregations_are_partial_then_final(plans):
+    # partial (map-side) aggregation before the exchange — two HashAggregate
+    # nodes around one shuffle for the flat-group queries
+    for name in ("pricing_summary", "customer_order_totals", "events_tumbling_hourly"):
+        plan = plans[name]
+        assert plan.count("HashAggregate") >= 2, name
+        assert "partial_" in plan, name
+
+
+def test_anti_join_is_native(plans):
+    assert "LeftAnti" in plans["inactive_parts_anti_join"]
+
+
+def test_windows_are_partitioned(plans):
+    # the engine's windows carry partitionBy keys; a global window shows up
+    # as an Exchange SinglePartition feeding a Window/Sort
+    for name in ("top_customers_per_segment", "forward_fill_values",
+                 "events_running_user_totals"):
+        plan = plans[name]
+        window_feeds = [
+            l for l in plan.splitlines() if "SinglePartition" in l
+        ]
+        assert not window_feeds, f"{name}: {window_feeds}"
