@@ -34,14 +34,22 @@ def interval_join(
     lower_s: int,
     upper_s: int,
     how: str = "inner",
+    left_id: str | None = None,
 ) -> DataFrame:
     """Bucketed interval join; ``lower_s``/``upper_s`` are second offsets
     (e.g. (-3600, 0) = right events in the hour before each left event).
-    Column names must be disjoint apart from ``by``."""
+    Column names must be disjoint apart from ``by``.
+
+    ``how='left'`` additionally keeps unmatched left rows (null right
+    columns) and requires ``left_id``, a unique left key: the bucket
+    fan-out means a plain left join would emit one null row PER probed
+    bucket, so unmatched rows are recovered with an anti join instead."""
     if upper_s < lower_s:
         raise ValueError("upper_s must be >= lower_s")
-    if how != "inner":
-        raise NotImplementedError("interval_join currently supports inner joins")
+    if how not in ("inner", "left"):
+        raise NotImplementedError("interval_join supports inner and left joins")
+    if how == "left" and left_id is None:
+        raise ValueError("how='left' requires left_id (a unique left key column)")
     by = list(by)
     # microsecond precision end-to-end: unix_timestamp would truncate to
     # seconds and disagree with interval arithmetic on boundary rows
@@ -66,8 +74,15 @@ def interval_join(
     joined = l_bucketed.join(r_bucketed, [*by, "_bucket"], "inner").filter(
         (F.unix_micros(F.col(right_ts)) >= F.unix_micros(F.col(left_ts)) + F.lit(lower_us))
         & (F.unix_micros(F.col(right_ts)) <= F.unix_micros(F.col(left_ts)) + F.lit(upper_us))
+    ).drop("_bucket")
+    if how == "inner":
+        return joined
+    unmatched = left.join(
+        joined.select(left_id).distinct(), left_id, "left_anti"
+    ).withColumns(
+        {c: F.lit(None).cast(right.schema[c].dataType) for c in right.columns if c not in by}
     )
-    return joined.drop("_bucket")
+    return joined.unionByName(unmatched.select(joined.columns))
 
 
 def stream_interval_join(

@@ -758,3 +758,23 @@ def customer_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "global_top_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+)
+def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    each partition keeps its local top 20 and only k rows per partition
+    reach the driver-side merge; the full sort never happens. The scalable
+    form of 'give me the biggest N' at any table size."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )

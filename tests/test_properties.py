@@ -75,6 +75,18 @@ def test_interval_join_matches_bruteforce(spark, left, right, bounds):
     }
     assert got == want
 
+    got_left = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            ldf, rdf, ["k"], "lt", "rt", lo, hi, how="left", left_id="lid"
+        ).collect()
+    }
+    matched_lids = {i for i, _ in want}
+    want_left = want | {
+        (i, None) for i in range(len(left)) if i not in matched_lids
+    }
+    assert got_left == want_left
+
 
 @given(
     rows=st.lists(
