@@ -180,6 +180,34 @@ def test_stream_stream_interval_join_equals_batch(spark, events_batch, chunked_d
     assert len(want) > 0
 
 
+def test_foreachbatch_partitioned_sink(spark, events_batch, chunked_dir, tmp_path):
+    """foreachBatch append-mode restatement: finalized windows land in
+    window-partitioned parquet, each complete and exactly-once; every row
+    must equal the batch computation."""
+    from bbt_etl_dw_spark.streaming.sink import stream_to_partitioned_parquet
+
+    out = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_file_stream(spark, chunked_dir)
+    q = stream_to_partitioned_parquet(
+        tumbling_event_stats(stream, "1 hour", watermark="2 hours"), out, ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_df = spark.read.parquet(out)
+    cols = ["window_end", "event_type", "n_events", "total_value"]
+    got = {tuple(r[c] for c in cols) for r in got_df.collect()}
+    want = {
+        tuple(r[c] for c in cols)
+        for r in tumbling_event_stats(events_batch, "1 hour").collect()
+    }
+    assert got <= want  # every emitted window is complete & correct
+    assert len(got) > 0.5 * len(want)  # all but the watermark tail emitted
+
+
 def test_stateful_running_totals_final_state(spark, events_batch, chunked_dir):
     stream = events_file_stream(spark, chunked_dir)
     got = _run_stream(
