@@ -207,6 +207,65 @@ def jaccard_verify(
     return out
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard via a shingle inverted index: explode
+    word k-shingles, self-join on the shingle (the only wide shuffle, and
+    its two sides are the identical subplan — one exchange, reused), count
+    shared shingles per pair, finish with |A∩B| / (|A|+|B|-|A∩B|).
+
+    Set sizes ride the exploded rows (``size(shs)`` computed before the
+    explode) and are recovered with ``first`` in the pair aggregation — no
+    extra join against a per-doc sizes table.
+
+    Scale: exact all-pairs is the ground-truth/audit path. A stop-gram
+    shared by f docs fans out O(f²) pairs; ``max_shingle_df`` drops
+    shingles with document frequency above the cap (standard in web-dedup
+    pipelines — frequent shingles carry ~no Jaccard signal but all the
+    skew). The production path at 100TB composes :func:`minhash_candidates`
+    -> :func:`jaccard_verify` instead; this operator is its oracle."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col, shingle_k).alias("shs")
+    ).select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("sh"))
+    if max_shingle_df is not None:
+        w = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
+        )
+    )
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,

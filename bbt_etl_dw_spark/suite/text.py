@@ -13,6 +13,7 @@ from bbt_etl_dw_spark.catalog import table
 from bbt_etl_dw_spark.operators.dedup import (
     exact_dup_groups,
     minhash_dedup_pairs,
+    ngram_jaccard_pairs,
     simhash_near_dups,
 )
 from bbt_etl_dw_spark.operators.textstats import (
@@ -189,6 +190,44 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle); ground truth covered by pytest brute-force Jaccard tests."""
     docs = table(spark, sf_dir, "documents", spread=True)
     return minhash_dedup_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+_NGRAM_JACCARD_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+sh_list AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                                  FOR i IN generate_series(1, len(ws)-2)])
+              ELSE [norm] END AS shs
+  FROM w
+),
+sh AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh_list),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS inter, any_value(a.n) AS n_a, any_value(b.n) AS n_b
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard
+FROM pairs
+WHERE inter / (n_a + n_b - inter) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@register("doc_ngram_jaccard_pairs", oracle=_NGRAM_JACCARD_ORACLE)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard >= 0.5 via a shingle inverted
+    index (one self-join shuffle on the shingle, exchange reused). The
+    value-checked ground truth for the MinHash-LSH approximate path."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    return ngram_jaccard_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
 
 
 @register("simhash_near_dup_pairs", oracle=None)

@@ -13,6 +13,7 @@ from bbt_etl_dw_spark.operators.dedup import (
     jaccard_verify,
     minhash_candidates,
     minhash_dedup_pairs,
+    ngram_jaccard_pairs,
     simhash_near_dups,
 )
 from bbt_etl_dw_spark.operators.multimodal import decode_media, media_stats, sample_frames
@@ -78,6 +79,31 @@ def test_minhash_pipeline_matches_bruteforce(spark, docs):
         assert r["jaccard"] == pytest.approx(
             _python_jaccard(rows[r["id_a"]], rows[r["id_b"]])
         )
+
+
+def test_ngram_jaccard_exact_allpairs(spark, docs):
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    truth = {
+        (a, b): _python_jaccard(rows[a], rows[b])
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if _python_jaccard(rows[a], rows[b]) >= 0.5
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert set(got) == set(truth)
+    for pair, j in got.items():
+        assert j == pytest.approx(truth[pair])
+
+    # df-capped variant only ever drops pairs, never invents them
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_shingle_df=2
+        ).collect()
+    }
+    assert capped <= set(got)
 
 
 def test_simhash_near_dups(spark, docs):
