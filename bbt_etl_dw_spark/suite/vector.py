@@ -123,6 +123,42 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXACT_PAIRS_ORACLE = f"""
+WITH prods AS (
+    SELECT vec_id, UNNEST(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS p
+    FROM embeddings
+), norms AS (
+    SELECT vec_id, sqrt({_DOT_SQL}) AS nrm FROM prods GROUP BY vec_id
+), pairprods AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           UNNEST(list_transform(range(1, len(a.embedding) + 1),
+                                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS p
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+), dots AS (
+    SELECT id_a, id_b, {_DOT_SQL} AS dot FROM pairprods GROUP BY id_a, id_b
+)
+SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+@register("embedding_cosine_exact_pairs", oracle=_EXACT_PAIRS_ORACLE)
+def embedding_cosine_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine >= 0.4 (the testdata corpus has no pairs
+    above 0.52, so the near-dup 0.95 threshold would be vacuous) — the
+    value-checked ground truth under every approximate similarity path."""
+    from bbt_etl_dw_spark.operators.similarity import exact_cosine_pairs
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    return exact_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @register("embedding_kmeans_clusters", oracle=None)
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means clustering of the corpus (the IVF trainer used

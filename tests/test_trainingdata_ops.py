@@ -168,6 +168,31 @@ def test_cosine_near_dups_self_similarity(spark):
     assert (0, 1) in pairs and (0, 2) not in pairs
 
 
+def test_exact_cosine_pairs_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from bbt_etl_dw_spark.catalog import table
+    from bbt_etl_dw_spark.operators.similarity import exact_cosine_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in exact_cosine_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    truth = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+            if c >= 0.4:
+                truth[(a, b)] = c
+    assert set(got) == set(truth)
+    for pair, c in got.items():
+        assert c == pytest.approx(truth[pair], abs=1e-12)
+
+
 def test_multimodal_decode_plumbing(spark):
     rows = [
         (1, "image", bytearray(b"\x89PNG fake bytes"), "image/png", "s3://x/1.png"),
