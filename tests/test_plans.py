@@ -15,7 +15,9 @@ from bbt_etl_dw_spark.suite import load_all
 
 # crossJoin of the corpus against the tiny broadcast query set is the
 # intended brute-force baseline (BroadcastNestedLoopJoin by construction).
-NESTED_LOOP_OK = {"ann_bruteforce_topk"}
+# intentionally brute-force ground-truth paths: all-pairs/all-queries scoring
+# is the semantics, so a broadcast nested-loop is the right physical plan
+NESTED_LOOP_OK = {"ann_bruteforce_topk", "embedding_cosine_exact_pairs"}
 
 
 def _plan(df) -> str:
