@@ -71,7 +71,17 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col(_SIDE).asc(), *value_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumns(
-        {c: F.last(c, ignorenulls=True).over(w) for c in value_cols}
+    # Carry the whole right row forward ATOMICALLY: filling each value
+    # column independently with last(ignorenulls) would mix columns from
+    # different right rows whenever a right value is NULL (row-wise ASOF
+    # semantics require the matched row as a unit). A single struct is
+    # non-null exactly for right rows, so one forward-fill moves the row.
+    vals = "__asof_vals"
+    filled = (
+        unioned.withColumn(
+            vals, F.when(F.col(_SIDE) == 0, F.struct(*[F.col(c) for c in value_cols]))
+        )
+        .withColumn(vals, F.last(vals, ignorenulls=True).over(w))
+        .withColumns({c: F.col(vals).getField(c) for c in value_cols})
     )
-    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE, vals)

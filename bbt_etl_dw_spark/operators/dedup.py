@@ -240,6 +240,12 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_shingle_df)
             .drop("_df")
         )
+        # Recompute set sizes over the SURVIVING shingles so the ratio stays
+        # an exact Jaccard within the capped shingle universe. Keeping the
+        # pre-filter sizes would count dropped high-DF shingles in n_a/n_b
+        # but never in the intersection, biasing jaccard low near the
+        # threshold. One extra window shuffle on doc_id — audit path only.
+        sh = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(
@@ -388,28 +394,54 @@ def cosine_near_dups(
     vec_col: str,
     threshold: float = 0.95,
     planes: int = 16,
+    tables: int = 4,
 ) -> DataFrame:
-    """Random-hyperplane LSH buckets -> exact cosine verify on candidates.
-    Hyperplane signs are derived from xxhash64(plane, dim) — deterministic,
-    no stored model. One bucket-join shuffle."""
+    """Multi-table random-hyperplane LSH buckets -> exact cosine verify on
+    candidates. Hyperplane signs are derived from xxhash64(seed, plane, dim)
+    — deterministic, no stored model; each of ``tables`` seeds yields an
+    independent hyperplane family (same machinery as similarity.lsh_topk).
+
+    Recall for a pair at angle θ is 1-(1-p^planes)^tables with
+    p = 1-θ/π: ``tables`` drives recall up, ``planes`` drives candidate
+    volume down. Size planes to the threshold — the 0.95-cosine default
+    (θ≈18°, p≈0.90) supports planes=16; a LOW threshold like 0.45 (p≈0.65)
+    needs planes≈4 or recall collapses (p^16≈1e-3) — at low thresholds LSH
+    prunes weakly because most of the sphere is within θ. One explode
+    (tables× fan-out of ids, vectors stay put until the verify) and one
+    shuffle on (table, bucket)."""
     from bbt_etl_dw_spark.operators.similarity import cosine_expr, hyperplane_signature
 
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    v = F.col(vec_col).cast("array<double>")
+    fams = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_signature(v, planes, seed=t).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
     )
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"), v.alias("v"), F.explode(fams).alias("s")
+    ).select("doc_id", "v", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        # collide in >=1 table => verify once
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -54,7 +54,13 @@ def scd2_merge(
     via ``tracked_cols``; any difference creates a new version.
     """
     key = list(natural_key)
-    chash = F.xxhash64(*[F.col(c) for c in tracked_cols])
+    # Null-safe change hash: Spark hash functions pass the seed through
+    # unchanged for NULL inputs, so xxhash64('a', NULL) == xxhash64(NULL, 'a')
+    # and a value moving between two nullable columns would be missed.
+    # Encode each column as a non-null string with a NULL sentinel first.
+    chash = F.xxhash64(
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>")) for c in tracked_cols]
+    )
 
     cur = current.withColumn("__h", chash)
     inc = incoming.withColumn("__h", chash)

@@ -36,6 +36,10 @@ def salted_join(
     rand-free row fingerprint), salt). The small side is exploded
     ``salt``x (bounded: dims only).
     """
+    if how not in ("inner", "left"):
+        # Replicating the small side `salt` times duplicates its unmatched
+        # rows under right/full outer joins — only inner/left are correct.
+        raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
     salt_col = F.pmod(
         F.xxhash64(*[F.col(c) for c in on], F.spark_partition_id(), F.monotonically_increasing_id()),
         F.lit(salt),

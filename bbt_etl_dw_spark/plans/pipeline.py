@@ -75,7 +75,7 @@ def default_sales_config(date_col: str, country_col: str) -> CleaningConfig:
     return CleaningConfig(
         money_cols=("UnitPrice", "Freight"),
         quantity_cols=("Quantity",),
-        fill_quantity=("Discount",),
+        fill_money=("Discount",),
         country_cols=(country_col,),
         date_cols=(date_col,),
     )

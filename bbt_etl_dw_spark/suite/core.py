@@ -253,7 +253,7 @@ def client_value_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_numeric_extract",
     oracle="""
 SELECT event_type,
-       SUM(TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS sum_k,
+       CAST(SUM(TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(CASE WHEN TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) IS NULL THEN 1 END) AS n_unparseable
 FROM events GROUP BY event_type ORDER BY event_type
 """,
@@ -716,7 +716,7 @@ def order_stats_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_props_json",
     oracle="""
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(json_extract_string(props, '$.k')) AS n_with_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k

@@ -115,12 +115,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_cosine_near_dups", oracle=None)
 def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: 16-plane LSH buckets ->
-    exact cosine >= 0.95 verify. The embedding-space analog of MinHash."""
+    """Embedding-cosine near-duplicate pairs: multi-table hyperplane LSH
+    buckets -> exact cosine verify. The embedding-space analog of MinHash.
+    Threshold 0.45 because this corpus's max off-diagonal cosine is ~0.52 —
+    a 0.95 threshold would be vacuously empty and prove nothing. At 0.45
+    (p≈0.65 per plane) the family must be shallow-and-wide: 4 planes x 16
+    tables => per-pair recall ≈ 1-(1-0.65^4)^16 ≈ 0.95 at the threshold
+    (higher above it); pytest asserts recall vs the exact all-pairs oracle."""
     emb = table(spark, sf_dir, "embeddings", spread=True)
-    return cosine_near_dups(emb, "vec_id", "embedding", threshold=0.95).orderBy(
-        "id_a", "id_b"
-    )
+    return cosine_near_dups(
+        emb, "vec_id", "embedding", threshold=0.45, planes=4, tables=16
+    ).orderBy("id_a", "id_b")
 
 
 _EXACT_PAIRS_ORACLE = f"""

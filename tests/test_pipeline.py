@@ -19,6 +19,7 @@ def raw(spark):
         (2, "ANATR", "12/25/23", "-65.83", "UK", 2, "9a.99", "0", None),
         (3, "BERGS", "2022-03-05", "5.25", "Germani#", 3, "15.0", "-4", 0.25),
         (3, "BERGS", "2022-03-05", "5.25", "Germani#", 3, "15.0", "-4", 0.25),
+        (4, "FRANK", "1/15/23", "3.00", "Germany", 4, "-5", "2", 0.0),
     ]
     return spark.createDataFrame(
         rows,
@@ -58,13 +59,14 @@ def test_audit_drives_cleaning(result):
     assert result.report.duplicate_columns == {"OrderID": ["OrderID0", "OrderID14"]}
     assert result.report.duplicate_rows == 1
     rows = {r["OrderID"]: r for r in result.cleaned.collect()}
-    assert len(rows) == 3  # dup row dropped, dup column merged+renamed
+    assert len(rows) == 4  # dup row dropped, dup column merged+renamed
     assert rows[1]["OrderDate"] == datetime.date(2022, 7, 4)  # M/d/yy pivot
     assert rows[2]["UnitPrice"] == 9.99  # letter-contaminated strip-cast
     assert rows[2]["Freight"] == 0.0  # negative money clamped
     assert rows[3]["Quantity"] == 1  # non-positive -> 1
-    assert rows[2]["Discount"] == 1.0  # null filled by policy
+    assert rows[2]["Discount"] == 0.0  # null filled 0.0 (data_cleaning.py policy)
     assert rows[3]["ShipCountry"] == "Unknown"  # charset repair
+    assert rows[4]["UnitPrice"] == 0.0  # negative money clamped
 
 
 def test_enrichment_tax_and_asof_rates(result):
@@ -84,12 +86,14 @@ def test_enrichment_tax_and_asof_rates(result):
 
 def test_anomaly_outputs(result):
     counts = {r["anomaly_type"]: r["n_anomalies"] for r in result.anomalies.collect()}
-    # order 2: qty clamped to 1 but price 9.99 -> positive; discount filled
-    # to 1.0 -> TotalAmount 0 -> non_positive; freight was clamped so no
-    # negative_freight rows survive cleaning
+    # order 2: qty clamped to 1, price 9.99, null discount filled 0.0 ->
+    # TotalAmount 9.99, NOT an anomaly (a missing discount must not zero
+    # revenue). Order 4's negative price clamps to 0.0 -> TotalAmount 0 ->
+    # non_positive. Freight was clamped so no negative_freight rows survive.
     assert counts == {"non_positive_amount": 1}
     flagged = {r["OrderID"]: r["anomaly_type"] for r in result.flagged.collect()}
-    assert flagged[2] == "non_positive_amount"
+    assert flagged[4] == "non_positive_amount"
+    assert flagged[2] is None
     assert flagged[1] is None
 
 

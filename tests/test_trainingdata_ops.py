@@ -168,6 +168,29 @@ def test_cosine_near_dups_self_similarity(spark):
     assert (0, 1) in pairs and (0, 2) not in pairs
 
 
+def test_cosine_near_dup_recall(spark, sf_dir):
+    from bbt_etl_dw_spark.catalog import table
+    from bbt_etl_dw_spark.operators.similarity import exact_cosine_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    # Non-vacuous threshold for this corpus (max off-diagonal cosine ~0.52);
+    # shallow-and-wide family (4 planes x 16 tables) because p(0.45)≈0.65.
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in exact_cosine_pairs(emb, "vec_id", "embedding", 0.45).collect()
+    }
+    assert truth, "0.45 threshold vacuous on this corpus — test proves nothing"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dups(
+            emb, "vec_id", "embedding", threshold=0.45, planes=4, tables=16
+        ).collect()
+    }
+    assert got <= truth  # exact verify stage -> no false positives
+    recall = len(got) / len(truth)
+    assert recall >= 0.9, f"cosine LSH recall {recall} below target"
+
+
 def test_exact_cosine_pairs_matches_numpy(spark, sf_dir):
     import numpy as np
 
