@@ -7,8 +7,11 @@ silently drops fact rows through inner joins, map_cols.py:228-265; we
 count or preserve them explicitly).
 
 Key choices vs the reference (SURVEY §4):
-- surrogate keys are deterministic (ordered row_number at dim scale,
-  xxhash64 at fact scale) instead of monotonically_increasing_id
+- surrogate keys are deterministic ``hash_key`` (xxhash64 of the natural
+  key) instead of monotonically_increasing_id — shuffle-free, stable under
+  any partitioning, no single-partition window anywhere in the fact plan
+  (``ordered_key`` remains only in the explicit ``nation_ordered_ids``
+  reference-parity query)
 - calendar keys are yyyymmdd ints => fact rows join the calendar without
   any shuffle (pure expression), and partition pruning by key range works
 - dims are broadcast into the fact join (bounded size by definition)
@@ -21,7 +24,7 @@ from pyspark.sql import functions as F
 
 from bbt_etl_dw_spark.catalog import table
 from bbt_etl_dw_spark.operators.enrich import client_value, product_status
-from bbt_etl_dw_spark.operators.surrogate import ordered_key
+from bbt_etl_dw_spark.operators.surrogate import hash_key
 
 
 def date_key(col) -> F.Column:
@@ -51,7 +54,7 @@ def dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base = base.withColumn("client_value", client_value(F.col("c_acctbal"), 7500.0, 2500.0))
-    return ordered_key(base, ["c_custkey"], "customer_key")
+    return hash_key(base, ["c_custkey"], "customer_key")
 
 
 def dim_part(spark: SparkSession, sf_dir: str, asof: str = "2001-11-04") -> DataFrame:
@@ -68,7 +71,7 @@ def dim_part(spark: SparkSession, sf_dir: str, asof: str = "2001-11-04") -> Data
             product_status(F.col("last_sold"), F.to_date(F.lit(asof))),
         )
     )
-    return ordered_key(base, ["p_partkey"], "part_key")
+    return hash_key(base, ["p_partkey"], "part_key")
 
 
 def dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,7 +82,7 @@ def dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
     )
-    return ordered_key(base, ["s_suppkey"], "supplier_key")
+    return hash_key(base, ["s_suppkey"], "supplier_key")
 
 
 def dim_calendar(spark: SparkSession, start: str = "1995-01-01", end: str = "2001-12-31") -> DataFrame:
@@ -112,7 +115,10 @@ def fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = F.broadcast(dim_supplier(spark, sf_dir).select("s_suppkey", "supplier_key"))
 
     orders_keyed = o.join(cust, o.o_custkey == cust.c_custkey, "left").select(
-        "o_orderkey", "customer_key", "o_orderdate"
+        "o_orderkey",
+        "customer_key",
+        F.col("c_custkey").alias("customer_id"),
+        "o_orderdate",
     )
     return (
         li.join(orders_keyed, li.l_orderkey == orders_keyed.o_orderkey, "left")
@@ -121,9 +127,16 @@ def fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_orderkey").alias("order_key"),
             F.col("l_linenumber").alias("line_number"),
+            # hash surrogate key + the dim-sourced natural id: the id is
+            # NULL exactly when the dim row was missing (RI accounting),
+            # and lets SQL oracles verify the join topology (xxhash64 is
+            # Spark-specific; key==xxhash64(id) is pytest-asserted).
             "customer_key",
+            "customer_id",
             "part_key",
+            F.col("p_partkey").alias("part_id"),
             "supplier_key",
+            F.col("s_suppkey").alias("supplier_id"),
             date_key("l_shipdate").alias("ship_calendar_key"),
             date_key("o_orderdate").alias("order_calendar_key"),
             F.col("l_quantity").alias("quantity"),

@@ -60,17 +60,50 @@ def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(synth_media(docs))
 
 
-@register("media_decode_features", oracle=None)
+# The fake codec is sha256(payload): width/height from digest bytes 0-1,
+# 8-dim feature from bytes 2-9 (operators/multimodal._make_fake_decode).
+# DuckDB's sha256(VARCHAR) hashes the UTF-8 bytes — exactly the payload
+# (= encode(text)) — so the digest math IS SQL-expressible: hex-pair ->
+# int via the 0x cast. Features are float32 on both sides (Python double
+# /255.0 rounded to FloatType by Arrow == DuckDB (x/255.0)::FLOAT).
+def _digest_byte(i: int) -> str:
+    return f"CAST(('0x' || substr(h, {2 * i + 1}, 2)) AS INT)"
+
+
+_DECODE_ORACLE = f"""
+WITH media AS (
+    SELECT doc_id AS media_id, {_KIND_SQL} AS kind,
+           sha256(text) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+)
+SELECT media_id, kind,
+       64 + {_digest_byte(0)} % 192 AS width,
+       64 + {_digest_byte(1)} % 192 AS height,
+       n_bytes,
+       {", ".join(f"({_digest_byte(2 + j)} / 255.0)::FLOAT AS f{j}" for j in range(8))}
+FROM media ORDER BY media_id
+"""
+
+
+@register("media_decode_features", oracle=_DECODE_ORACLE)
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode -> (dims, n_bytes, 8-dim feature).
     Deterministic fake codec (sha256 of payload) in this environment; the
     batch plumbing (schema contract, maxRecordsPerBatch sizing) is the real
-    path a Pillow/ffmpeg decoder would run in. Rows-only check: the digest
-    math is not SQL-expressible; determinism is pytest-asserted."""
+    path a Pillow/ffmpeg decoder would run in. The feature vector is
+    projected to scalar columns f0..f7 so the driver's value-hash sees
+    plain floats."""
     docs = table(spark, sf_dir, "documents", spread=True)
-    return decode_media(synth_media(docs), fake=True, batch_size=256).orderBy(
-        "media_id"
-    )
+    decoded = decode_media(synth_media(docs), fake=True, batch_size=256)
+    return decoded.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_bytes",
+        *[F.col("feature")[j].alias(f"f{j}") for j in range(8)],
+    ).orderBy("media_id")
 
 
 _FRAMES_ORACLE = """

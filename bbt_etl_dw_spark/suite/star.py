@@ -15,19 +15,20 @@ from bbt_etl_dw_spark.operators.scd2 import scd2_init, scd2_merge
 from bbt_etl_dw_spark.plans.star import fact_sales
 from bbt_etl_dw_spark.suite import register
 
+# The fact's surrogate keys are xxhash64(natural key) — Spark-specific, so
+# the oracle verifies the join topology through the dim-sourced natural ids
+# (NULL exactly when the dim row is missing; dim_c reproduces dim_customer's
+# inner nation/region enrichment joins). key == xxhash64(id) is asserted in
+# tests/test_plans.py.
 _FACT_ORACLE = """
 WITH dim_c AS (
-    SELECT c_custkey, CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_key
-    FROM customer
-), dim_p AS (
-    SELECT p_partkey, CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS BIGINT) AS part_key
-    FROM part
-), dim_s AS (
-    SELECT s_suppkey, CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS BIGINT) AS supplier_key
-    FROM supplier
+    SELECT c_custkey FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
 )
 SELECT l.l_orderkey AS order_key, l.l_linenumber AS line_number,
-       c.customer_key, p.part_key, s.supplier_key,
+       c.c_custkey AS customer_id, p.p_partkey AS part_id,
+       s.s_suppkey AS supplier_id,
        CAST(EXTRACT(year FROM l.l_shipdate)*10000 + EXTRACT(month FROM l.l_shipdate)*100
             + EXTRACT(day FROM l.l_shipdate) AS BIGINT) AS ship_calendar_key,
        CAST(EXTRACT(year FROM o.o_orderdate)*10000 + EXTRACT(month FROM o.o_orderdate)*100
@@ -38,8 +39,10 @@ SELECT l.l_orderkey AS order_key, l.l_linenumber AS line_number,
 FROM lineitem l
 LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
 LEFT JOIN dim_c c ON o.o_custkey = c.c_custkey
-LEFT JOIN dim_p p ON l.l_partkey = p.p_partkey
-LEFT JOIN dim_s s ON l.l_suppkey = s.s_suppkey
+LEFT JOIN (SELECT s_suppkey FROM supplier s
+           JOIN nation n ON s.s_nationkey = n.n_nationkey) s
+       ON l.l_suppkey = s.s_suppkey
+LEFT JOIN part p ON l.l_partkey = p.p_partkey
 ORDER BY order_key, line_number
 """
 
@@ -48,9 +51,15 @@ ORDER BY order_key, line_number
 def star_fact_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full fact assembly with deterministic surrogate keys — SURVEY §2.3 J8
     (reference map_cols.py:228-282), with left joins + explicit null keys
-    instead of silent inner-join row loss. Dims broadcast; calendar keys
-    resolve as pure expressions (no join, no shuffle)."""
-    return fact_sales(spark, sf_dir).orderBy("order_key", "line_number")
+    instead of silent inner-join row loss. Dims broadcast and keyed by
+    xxhash64 of the natural key (no single-partition window anywhere in the
+    plan); calendar keys resolve as pure expressions (no join, no shuffle).
+    The oracle compares the xxhash64-free projection (see _FACT_ORACLE)."""
+    return (
+        fact_sales(spark, sf_dir)
+        .drop("customer_key", "part_key", "supplier_key")
+        .orderBy("order_key", "line_number")
+    )
 
 
 _CLIENT_VALUE_KPI_ORACLE = f"""

@@ -83,3 +83,31 @@ def test_windows_are_partitioned(plans):
             l for l in plan.splitlines() if "SinglePartition" in l
         ]
         assert not window_feeds, f"{name}: {window_feeds}"
+
+
+def test_fact_plan_has_no_single_partition_exchange(spark, sf_dir):
+    # hash_key dims: nothing in the fact assembly may funnel through one
+    # partition (the ordered_key regression VERDICT r01 flagged). The suite
+    # query sorts for the oracle compare, so inspect fact_sales itself.
+    from bbt_etl_dw_spark.plans.star import fact_sales
+
+    plan = _plan(fact_sales(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_fact_hash_keys_match_natural_ids(spark, sf_dir):
+    # the oracle can't compute xxhash64 — assert key == xxhash64(id) here
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.plans.star import fact_sales
+
+    fact = fact_sales(spark, sf_dir)
+    bad = fact.filter(
+        ~(
+            F.col("customer_key").eqNullSafe(F.xxhash64("customer_id"))
+            & F.col("part_key").eqNullSafe(F.xxhash64("part_id"))
+            & F.col("supplier_key").eqNullSafe(F.xxhash64("supplier_id"))
+        )
+    ).count()
+    assert bad == 0
