@@ -37,22 +37,26 @@ STRIP_NON_NUMERIC = r"[^0-9.\-]"
 DATE_FORMATS = ("M/d/yy", "M/d/yyyy", "yyyy-MM-dd")
 
 
-def strip_cast_float(col: str, default: float = 0.0, clamp_negative: bool = True) -> Column:
+def strip_cast_float(col: str, default: float = 0.0, clamp_negative: bool = True,
+                     strip: str = STRIP_NON_NUMERIC) -> Column:
     """Reference U1 float variant as a pure expression: strip junk chars,
-    cast, default, clamp negatives to 0.0."""
-    c = F.regexp_replace(F.col(col).cast("string"), STRIP_NON_NUMERIC, "").try_cast("double")
+    cast, default, clamp negatives to 0.0. ``strip`` defaults to keeping
+    the sign; pass ``r"[^0-9.]"`` for the reference's sign-dropping strip
+    (data_cleaning.py:54 — '-25' becomes '25')."""
+    c = F.regexp_replace(F.col(col).cast("string"), strip, "").try_cast("double")
     c = F.coalesce(c, F.lit(default))
     if clamp_negative:
         c = F.when(c < 0, F.lit(0.0)).otherwise(c)
     return c
 
 
-def strip_cast_int(col: str, default: int = 0, clamp_non_positive_to: int | None = 1) -> Column:
+def strip_cast_int(col: str, default: int = 0, clamp_non_positive_to: int | None = 1,
+                   strip: str = STRIP_NON_NUMERIC) -> Column:
     """Reference U1 int variant: strip, cast, default, non-positive -> 1.
     Goes through double first: int("12.5") truncates toward zero like the
     reference's int(float(x)) (try_cast straight to long nulls on "12.5")."""
     c = (
-        F.regexp_replace(F.col(col).cast("string"), STRIP_NON_NUMERIC, "")
+        F.regexp_replace(F.col(col).cast("string"), strip, "")
         .try_cast("double")
         .try_cast("long")
     )
@@ -97,6 +101,7 @@ class CleaningConfig:
     non_empty_cols: Sequence[str] = ()   # empty -> "Unknown"
     date_cols: Sequence[str] = ()        # multi-format parse -> DateType
     date_formats: Sequence[str] = DATE_FORMATS
+    strip_regex: str = STRIP_NON_NUMERIC  # junk-strip charset for numeric fixes
 
 
 @dataclass
@@ -150,10 +155,10 @@ class CleaningPlan:
         exprs: dict[str, Column] = {}
         for c in cfg.money_cols:
             if c in df.columns:
-                exprs[c] = strip_cast_float(c)
+                exprs[c] = strip_cast_float(c, strip=cfg.strip_regex)
         for c in cfg.quantity_cols:
             if c in df.columns:
-                exprs[c] = strip_cast_int(c)
+                exprs[c] = strip_cast_int(c, strip=cfg.strip_regex)
         for c in cfg.phone_cols:
             if c in df.columns:
                 exprs[c] = repair_charset(c, r"^[0-9.()\- ]*$")

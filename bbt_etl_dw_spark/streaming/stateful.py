@@ -23,7 +23,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from bbt_etl_dw_spark.functions.numeric import dsum
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
-STATE_SCHEMA = "n long, total double"
+# total is a decimal digit string, NOT a double: state accumulates exactly
+# (same discipline as functions/numeric.dsum) so the stream's final row is
+# bit-identical to the batch twin regardless of batch boundaries or
+# accumulation order — not merely close within float tolerance.
+STATE_SCHEMA = "n long, total string"
 
 
 def _make_update_user_totals():
@@ -32,15 +36,22 @@ def _make_update_user_totals():
     def update_user_totals(
         key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import decimal
+
         import pandas as _pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_s = state.get if state.exists else (0, "0")
+        # Decimal(repr(double)) is the shortest-repr string->decimal hop
+        # dsum uses; summing Decimals is exact. Python's float(Decimal) is
+        # correctly rounded, matching Spark's decimal-string->double cast.
+        total = decimal.Decimal(total_s)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
-        state.update((n, total))
+            for v in pdf["value"].dropna():
+                total += decimal.Decimal(repr(float(v)))
+        state.update((n, str(total)))
         yield _pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [float(total)]}
         )
 
     return update_user_totals

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from bbt_etl_dw_spark.operators.audit import audit, rule_positive_number
 from bbt_etl_dw_spark.sources.csv import dedup_headers, read_csv, read_headers
-from bbt_etl_dw_spark.sources.jdbc import jdbc_options
+from bbt_etl_dw_spark.sources.jdbc import DERBY_DRIVER, jdbc_options, read_jdbc, write_jdbc
 from bbt_etl_dw_spark.sources.parquet import read_snapshot, write_snapshot
 from bbt_etl_dw_spark.sources.report import read_audit_json, write_audit_json, write_audit_txt
 
@@ -90,3 +90,33 @@ def test_report_roundtrip(spark):
 def test_jdbc_options():
     opts = jdbc_options("jdbc:sqlserver://h:1433;db=dw", "FactSales", user="u", num_partitions=8)
     assert opts["dbtable"] == "FactSales" and opts["numPartitions"] == "8"
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S4 executed end to end: write a gold-shaped table over real JDBC
+    (embedded Derby — same DataFrameWriter path as SQL Server, different
+    dialect) and read it back via a partitioned parallel scan."""
+    url = f"jdbc:derby:{tmp_path}/dw;create=true"
+    gold = spark.range(100).select(
+        F.col("id").alias("SalesID"),
+        (F.col("id") % 7).alias("ClientID"),
+        (F.col("id") * 1.5).alias("TotalAmount"),
+        F.concat(F.lit("P"), F.col("id") % 5).alias("ProductRef"),
+    )
+    opts = jdbc_options(url, "FactSales", driver=DERBY_DRIVER, batchsize=50)
+    write_jdbc(gold, mode="overwrite", **opts)
+    # appends accumulate, like the reference's etl_load append mode
+    write_jdbc(gold.limit(10), mode="append", **opts)
+
+    back = read_jdbc(
+        spark, **opts, partitionColumn="SalesID", lowerBound="0",
+        upperBound="100", numPartitions="4",
+    )
+    assert back.count() == 110
+    assert back.rdd.getNumPartitions() == 4
+    got = {
+        (r["SalesID"], r["ClientID"], r["TotalAmount"], r["ProductRef"])
+        for r in back.filter(F.col("SalesID") < 10).distinct().collect()
+    }
+    want = {(i, i % 7, i * 1.5, f"P{i % 5}") for i in range(10)}
+    assert got == want
