@@ -1,8 +1,10 @@
 """Text-analysis operators for training-data pipelines.
 
-All pure column expressions (JVM-side, codegen-friendly): language ID,
-quality scoring, token counting, fingerprinting. At 100TB these run as a
-single narrow map stage over the documents table — no shuffle, no Python.
+Pure column expressions (JVM-side, codegen-friendly): language ID,
+quality scoring, repetition scoring, token counting, fingerprinting. At
+100TB these run as a single narrow map stage over the documents table —
+no shuffle, no Python. The one corpus-level op here
+(:func:`corpus_vocabulary`) shuffles exactly once.
 """
 
 from __future__ import annotations
@@ -135,6 +137,49 @@ def shingles(text_col: str, k: int = 3) -> Column:
     return bind_once(words(text_col), build)
 
 
+def word_ngrams(text_col: str, n: int) -> Column:
+    """Ordered word n-grams WITH duplicates (unlike :func:`shingles`, which
+    dedups — repetition scoring needs the multiplicity). Empty array when
+    the text has fewer than n words. Pure JVM expression; at 100TB this is
+    a narrow map stage."""
+
+    def build(ws: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+        )
+        return F.when(F.size(ws) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(words(text_col), build)
+
+
+def repetition_features(text_col: str, n: int = 2) -> dict[str, Column]:
+    """Gopher-style repetition quality signals: total vs distinct n-gram
+    counts and the duplicate-n-gram fraction. Heavily repetitive documents
+    (boilerplate, keyword stuffing, decoding loops) score high and are
+    filtered before training. Single bound array evaluation, no shuffle."""
+
+    def feats(grams: Column) -> Column:
+        t = F.size(grams).cast("long")
+        d = F.size(F.array_distinct(grams)).cast("long")
+        return F.struct(
+            t.alias("n_grams"),
+            d.alias("n_distinct_grams"),
+            ((t - d).cast("double") / F.greatest(t, F.lit(1).cast("long"))).alias(
+                "dup_fraction"
+            ),
+        )
+
+    s = bind_once(word_ngrams(text_col, n), feats)
+    return {
+        "n_grams": s["n_grams"],
+        "n_distinct_grams": s["n_distinct_grams"],
+        "dup_fraction": s["dup_fraction"],
+    }
+
+
 def rolling_fingerprint(text_col: str, k: int = 3) -> Column:
     """Document fingerprint: minimum shingle hash (winnowing-style 'rolling
     hash' selection — robust to local edits, unlike the whole-text md5).
@@ -142,6 +187,28 @@ def rolling_fingerprint(text_col: str, k: int = 3) -> Column:
     reproduce it (hex strings order like the integers they encode)."""
     hashed = F.transform(shingles(text_col, k), lambda s: F.substring(F.md5(s), 1, 16))
     return F.array_min(hashed)
+
+
+def corpus_vocabulary(
+    docs, id_col: str = "doc_id", text_col: str = "text", top_k: int = 50
+):
+    """Corpus-level vocabulary: per-word total occurrences and document
+    frequency, top-k by doc_freq (fully tie-broken => deterministic set).
+    One exchange: explode is a narrow map, ``count_distinct`` runs with
+    partial (map-side) distinct aggregation, and the top-k is a
+    TakeOrdered — no global sort of the vocabulary."""
+    from pyspark.sql import functions as _F
+
+    w = docs.select(_F.col(id_col), _F.explode(words(text_col)).alias("word"))
+    return (
+        w.groupBy("word")
+        .agg(
+            _F.count_distinct(id_col).alias("doc_freq"),
+            _F.count(_F.lit(1)).alias("total_count"),
+        )
+        .orderBy(_F.desc("doc_freq"), _F.desc("total_count"), "word")
+        .limit(top_k)
+    )
 
 
 def split_bucket(id_col: str, n_buckets: int = 100) -> Column:

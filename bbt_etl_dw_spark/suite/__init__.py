@@ -64,8 +64,18 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
 # A few redundantly-evidenced oracled queries are explicitly deferred past
 # the cap to make room — every SURVEY §2 row they evidence has another
 # hash-green query covering it (A6: doc_exact_dedup_groups; §2.6 top-k:
-# top_customers_per_segment + setops; A8 KPIs: the other four dashboards).
-_DEFER = ("distinct_segments", "global_top_orders", "kpi_store_growth")
+# top_customers_per_segment + setops; A8 KPIs: the other four dashboards;
+# grouping sets: order_status_priority_cube; skew salting:
+# events_user_counts_salted; audit engine: missing_value_audit +
+# orders_anomaly_summary).
+_DEFER = (
+    "distinct_segments",
+    "global_top_orders",
+    "kpi_store_growth",
+    "revenue_rollup_region_nation",
+    "events_salted_dim_join",
+    "orders_violations_table",
+)
 # Rows-only queries promoted into the checked window (driver row wanted
 # even without an oracle — VERDICT r01 asked for a kmeans entry).
 _PROMOTE_ROWS_ONLY = ("embedding_kmeans_clusters",)

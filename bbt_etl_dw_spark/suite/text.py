@@ -268,3 +268,96 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))
         .orderBy("split")
     )
+
+
+# DuckDB n-grams: 1-based inclusive list slice + list comprehension over
+# generate_series reproduces word_ngrams (ordered, WITH duplicates).
+def _ngrams_sql(n: int) -> str:
+    return (
+        f"CASE WHEN len(ws) >= {n} THEN "
+        f"[array_to_string(ws[i:i+{n - 1}], ' ') FOR i IN generate_series(1, len(ws)-{n - 1})] "
+        "ELSE [] END"
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+g AS (SELECT doc_id, {_ngrams_sql(2)} AS grams FROM w)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+       CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+           / greatest(len(grams), 1) AS dup_fraction
+FROM g ORDER BY doc_id
+"""
+
+
+@register("doc_repetition_scores", oracle=_REPETITION_ORACLE)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-2-gram fraction
+    per document (repetitive boilerplate scores high and is filtered before
+    training). Narrow map stage — no shuffle at any scale."""
+    from bbt_etl_dw_spark.operators.textstats import repetition_features
+
+    docs = table(spark, sf_dir, "documents")
+    f_ = repetition_features("text", n=2)
+    return docs.select(
+        "doc_id",
+        f_["n_grams"].alias("n_grams"),
+        f_["n_distinct_grams"].alias("n_distinct_grams"),
+        f_["dup_fraction"].alias("dup_fraction"),
+    ).orderBy("doc_id")
+
+
+_BUCKET_SQL = (
+    "CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 100 AS INT)"
+)
+
+_DECONTAM_ORACLE = f"""
+WITH w AS (SELECT doc_id, {_BUCKET_SQL} AS bucket, {_WORDS_SQL} AS ws FROM documents),
+g AS (SELECT doc_id, bucket, unnest({_ngrams_sql(4)}) AS gram FROM w)
+SELECT a.doc_id, CAST(COUNT(DISTINCT a.gram) AS BIGINT) AS n_eval_grams_hit
+FROM (SELECT doc_id, gram FROM g WHERE bucket < 80) a
+JOIN (SELECT DISTINCT gram FROM g WHERE bucket >= 90) e USING (gram)
+GROUP BY a.doc_id ORDER BY a.doc_id
+"""
+
+
+@register("doc_decontamination", oracle=_DECONTAM_ORACLE)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval 4-gram decontamination over the engine's own md5 split:
+    training docs sharing any 4-gram with the held-out test bucket, with
+    the distinct-hit count (the GPT-3/Llama overlap check). Eval n-gram
+    set is broadcast — the training corpus is never shuffled."""
+    from bbt_etl_dw_spark.operators.decontam import contamination_hits
+    from bbt_etl_dw_spark.operators.textstats import assign_split
+
+    docs = table(spark, sf_dir, "documents")
+    split = docs.withColumn("split", assign_split("doc_id"))
+    return contamination_hits(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "test"),
+        n=4,
+    ).orderBy("doc_id")
+
+
+_VOCAB_ORACLE = f"""
+WITH w AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents)
+SELECT word,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+       CAST(COUNT(*) AS BIGINT) AS total_count
+FROM w GROUP BY word
+ORDER BY doc_freq DESC, total_count DESC, word LIMIT 50
+"""
+
+
+@register("corpus_vocabulary", oracle=_VOCAB_ORACLE)
+def corpus_vocabulary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: per-word document frequency + total count,
+    deterministic top-50. count_distinct aggregates partially map-side;
+    the top-k is a TakeOrdered, not a global sort."""
+    from bbt_etl_dw_spark.operators.textstats import corpus_vocabulary
+
+    docs = table(spark, sf_dir, "documents")
+    return corpus_vocabulary(docs)

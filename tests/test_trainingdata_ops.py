@@ -255,3 +255,79 @@ def test_cardinality_sketch_error_bound(spark, sf_dir):
     for r in rows:
         rel_err = abs(r["approx_customers"] - r["exact_customers"]) / max(r["exact_customers"], 1)
         assert rel_err < 0.1, f"{r['o_orderstatus']}: {rel_err}"
+
+
+def test_word_ngrams_and_repetition(spark):
+    from bbt_etl_dw_spark.operators.textstats import repetition_features, word_ngrams
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "x y"), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    grams = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", word_ngrams("text", 2).alias("g")).collect()
+    }
+    assert grams[0] == ["a b", "b a", "a b", "b a"]  # duplicates preserved
+    assert grams[1] == ["x y"]
+    assert grams[2] == [] and grams[3] == []
+
+    f_ = repetition_features("text", n=2)
+    rep = {
+        r["doc_id"]: (r["t"], r["d"], r["frac"])
+        for r in df.select(
+            "doc_id",
+            f_["n_grams"].alias("t"),
+            f_["n_distinct_grams"].alias("d"),
+            f_["dup_fraction"].alias("frac"),
+        ).collect()
+    }
+    assert rep[0] == (4, 2, 0.5)
+    assert rep[1] == (1, 1, 0.0)
+    assert rep[2] == (0, 0, 0.0)  # no div-by-zero on short docs
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from bbt_etl_dw_spark.operators.decontam import contamination_hits, decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),    # contains eval 4-gram
+            (1, "one two three four five six"),       # clean
+            (2, "zz alpha beta gamma delta"),         # contains eval 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta UNRELATED tail words here")],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["doc_id"]: r["n_eval_grams_hit"]
+        for r in contamination_hits(train, eval_df, n=4).collect()
+    }
+    assert hits == {0: 1, 2: 1}
+
+    kept = sorted(r["doc_id"] for r in decontaminate(train, eval_df, n=4).collect())
+    assert kept == [1]
+
+    # plan gate: the eval n-gram set must be broadcast, never shuffled
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        contamination_hits(train, eval_df, n=4).explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_corpus_vocabulary_determinism(spark):
+    from bbt_etl_dw_spark.operators.textstats import corpus_vocabulary
+
+    df = spark.createDataFrame(
+        [(0, "a a b c"), (1, "a b b"), (2, "c")],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in corpus_vocabulary(df, top_k=2).collect()]
+    # doc_freq ties (a,b,c all appear; a/b in 2 docs) break by total then word
+    assert rows == [("a", 2, 3), ("b", 2, 3)]
