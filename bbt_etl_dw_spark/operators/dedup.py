@@ -406,10 +406,21 @@ def cosine_near_dups(
     volume down. Size planes to the threshold — the 0.95-cosine default
     (θ≈18°, p≈0.90) supports planes=16; a LOW threshold like 0.45 (p≈0.65)
     needs planes≈4 or recall collapses (p^16≈1e-3) — at low thresholds LSH
-    prunes weakly because most of the sphere is within θ. One explode
-    (tables× fan-out of ids, vectors stay put until the verify) and one
-    shuffle on (table, bucket)."""
-    from bbt_etl_dw_spark.operators.similarity import cosine_expr, hyperplane_signature
+    prunes weakly because most of the sphere is within θ.
+
+    Execution shape: the bucket self-join and the cross-table pair dedup
+    run on SKINNY (id, table, bucket) rows — vectors never ride the
+    tables× fan-out or the candidate stream. Vectors and once-per-vector
+    norms are attached to the deduped pairs by id join (AQE broadcasts the
+    vector side when bounded), a native-double dot prescreens (error
+    ≤ dims·eps, covered by the 1e-9 margin), and the exact-decimal fold
+    runs only on pairs the screen keeps — the same double-prescreen +
+    exact-finish discipline as similarity.exact_cosine_pairs."""
+    from bbt_etl_dw_spark.operators.similarity import (
+        dot_expr,
+        hyperplane_signature,
+        norm_expr,
+    )
 
     v = F.col(vec_col).cast("array<double>")
     fams = F.array(
@@ -421,11 +432,11 @@ def cosine_near_dups(
             for t in range(tables)
         ]
     )
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"), v.alias("v"), F.explode(fams).alias("s")
-    ).select("doc_id", "v", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+    sigs = df.select(F.col(id_col).alias("doc_id"), F.explode(fams).alias("s")).select(
+        "doc_id", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket")
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -435,13 +446,37 @@ def cosine_near_dups(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
         )
         # collide in >=1 table => verify once
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates()
+    )
+    normed = df.select(F.col(id_col).alias("_id"), v.alias("_v")).withColumn(
+        "_nrm", norm_expr(F.col("_v"))
+    )
+    cand = pairs.join(
+        normed.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_nrm").alias("na")
+        ),
+        "id_a",
+    ).join(
+        normed.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb")
+        ),
+        "id_b",
+    )
+    fast_dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.filter(fast_dot / (F.col("na") * F.col("nb")) >= threshold - 1e-9)
         .select(
-            "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+            "id_a",
+            "id_b",
+            (dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= threshold)
     )

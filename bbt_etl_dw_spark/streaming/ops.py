@@ -136,3 +136,16 @@ def first_event_per_key(df: DataFrame, keys: list[str]) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def enrich_with_dim(
+    df: DataFrame, dim: DataFrame, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Stream-static dimension enrichment: broadcast-hash join of a
+    (possibly streaming) fact against a bounded static dim. Stateless on a
+    stream — each micro-batch joins against the broadcast table, no
+    watermark or state store involved; the static side is re-resolved per
+    batch, so a dim refresh (new parquet snapshot) is picked up without
+    restarting the query. The canonical Kafka-enrichment shape at scale:
+    the stream never shuffles, only the dim moves."""
+    return df.join(F.broadcast(dim), on=on, how=how)

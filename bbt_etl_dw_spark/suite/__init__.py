@@ -67,7 +67,8 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
 # top_customers_per_segment + setops; A8 KPIs: the other four dashboards;
 # grouping sets: order_status_priority_cube; skew salting:
 # events_user_counts_salted; audit engine: missing_value_audit +
-# orders_anomaly_summary).
+# orders_anomaly_summary; windowed streaming aggs: events_tumbling_hourly
+# + events_session_windows + events_dim_enrich_hourly).
 _DEFER = (
     "distinct_segments",
     "global_top_orders",
@@ -75,10 +76,13 @@ _DEFER = (
     "revenue_rollup_region_nation",
     "events_salted_dim_join",
     "orders_violations_table",
+    "events_sliding_2h1h",
+    "kpi_product_status",
 )
 # Rows-only queries promoted into the checked window (driver row wanted
-# even without an oracle — VERDICT r01 asked for a kmeans entry).
-_PROMOTE_ROWS_ONLY = ("embedding_kmeans_clusters",)
+# even without an oracle — VERDICT r01 asked for a kmeans entry and a
+# non-empty cosine-near-dup row).
+_PROMOTE_ROWS_ONLY = ("embedding_kmeans_clusters", "embedding_cosine_near_dups")
 
 
 def _check_order(names: list[str]) -> list[str]:

@@ -185,3 +185,45 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts"
     ).orderBy("purchase_id", "click_id")
+
+
+_DIM_ENRICH_ORACLE = f"""
+SELECT date_trunc('hour', e.ts) AS window_start,
+       date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS window_end,
+       n.n_name AS nation,
+       COUNT(*) AS n_events,
+       {sql_dsum('e.value', 'total_value')}
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY 1, 2, 3 ORDER BY 1, 3
+"""
+
+
+@register("events_dim_enrich_hourly", oracle=_DIM_ENRICH_ORACLE)
+def events_dim_enrich_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment + tumbling hourly rollup per
+    nation: the fact (stream) side broadcast-joins the bounded nation dim
+    (stateless — no watermark, dim re-resolved per micro-batch), then windows
+    as usual. tests/test_streaming.py runs this very plan as a real
+    micro-batch stream."""
+    from bbt_etl_dw_spark.functions.numeric import dsum
+    from bbt_etl_dw_spark.streaming.ops import enrich_with_dim
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "n_nationkey", (F.col("user_id") % 25).cast("long")
+    )
+    dim = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        enrich_with_dim(ev, dim, ["n_nationkey"])
+        .groupBy(F.window("ts", "1 hour").alias("w"), "nation")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "nation",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "nation")
+    )

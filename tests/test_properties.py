@@ -150,3 +150,37 @@ def test_scd2_invariants(spark, snapshots):
         assert all(r[END] is not None for r in rows if not r[IS_CURRENT])
         # full history: one row per (key, version-change)
         assert len(rows) == n_versions
+
+
+words_st = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=6
+)
+
+
+@given(
+    train=st.lists(words_st, max_size=6),
+    eval_=st.lists(words_st, max_size=3),
+)
+@settings(**SETTINGS)
+def test_decontaminate_matches_bruteforce(spark, train, eval_):
+    """Surviving train docs share NO 2-gram with the eval set; dropped docs
+    share at least one — checked against plain-Python n-gram sets."""
+    from bbt_etl_dw_spark.operators.decontam import decontaminate
+
+    tdf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(train)], "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(eval_)], "doc_id long, text string"
+    )
+
+    def grams(ws):
+        return {" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)}
+
+    eval_grams = set().union(*[grams(ws) for ws in eval_]) if eval_ else set()
+    want = sorted(i for i, ws in enumerate(train) if not (grams(ws) & eval_grams))
+
+    got = sorted(
+        r["doc_id"] for r in decontaminate(tdf, edf, n=2).select("doc_id").collect()
+    )
+    assert got == want

@@ -120,3 +120,30 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     }
     want = {(i, i % 7, i * 1.5, f"P{i % 5}") for i in range(10)}
     assert got == want
+
+
+def test_snapshot_partition_pruning_plan(spark, tmp_path):
+    """Directory-level partition pruning: filtering on snapshot_date must
+    appear as PartitionFilters on the scan (pruned before any IO), and the
+    pruned read must touch only the matching partition."""
+    import contextlib
+    import io
+
+    root = str(tmp_path)
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    write_snapshot(df, root, "silver", "sales", "2024-01-01")
+    write_snapshot(df, root, "silver", "sales", "2024-01-02")
+
+    pruned = read_snapshot(spark, root, "silver", "sales", "2024-01-02")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "2024-01-02" in plan  # the literal reached the scan's pruning
+    assert pruned.count() == 100
+
+    # dynamic overwrite of one day leaves the other day intact
+    write_snapshot(df.limit(10), root, "silver", "sales", "2024-01-02")
+    assert read_snapshot(spark, root, "silver", "sales", "2024-01-02").count() == 10
+    assert read_snapshot(spark, root, "silver", "sales", "2024-01-01").count() == 100

@@ -232,3 +232,34 @@ def test_stateful_running_totals_final_state(spark, events_batch, chunked_dir):
         # exact, not approx: state accumulates decimal digit strings (the
         # dsum discipline), so stream == batch bit-for-bit by construction
         assert final[uid]["total_value"] == row["total_value"]
+
+
+def test_dim_enrich_stream_equals_batch(spark, events_batch, chunked_dir, sf_dir):
+    """Stream-static broadcast enrichment: the streaming side joins the
+    static nation dim per micro-batch with no state; complete-mode result
+    equals the batch twin exactly."""
+    from bbt_etl_dw_spark.functions.numeric import dsum
+    from bbt_etl_dw_spark.streaming.ops import enrich_with_dim
+
+    dim = (
+        table(spark, sf_dir, "nation")
+        .select("n_nationkey", F.col("n_name").alias("nation"))
+    )
+
+    def plan(df):
+        keyed = df.withColumn("n_nationkey", (F.col("user_id") % 25).cast("long"))
+        return (
+            enrich_with_dim(keyed, dim, ["n_nationkey"])
+            .groupBy(F.window("ts", "1 hour").alias("w"), "nation")
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+            .select(
+                F.col("w.start").alias("window_start"), "nation",
+                "n_events", "total_value",
+            )
+        )
+
+    got = _run_stream(
+        spark, plan(events_file_stream(spark, chunked_dir)), "t_dim_enrich", "complete"
+    )
+    cols = ["window_start", "nation", "n_events", "total_value"]
+    assert _key_rows(got, cols) == _key_rows(plan(events_batch), cols)
