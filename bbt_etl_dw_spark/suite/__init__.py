@@ -78,6 +78,10 @@ _DEFER = (
     "orders_violations_table",
     "events_sliding_2h1h",
     "kpi_product_status",
+    # pivot/unpivot: pytest-oracled; window slots reserved for the
+    # stream/multimodal rows VERDICT r01 called out
+    "events_type_pivot",
+    "events_type_unpivot",
 )
 # Rows-only queries promoted into the checked window (driver row wanted
 # even without an oracle — VERDICT r01 asked for a kmeans entry and a

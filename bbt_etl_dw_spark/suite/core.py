@@ -778,3 +778,58 @@ def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _pivot_sum_sql(t: str) -> str:
+    return (
+        "CAST(CAST(SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)))"
+        f" FILTER (WHERE event_type = '{t}') AS VARCHAR) AS DOUBLE) AS {t}"
+    )
+
+
+_PIVOT_ORACLE = f"""
+SELECT user_id, {', '.join(_pivot_sum_sql(t) for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("events_type_pivot", oracle=_PIVOT_ORACLE)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user exact value sums spread over one
+    column per event_type. The pivot values are EXPLICIT — without them
+    Spark first runs a distinct job to discover them, and an unbounded
+    value set would also be a schema explosion at scale. Plans as one
+    partial+final hash aggregate, same as any groupBy."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(dsum("value", "total"))
+        .orderBy("user_id")
+    )
+
+
+_UNPIVOT_ORACLE = f"""
+SELECT user_id, event_type, {sql_dsum('value', 'total_value')}
+FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
+"""
+
+
+@register("events_type_unpivot", oracle=_UNPIVOT_ORACLE)
+def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) round trip: melting the pivoted table back
+    recovers exactly the plain groupBy(user, type) aggregate — proving
+    pivot and unpivot are lossless inverses (absent types yield NULL cells,
+    dropped on the way back). unpivot is a narrow generate expression — no
+    shuffle beyond the upstream pivot's own aggregate."""
+    wide = events_type_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ["user_id"], list(_EVENT_TYPES), "event_type", "total_value"
+        )
+        .filter(F.col("total_value").isNotNull())
+        .orderBy("user_id", "event_type")
+    )
