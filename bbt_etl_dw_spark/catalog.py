@@ -71,13 +71,19 @@ def table(
         # integer division (exact on int64; float division would lose
         # precision above 2^53) — same truncation DuckDB applies to ns.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # Parquet TIMESTAMP without isAdjustedToUTC reads as TIMESTAMP_NTZ on
-    # Spark 4; normalize to session-local TIMESTAMP (session tz is pinned
-    # UTC by tune()) so time functions (unix_micros, window, ...) apply and
-    # wall-clock values match the DuckDB oracle's naive timestamps.
-    for field in df.schema.fields:
-        if isinstance(field.dataType, T.TimestampNTZType):
-            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    # Parquet TIMESTAMP without isAdjustedToUTC reads as TIMESTAMP_LTZ via
+    # inferTimestampNTZ=false (session.RUNTIME_CONF) — normalization happens
+    # at the scan, keeping pushdown/row-group pruning. This cast is a
+    # fallback for sessions where that conf could not be applied; one
+    # withColumns so it stacks a single Project (backtick-quoted names
+    # guard against dots in column names).
+    ntz = {
+        field.name: F.col(f"`{field.name}`").cast("timestamp")
+        for field in df.schema.fields
+        if isinstance(field.dataType, T.TimestampNTZType)
+    }
+    if ntz:
+        df = df.withColumns(ntz)
     if spread and _needs_spread(path):
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df

@@ -28,6 +28,11 @@ RUNTIME_CONF = {
     # Parquet TIMESTAMP(NANOS) is unreadable by Spark's vectorized reader;
     # read as long and convert in the catalog (events.ts).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Read parquet TIMESTAMP without isAdjustedToUTC as TIMESTAMP_LTZ at
+    # the scan itself (incl. nested fields) so timestamp filters keep
+    # predicate pushdown / row-group pruning — instead of post-hoc casts
+    # in the catalog (which remain only as a fallback).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -38,6 +38,8 @@ def synth_media(docs: DataFrame) -> DataFrame:
     )
 
 
+# DuckDB SUM(INTEGER) returns HUGEINT (hash-mismatches Spark's long) —
+# cast both aggregates explicitly, like the sibling _DECODE_ORACLE does.
 _STATS_ORACLE = f"""
 WITH media AS (
     SELECT doc_id AS media_id, {_KIND_SQL} AS kind,
@@ -45,8 +47,8 @@ WITH media AS (
     FROM documents
 )
 SELECT kind, COUNT(*) AS n_items,
-       SUM(octet_length(payload)) AS total_bytes,
-       MAX(octet_length(payload)) AS max_bytes
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+       CAST(MAX(octet_length(payload)) AS INT) AS max_bytes
 FROM media GROUP BY kind ORDER BY kind
 """
 
