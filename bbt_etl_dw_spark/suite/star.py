@@ -185,6 +185,72 @@ def kpi_product_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Value-level SCD2 verification (VERDICT r02 #5): the oracle reconstructs
+# the ENTIRE merged table in plain SQL — unchanged rows stay current with
+# the day-1 window, changed rows (custkey%7==0, segment not already PROMO)
+# produce an expired version carrying the ORIGINAL segment payload with
+# effective_end_date = the merge asof, plus a new current PROMO version
+# starting at the asof. Every attribute, window date, and flag is
+# hash-compared; no counts.
+_SCD2_ROWS_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       TRUE AS is_current,
+       DATE '2024-01-01' AS effective_start_date,
+       CAST(NULL AS DATE) AS effective_end_date
+FROM customer
+WHERE NOT (c_custkey % 7 = 0 AND c_mktsegment <> 'PROMO')
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       FALSE, DATE '2024-01-01', DATE '2024-06-01'
+FROM customer
+WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'PROMO'
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'PROMO',
+       TRUE, DATE '2024-06-01', CAST(NULL AS DATE)
+FROM customer
+WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'PROMO'
+ORDER BY c_custkey, effective_start_date
+"""
+
+
+def _scd2_promo_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared day-2 PROMO-segment merge scenario (see scd2_merge_counts)."""
+    c = table(spark, sf_dir, "customer")
+    current = scd2_init(c, datetime.date(2024, 1, 1))
+    incoming = c.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("PROMO")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    return scd2_merge(
+        current,
+        incoming,
+        natural_key=["c_custkey"],
+        tracked_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        asof=datetime.date(2024, 6, 1),
+    )
+
+
+@register("scd2_merge_rows", oracle=_SCD2_ROWS_ORACLE)
+def scd2_merge_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full merged SCD2 table, value-level: natural key, tracked attrs,
+    validity window, currency flag for every row — proving expired rows
+    keep their pre-change payload and new versions open at the asof
+    (reference scaffolding at map_cols.py:89-91; this is the engine's
+    actual change capture, SURVEY §7 phase 5)."""
+    return _scd2_promo_merge(spark, sf_dir).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        "is_current",
+        "effective_start_date",
+        "effective_end_date",
+    ).orderBy("c_custkey", "effective_start_date")
+
+
 _SCD2_ORACLE = """
 SELECT TRUE AS is_current, (SELECT COUNT(*) FROM customer) AS n_rows
 UNION ALL
@@ -202,21 +268,9 @@ def scd2_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     day 2: customers with custkey%7==0 switch segment to PROMO; the merge
     must expire exactly those (still-current count stays |customers|:
     unchanged + new versions)."""
-    c = table(spark, sf_dir, "customer")
-    current = scd2_init(c, datetime.date(2024, 1, 1))
-    incoming = c.withColumn(
-        "c_mktsegment",
-        F.when(F.col("c_custkey") % 7 == 0, F.lit("PROMO")).otherwise(F.col("c_mktsegment")),
-    )
-    merged = scd2_merge(
-        current,
-        incoming,
-        natural_key=["c_custkey"],
-        tracked_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
-        asof=datetime.date(2024, 6, 1),
-    )
     return (
-        merged.groupBy("is_current")
+        _scd2_promo_merge(spark, sf_dir)
+        .groupBy("is_current")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("is_current")
     )

@@ -128,7 +128,8 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-_EXACT_PAIRS_ORACLE = f"""
+def _exact_pairs_sql(threshold: float) -> str:
+    return f"""
 WITH prods AS (
     SELECT vec_id, UNNEST(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS p
     FROM embeddings
@@ -146,9 +147,12 @@ SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cosine
 FROM dots d
 JOIN norms na ON na.vec_id = d.id_a
 JOIN norms nb ON nb.vec_id = d.id_b
-WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+WHERE d.dot / (na.nrm * nb.nrm) >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+_EXACT_PAIRS_ORACLE = _exact_pairs_sql(0.4)
 
 
 @register("embedding_cosine_exact_pairs", oracle=_EXACT_PAIRS_ORACLE)
@@ -162,6 +166,136 @@ def embedding_cosine_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4).orderBy(
         "id_a", "id_b"
     )
+
+
+def _zsum(cond, name: str) -> F.Column:
+    """Empty-safe violation counter: SUM(cond) with 0 default."""
+    return (
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(name)
+    )
+
+
+# Same precision-via-exact-set trick as minhash_pairs_precision (VERDICT
+# r02 #3): the LSH candidate generation is hash-derived, but every pair it
+# emits must appear in the SQL-expressible exact all-pairs set at the same
+# threshold with a bit-identical cosine. has_pairs derives from the exact
+# set, so total recall collapse also reds the row.
+_COS_PRECISION_ORACLE = f"""
+WITH exact AS ({_exact_pairs_sql(0.45)})
+SELECT (SELECT COUNT(*) FROM exact) > 0 AS has_pairs,
+       CAST(0 AS BIGINT) AS n_false_positives,
+       CAST(0 AS BIGINT) AS n_value_mismatches
+"""
+
+
+@register("cosine_pairs_precision", oracle=_COS_PRECISION_ORACLE)
+def cosine_pairs_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level driver verification for the hyperplane-LSH cosine
+    near-dup path: emitted pairs LEFT JOIN the exact all-pairs set at the
+    same 0.45 threshold — zero pairs outside it, zero cosine value
+    disagreements. Recall stays pytest-asserted (>=0.9 by design)."""
+    from bbt_etl_dw_spark.operators.similarity import exact_cosine_pairs
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    emitted = cosine_near_dups(
+        emb, "vec_id", "embedding", threshold=0.45, planes=4, tables=16
+    )
+    exact = exact_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45).withColumnRenamed(
+        "cosine", "exact_cosine"
+    )
+    return emitted.join(exact, ["id_a", "id_b"], "left").agg(
+        (F.count(F.lit(1)) > 0).alias("has_pairs"),
+        _zsum(F.col("exact_cosine").isNull(), "n_false_positives"),
+        _zsum(
+            F.col("exact_cosine").isNotNull()
+            & (F.col("cosine") != F.col("exact_cosine")),
+            "n_value_mismatches",
+        ),
+    )
+
+
+# ANN result correctness is SQL-checkable pairwise even though the bucket
+# pruning is not: each reported (query, neighbor, cosine) must reproduce
+# when the cosine is recomputed through an INDEPENDENT plan (plain id
+# joins back to the vectors — no buckets, no centroid probing), ranks must
+# be contiguous with non-increasing cosine, and with no duplicate vectors
+# in the corpus each query's rank-1 hit must be itself (queries are drawn
+# from the corpus). n_queries = 5 is exact: a query always collides with
+# its own bucket / its own inverted list, so no query can vanish.
+_ANN_CHECK_ORACLE = """
+SELECT CAST(5 AS BIGINT) AS n_queries,
+       CAST(0 AS BIGINT) AS n_score_mismatches,
+       CAST(0 AS BIGINT) AS n_rank_violations,
+       CAST(0 AS BIGINT) AS n_self_top1_misses
+"""
+
+
+def _ann_result_check(res: DataFrame, emb: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bbt_etl_dw_spark.operators.similarity import cosine_expr
+
+    vecs = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    j = (
+        res.join(
+            vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")),
+            "query_id",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("cv")),
+            "corpus_id",
+        )
+        .withColumn("exact_cosine", cosine_expr(F.col("cv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    j = j.withColumn("prev_cos", F.lag("cosine").over(w)).withColumn(
+        "prev_rank", F.lag("rank").over(w)
+    )
+    return j.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        _zsum(F.col("cosine") != F.col("exact_cosine"), "n_score_mismatches"),
+        _zsum(
+            F.when(
+                F.col("prev_rank").isNull(), F.col("rank") != 1
+            ).otherwise(
+                (F.col("rank") != F.col("prev_rank") + 1)
+                | (F.col("cosine") > F.col("prev_cos"))
+            ),
+            "n_rank_violations",
+        ),
+        _zsum(
+            (F.col("rank") == 1) & (F.col("corpus_id") != F.col("query_id")),
+            "n_self_top1_misses",
+        ),
+    )
+
+
+@register("ann_lsh_precision", oracle=_ANN_CHECK_ORACLE)
+def ann_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level driver verification for lsh_topk: reported cosines must
+    reproduce via an independent no-LSH recompute; ranks contiguous and
+    monotone; every query present with itself at rank 1."""
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _ann_result_check(lsh_topk(emb, queries, k=10, planes=8), emb)
+
+
+@register("ann_ivf_precision", oracle=_ANN_CHECK_ORACLE)
+def ann_ivf_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level driver verification for ivf_topk: reported cosines must
+    reproduce via an independent no-IVF recompute; ranks contiguous and
+    monotone; every query present with itself at rank 1."""
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _ann_result_check(ivf_topk(emb, queries, k=10, nlist=16, nprobe=4), emb)
 
 
 @register("embedding_kmeans_clusters", oracle=None)
