@@ -55,50 +55,53 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
     return deco
 
 
-# The verification driver checks only the FIRST 50 registry entries
-# (CORRECTNESS_r01 is exactly the first 50 queries in registration order;
-# the trailing 10 — stream/multimodal/kmeans — got no row at all). Order
-# the registry so every oracle-checkable query (the strongest signal:
-# rows + schema + value-hash) enumerates inside that window, then the
-# rows-only queries (pytest-verified ground truth; weaker driver signal).
-# A few redundantly-evidenced oracled queries are explicitly deferred past
-# the cap to make room — every SURVEY §2 row they evidence has another
-# hash-green query covering it (A6: doc_exact_dedup_groups; §2.6 top-k:
-# top_customers_per_segment + setops; A8 KPIs: the other four dashboards;
-# grouping sets: order_status_priority_cube; skew salting:
-# events_user_counts_salted; audit engine: missing_value_audit +
-# orders_anomaly_summary; windowed streaming aggs: events_tumbling_hourly
-# + events_session_windows + events_dim_enrich_hourly).
-_DEFER = (
-    "distinct_segments",
-    "global_top_orders",
-    "kpi_store_growth",
-    "revenue_rollup_region_nation",
-    "events_salted_dim_join",
-    "orders_violations_table",
-    "events_sliding_2h1h",
-    "kpi_product_status",
-    # pivot/unpivot: pytest-oracled; window slots reserved for the
-    # stream/multimodal rows VERDICT r01 called out
-    "events_type_pivot",
-    "events_type_unpivot",
+# The verification driver checks only the FIRST 50 registry entries, so
+# the registry is ordered as a ROTATING window (VERDICT r02 #4): every
+# query not driver-checked last round enumerates first this round, and the
+# slots are filled up with last round's greens — so no registered query
+# goes two consecutive rounds without a driver row (every name deferred
+# below has a full hash-green row in CORRECTNESS_r02).
+#
+# Round-3 window therefore contains: all 10 queries deferred in r02, the
+# 6 never-checked rows-only queries, the 6 new value-level verification
+# queries (LSH precision family + scd2_merge_rows), the re-fixed
+# media_payload_stats, and 27 r02-greens chosen for operator diversity
+# (incl. everything whose implementation changed this round:
+# dup_row_stats, scd2_merge_counts, star_fact_assembly, the multimodal
+# stats family, and the exact ground-truth sets the new precision queries
+# join against).
+_DEFER_R03 = (
+    # r02-green, evidence retained from CORRECTNESS_r02; rotate back in r04
+    "last_sold_per_part",
+    "regex_filter_parts",
+    "client_value_ladder",
+    "top_customers_per_segment",
+    "order_status_priority_cube",
+    "nation_customer_supplier_setops",
+    "events_user_counts_salted",
+    "kpi_store_attractiveness",
+    "doc_token_counts",
+    "doc_quality_scores",
+    "doc_lang_id",
+    "doc_fingerprints",
+    "doc_repetition_scores",
+    "corpus_vocabulary",
+    "embedding_norms",
+    "events_session_windows",
+    "events_first_per_user_type",
+    "events_interval_join",
+    "events_dim_enrich_hourly",
+    "video_frame_sample",
+    # r02 rows-only rows recorded; their value-level coverage now comes
+    # from cosine_pairs_precision / the kmeans determinism pytest
+    "embedding_cosine_near_dups",
+    "embedding_kmeans_clusters",
 )
-# Rows-only queries promoted into the checked window (driver row wanted
-# even without an oracle — VERDICT r01 asked for a kmeans entry and a
-# non-empty cosine-near-dup row).
-_PROMOTE_ROWS_ONLY = ("embedding_kmeans_clusters", "embedding_cosine_near_dups")
 
 
 def _check_order(names: list[str]) -> list[str]:
-    def tier(n: str) -> int:
-        if n in _DEFER:
-            return 2
-        if n in _PROMOTE_ROWS_ONLY:
-            return 1
-        return 0 if QUERIES[n].oracle is not None else 3
-
     reg_idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (tier(n), reg_idx[n]))
+    return sorted(names, key=lambda n: (n in _DEFER_R03, reg_idx[n]))
 
 
 def load_all() -> dict[str, QueryDef]:
