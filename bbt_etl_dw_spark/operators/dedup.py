@@ -63,11 +63,17 @@ def _per_shingle_hashes(text_col: str, num_hashes: int, shingle_k: int) -> Colum
     the H family members are derived by re-hashing that fixed-width long —
     H string hashes per shingle would dominate the signature cost."""
     sh = shingles(text_col, shingle_k)
+    # transform-over-sequence instead of an H-wide explicit F.array: the
+    # hash VALUES are identical (lambda var i == lit(i), both int), but the
+    # expression tree is O(1) instead of O(H) — measurably cheaper Catalyst
+    # analysis on every plan build (bench rebuilds plans per run, as would
+    # any query service).
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     return F.transform(
         sh,
         lambda s: bind_once(
             F.xxhash64(s),
-            lambda h: F.array(*[F.xxhash64(h, F.lit(i)) for i in range(num_hashes)]),
+            lambda h: F.transform(idx, lambda i: F.xxhash64(h, i)),
         ),
     )
 
