@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""sf1 scale probe (VERDICT r02 #6): synthesize ~sf1 tables by replicating
+the sf0.1 tables 10x with join-integrity-preserving key shifts, then run
+the headline bench set against them.
+
+Usage:
+    python scale_probe.py generate   # write /root/repo/.scale/sf1 (once)
+    SPARK_GRAFT_SF_DIR=/root/repo/.scale/sf1 python bench.py
+
+Key shifts per replica i (0..9): every key column in a foreign-key
+relationship shifts by the SAME offset on both sides, so join fan-out per
+key stays exactly sf0.1-shaped while table volumes grow 10x (lineitem 6M,
+orders 1.5M, customer 150k — real TPC-H sf1 cardinalities). Text/vector
+payloads are kept byte-identical across replicas on purpose: that gives the
+dedup family a realistic high-duplicate-density corpus (each document gains
+9 exact duplicates — the web-crawl shape exact/near dedup exists for).
+
+The generated directory is gitignored (datasets don't belong in git); the
+probe numbers and cliff analysis are recorded in PROGRESS.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/.scale/sf1"
+COPIES = 10
+
+# key-column shift units (larger than any sf0.1 key range)
+SHIFTS = {
+    "l_orderkey": 10_000_000,
+    "o_orderkey": 10_000_000,
+    "o_custkey": 1_000_000,
+    "c_custkey": 1_000_000,
+    "l_partkey": 1_000_000,
+    "p_partkey": 1_000_000,
+    "l_suppkey": 100_000,
+    "s_suppkey": 100_000,
+    "event_id": 10_000_000,
+    "user_id": 1_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+}
+
+FACTS = (
+    "lineitem",
+    "orders",
+    "customer",
+    "part",
+    "supplier",
+    "events",
+    "documents",
+    "embeddings",
+)
+DIMS = ("nation", "region")
+
+
+def generate() -> None:
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe-gen")
+    spark.sparkContext.setLogLevel("WARN")
+    os.makedirs(DST, exist_ok=True)
+    for t in DIMS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
+        print(f"{t}: copied")
+    replicas = F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("_rep")
+    for t in FACTS:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        out = df.select("*", replicas)
+        shifted = {
+            c: (F.col(c) + F.col("_rep") * SHIFTS[c]).cast(dict(df.dtypes)[c])
+            for c in df.columns
+            if c in SHIFTS
+        }
+        out = out.withColumns(shifted).drop("_rep")
+        # many row groups => the catalog's spread heuristic is a no-op and
+        # scans parallelize off the files themselves, like a real lake
+        out.repartition(32).write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        print(f"{t}: x{COPIES} -> {out.count()} rows")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "generate":
+        generate()
+    else:
+        print(__doc__)
