@@ -46,6 +46,31 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
+def incremental_exact_dedup(
+    history: DataFrame, batch: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Dedup an incoming batch against an already-ingested corpus: drop
+    batch docs whose fingerprint exists in ``history`` OR duplicates
+    another batch doc (min-id representative wins), return the surviving
+    batch rows. The streaming-ingest shape of exact dedup — a training
+    corpus is built in appends, and re-fingerprinting the full corpus per
+    batch is O(corpus) instead of O(batch).
+
+    Scale: both sides reduce to 32-char digests before any join; the
+    in-batch keep is one hash agg on the digest, the history check is a
+    left-anti digest join (at 100TB the history side is a compact
+    fingerprint table — never the text — and AQE broadcasts it when a
+    small batch lands against a pruned fingerprint partition)."""
+    hist_fp = history.select(md5_fingerprint(text_col).alias("fp")).distinct()
+    batch_fp = batch.select(F.col(id_col), md5_fingerprint(text_col).alias("fp"))
+    keep = (
+        batch_fp.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .join(hist_fp, "fp", "left_anti")
+    )
+    return batch.join(keep.select(id_col), id_col, "left_semi")
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

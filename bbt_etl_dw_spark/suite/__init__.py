@@ -73,6 +73,9 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
 _DEFER_R03 = (
     # r02-green, evidence retained from CORRECTNESS_r02; rotate back in r04
     "last_sold_per_part",
+    "calendar_dim",
+    "nation_ordered_ids",
+    "composite_join_yearly_rates",
     "regex_filter_parts",
     "client_value_ladder",
     "top_customers_per_segment",

@@ -187,6 +187,54 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id", "click_id")
 
 
+_INTERVAL_LEFT_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       p.ts AS purchase_ts, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+ORDER BY purchase_id, click_id
+"""
+
+
+@register("events_interval_join_left", oracle=_INTERVAL_LEFT_ORACLE)
+def events_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT interval join: every purchase kept, preceding-hour clicks
+    attached where they exist. The bucket fan-out makes a naive left join
+    wrong (one null row per probed bucket), so the operator recovers
+    unmatched rows with an anti join on the unique left key — the shape a
+    100TB attribution pipeline needs (no row loss, no nested loop)."""
+    from bbt_etl_dw_spark.operators.rangejoin import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    j = interval_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        "purchase_ts",
+        "click_ts",
+        -3600,
+        0,
+        how="left",
+        left_id="purchase_id",
+    )
+    return j.select(
+        "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts"
+    ).orderBy("purchase_id", "click_id")
+
+
 _DIM_ENRICH_ORACLE = f"""
 SELECT date_trunc('hour', e.ts) AS window_start,
        date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS window_end,

@@ -442,6 +442,83 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_INCR_DEDUP_ORACLE = f"""
+WITH fps AS (
+    SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+), hist AS (
+    SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0
+), keep AS (
+    SELECT fp, MIN(doc_id) AS doc_id
+    FROM fps WHERE doc_id % 2 = 1 GROUP BY fp
+)
+SELECT k.doc_id, k.fp
+FROM keep k LEFT JOIN hist h USING (fp)
+WHERE h.fp IS NULL
+ORDER BY k.doc_id
+"""
+
+
+@register("doc_incremental_dedup", oracle=_INCR_DEDUP_ORACLE)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (append-time) exact dedup: even doc_ids play the
+    already-ingested corpus, odd doc_ids the incoming batch; survivors are
+    batch docs new to both the corpus and the batch itself. Digest-only
+    joins — the text never shuffles (operators/dedup.incremental_exact_dedup)."""
+    from bbt_etl_dw_spark.operators.dedup import incremental_exact_dedup
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    survivors = incremental_exact_dedup(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+    )
+    return survivors.select(
+        "doc_id", md5_fingerprint("text").alias("fp")
+    ).orderBy("doc_id")
+
+
+_PACKING_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+), cums AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens
+    FROM toks
+)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+       CAST(FLOOR(greatest(cum_tokens - 1, 0) / 512.0) AS BIGINT) AS pack_id
+FROM cums ORDER BY lang, doc_id
+"""
+
+
+@register("doc_sequence_packing", oracle=_PACKING_ORACLE)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pre-training
+    batcher): documents are concatenated in deterministic doc_id order
+    within each language shard and cut every 512 tokens; a doc's pack is
+    the chunk its last token lands in. One window cumsum PARTITIONED by
+    the shard key — never a global single-partition window; at 100TB the
+    shard key is (language, shard_bucket) so every partition packs
+    independently."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    toks = docs.select(
+        "doc_id", "lang", whitespace_token_count("text").alias("n_tokens")
+    )
+    cums = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cums.withColumn(
+        "pack_id",
+        F.floor(F.greatest(F.col("cum_tokens") - 1, F.lit(0)) / F.lit(512.0)).cast(
+            "long"
+        ),
+    ).orderBy("lang", "doc_id")
+
+
 _VOCAB_ORACLE = f"""
 WITH w AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents)
 SELECT word,

@@ -17,7 +17,14 @@ from bbt_etl_dw_spark.suite import load_all
 # intended brute-force baseline (BroadcastNestedLoopJoin by construction).
 # intentionally brute-force ground-truth paths: all-pairs/all-queries scoring
 # is the semantics, so a broadcast nested-loop is the right physical plan
-NESTED_LOOP_OK = {"ann_bruteforce_topk", "embedding_cosine_exact_pairs"}
+# cosine_pairs_precision embeds exact_cosine_pairs as its ground-truth
+# side, so it inherits that allowlisted nested loop; its LSH (emitted)
+# side remains pure equi-joins.
+NESTED_LOOP_OK = {
+    "ann_bruteforce_topk",
+    "embedding_cosine_exact_pairs",
+    "cosine_pairs_precision",
+}
 
 
 def _plan(df) -> str:
