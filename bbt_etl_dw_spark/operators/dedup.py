@@ -317,6 +317,58 @@ def minhash_dedup_pairs(
     return jaccard_verify(df, cands, id_col, text_col, shingle_k, threshold)
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list -> (doc_id,
+    cluster_id), cluster_id = the component's minimum doc id. The dedup
+    endgame: pair emitters (MinHash/SimHash/cosine) find edges; keeping
+    one representative PER COMPONENT (not per pair) is what actually
+    shrinks the corpus when near-dup relations chain (a~b, b~c).
+
+    Min-label propagation: each round every node takes the min label among
+    itself and its neighbors; converges in O(component diameter) rounds
+    (near-dup components are shallow in practice — exact dups are cliques
+    of diameter 1). Each round is ONE shuffle (edge join + min-agg);
+    per-round results are persisted and the loop exits on a converged
+    round, so the driver runs a bounded number of jobs, never a
+    collect of the graph. At 100TB, swap persist for checkpoint to
+    truncate lineage, or the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce") for
+    high-diameter graphs."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

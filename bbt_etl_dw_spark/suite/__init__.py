@@ -76,6 +76,7 @@ _DEFER_R03 = (
     "calendar_dim",
     "nation_ordered_ids",
     "composite_join_yearly_rates",
+    "doc_decontamination",
     "regex_filter_parts",
     "client_value_ladder",
     "top_customers_per_segment",

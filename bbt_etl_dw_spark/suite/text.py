@@ -442,6 +442,40 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Connected components ARE SQL-expressible: a recursive CTE computes every
+# (node, reachable-label) pair and MIN-aggregates per node — DuckDB's
+# WITH RECURSIVE uses UNION (distinct) so the fixpoint terminates.
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_ORACLE}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+    SELECT src, src FROM (SELECT DISTINCT src FROM edges) s
+    UNION
+    SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+@register("doc_dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the exact Jaccard
+    pair set (min-label propagation, one shuffle per round) — keeping one
+    representative per COMPONENT is what actually shrinks a corpus when
+    near-dup relations chain (a~b~c). Oracle = recursive-CTE reachability
+    with per-node MIN label."""
+    from bbt_etl_dw_spark.operators.dedup import dedup_clusters
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text")
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
 _INCR_DEDUP_ORACLE = f"""
 WITH fps AS (
     SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents

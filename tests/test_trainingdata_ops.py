@@ -331,3 +331,41 @@ def test_corpus_vocabulary_determinism(spark):
     rows = [tuple(r) for r in corpus_vocabulary(df, top_k=2).collect()]
     # doc_freq ties (a,b,c all appear; a/b in 2 docs) break by total then word
     assert rows == [("a", 2, 3), ("b", 2, 3)]
+
+
+def test_dedup_clusters_chain_and_clique(spark):
+    from bbt_etl_dw_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3-4 (diameter 3: needs real propagation, not one hop),
+    # clique {10,11,12}, isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {(r.doc_id, r.cluster_id) for r in dedup_clusters(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_incremental_dedup_semantics(spark):
+    from bbt_etl_dw_spark.operators.dedup import incremental_exact_dedup
+
+    hist = spark.createDataFrame(
+        [(0, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, "seen before"),   # dup of history -> dropped
+            (13, "brand new"),     # survives
+            (15, "twice in batch"),  # min-id rep -> survives
+            (17, "twice in batch"),  # in-batch dup -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r.doc_id for r in incremental_exact_dedup(hist, batch, "doc_id", "text").collect()
+    )
+    assert got == [13, 15]
