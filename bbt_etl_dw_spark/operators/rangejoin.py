@@ -94,10 +94,17 @@ def stream_interval_join(
     lower_s: int,
     upper_s: int,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Native stream-stream inner join with the same semantics: both sides
+    """Native stream-stream join with the same semantics: both sides
     watermarked, join condition = equi keys + time range. State per side is
-    bounded by watermark + interval span."""
+    bounded by watermark + interval span. ``how='left'`` maps to Spark's
+    leftOuter stream-stream join: unmatched left rows emit only once the
+    watermark passes their join window (late-data correctness — the batch
+    twin's anti-join recovery happens eagerly because batch sees all
+    data)."""
+    if how not in ("inner", "left"):
+        raise NotImplementedError("stream_interval_join supports inner and left")
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = F.lit(True)
@@ -108,4 +115,4 @@ def stream_interval_join(
         & (r[right_ts] >= l[left_ts] + F.expr(f"INTERVAL {lower_s} SECOND"))
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper_s} SECOND"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, "inner" if how == "inner" else "leftOuter")

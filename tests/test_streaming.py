@@ -263,3 +263,76 @@ def test_dim_enrich_stream_equals_batch(spark, events_batch, chunked_dir, sf_dir
     )
     cols = ["window_start", "nation", "n_events", "total_value"]
     assert _key_rows(got, cols) == _key_rows(plan(events_batch), cols)
+
+
+def test_stream_stream_left_interval_join_equals_batch(
+    spark, events_batch, chunked_dir, tmp_path
+):
+    """Left-outer stream-stream interval join == batch left interval join.
+    Unmatched left rows only emit after the watermark passes their join
+    window, so the stream gets a far-future sentinel pair (excluded from
+    the comparison) to flush every real row's state."""
+    import shutil
+    from pathlib import Path
+
+    from bbt_etl_dw_spark.operators.rangejoin import interval_join, stream_interval_join
+
+    files_dir = tmp_path / "files"
+    shutil.copytree(chunked_dir, files_dir)
+    max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [
+            (999_999_901, max_ts, 999_999_901, "purchase", 0.0, "{}"),
+            (999_999_902, max_ts, 999_999_902, "click", 0.0, "{}"),
+        ],
+        events_batch.schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 240 HOURS"))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sentinel"))
+    for i, f_ in enumerate(sorted(Path(tmp_path / "sentinel").glob("*.parquet"))):
+        f_.rename(files_dir / f"part-zz{i}.parquet")
+
+    def split(df, kind, idc, tsc):
+        return df.filter(F.col("event_type") == kind).select(
+            F.col("event_id").alias(idc), "user_id", F.col("ts").alias(tsc)
+        )
+
+    want_df = interval_join(
+        split(events_batch, "purchase", "purchase_id", "purchase_ts"),
+        split(events_batch, "click", "click_id", "click_ts"),
+        ["user_id"],
+        "purchase_ts",
+        "click_ts",
+        -3600,
+        0,
+        how="left",
+        left_id="purchase_id",
+    )
+    want = _key_rows(want_df, ["purchase_id", "click_id"])
+
+    from bbt_etl_dw_spark.streaming.ops import events_file_stream
+
+    got_df = _run_stream(
+        spark,
+        stream_interval_join(
+            split(events_file_stream(spark, str(files_dir)), "purchase", "purchase_id", "purchase_ts"),
+            split(events_file_stream(spark, str(files_dir)), "click", "click_id", "click_ts"),
+            ["user_id"],
+            "purchase_ts",
+            "click_ts",
+            -3600,
+            0,
+            watermark="2 hours",
+            how="left",
+        ),
+        "t_ssjoin_left",
+        "append",
+    )
+    got = {
+        (p, c)
+        for p, c in _key_rows(got_df, ["purchase_id", "click_id"])
+        if p < 999_999_000
+    }
+    assert got == want
+    # non-vacuous both ways: matched rows AND unmatched (null-click) rows
+    assert any(c is not None for _, c in want)
+    assert any(c is None for _, c in want)

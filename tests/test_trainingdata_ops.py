@@ -369,3 +369,34 @@ def test_incremental_dedup_semantics(spark):
         r.doc_id for r in incremental_exact_dedup(hist, batch, "doc_id", "text").collect()
     )
     assert got == [13, 15]
+
+
+def test_ivf_partitioned_layout_prunes_probed_lists(spark, sf_dir, tmp_path):
+    """The 100TB IVF layout claim made real: corpus written PARTITIONED BY
+    inverted-list id; a probe reads only its nprobe lists — the cid filter
+    must reach the scan as a PartitionFilter (pruned before any IO) and
+    the probed read must equal the corresponding in-memory lists."""
+    import contextlib
+    import io
+
+    from bbt_etl_dw_spark.catalog import table
+    from bbt_etl_dw_spark.operators.similarity import assign_centroid, ivf_centroids
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    cents = ivf_centroids(emb, nlist=8, iters=1)
+    v = F.col("embedding").cast("array<double>")
+    listed = emb.select("vec_id", "embedding", assign_centroid(v, cents).alias("cid"))
+    out = str(tmp_path / "ivf_corpus")
+    listed.write.partitionBy("cid").mode("overwrite").parquet(out)
+
+    probed = spark.read.parquet(out).filter(F.col("cid").isin([0, 3]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+
+    want = {r.vec_id for r in listed.filter(F.col("cid").isin([0, 3])).collect()}
+    got = {r.vec_id for r in probed.collect()}
+    assert got == want and len(got) > 0
