@@ -77,6 +77,9 @@ _DEFER_R03 = (
     "nation_ordered_ids",
     "composite_join_yearly_rates",
     "doc_decontamination",
+    "doc_train_test_split",
+    "events_props_json",
+    "order_stats_by_status",
     "regex_filter_parts",
     "client_value_ladder",
     "top_customers_per_segment",

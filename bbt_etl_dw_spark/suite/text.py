@@ -26,6 +26,7 @@ from bbt_etl_dw_spark.operators.textstats import (
     regex_token_count,
     rolling_fingerprint,
     whitespace_token_count,
+    words,
 )
 from bbt_etl_dw_spark.suite import register
 
@@ -551,6 +552,131 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     ).orderBy("lang", "doc_id")
+
+
+# Score = tf * (1/df): a monotone tf-idf variant chosen because it is a
+# SINGLE IEEE division — bit-identical across engines, unlike ln()-based
+# idf whose last ulp may differ between libm implementations.
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), scored AS (
+    SELECT t.doc_id, t.term,
+           CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+           t.tf / CAST(d.df AS DOUBLE) AS score,
+           ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                              ORDER BY t.tf / CAST(d.df AS DOUBLE) DESC, t.term) AS rk
+    FROM tf t JOIN df d USING (term)
+)
+SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rank
+FROM scored WHERE rk <= 3 ORDER BY doc_id, rank
+"""
+
+
+@register("doc_tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinguishing terms by tf x (1/df) — the
+    keyword-extraction shape under retrieval and topic-dedup curation.
+    One explode + two hash aggs + a broadcast-eligible df join + a
+    doc-partitioned rank window; at 100TB the df table is the only
+    corpus-global state and it is term-keyed (bounded by vocabulary)."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score", F.col("tf") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+# per-language keep rates (percent of the md5 bucket space)
+_STRATA_RATES = {"de": 25, "en": 50, "es": 25, "fr": 75}
+
+_STRATA_CASE = " ".join(
+    f"WHEN '{lg}' THEN {r}" for lg, r in sorted(_STRATA_RATES.items())
+)
+
+_STRATIFIED_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents
+), kept AS (
+    SELECT doc_id, lang FROM b
+    WHERE bucket < CASE lang {_STRATA_CASE} ELSE 10 END
+)
+SELECT d.lang, COUNT(*) AS n_total,
+       CAST(COUNT(k.doc_id) AS BIGINT) AS n_sampled,
+       MIN(k.doc_id) AS min_sampled_id
+FROM documents d LEFT JOIN kept k USING (doc_id, lang)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@register("doc_stratified_sample", oracle=_STRATIFIED_ORACLE)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (corpus rebalancing): per-language
+    keep rates applied via the same md5 bucket as the train/test split —
+    append-stable and repartition-stable, never rand(). A narrow map +
+    one agg; no sampleBy nondeterminism."""
+    from bbt_etl_dw_spark.operators.textstats import split_bucket
+
+    docs = table(spark, sf_dir, "documents")
+    rate = F.lit(10)
+    for lg, r in sorted(_STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == lg, F.lit(r)).otherwise(rate)
+    kept = F.when(split_bucket("doc_id") < rate, F.col("doc_id"))
+    return (
+        docs.select("lang", kept.alias("kept_id"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("kept_id").alias("n_sampled"),
+            F.min("kept_id").alias("min_sampled_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+_QUOTA_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+    FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rank_in_source
+FROM ranked WHERE rk <= 50 ORDER BY source, doc_id
+"""
+
+
+@register("doc_source_quota", oracle=_QUOTA_ORACLE)
+def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (domain rebalancing: no single crawl
+    domain may dominate the corpus): keep the first 50 docs per source in
+    deterministic doc_id order. Source-partitioned rank window — one
+    shuffle on the stratum key, never a global sort."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("rank_in_source")
+        )
+        .filter(F.col("rank_in_source") <= 50)
+        .orderBy("source", "doc_id")
+    )
 
 
 _VOCAB_ORACLE = f"""
