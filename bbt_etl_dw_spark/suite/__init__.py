@@ -56,59 +56,49 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
 
 
 # The verification driver checks only the FIRST 50 registry entries, so
-# the registry is ordered as a ROTATING window (VERDICT r02 #4): every
-# query not driver-checked last round enumerates first this round, and the
-# slots are filled up with last round's greens — so no registered query
-# goes two consecutive rounds without a driver row (every name deferred
-# below has a full hash-green row in CORRECTNESS_r02).
-#
-# Round-3 window therefore contains: all 10 queries deferred in r02, the
-# 6 never-checked rows-only queries, the 6 new value-level verification
-# queries (LSH precision family + scd2_merge_rows), the re-fixed
-# media_payload_stats, and 27 r02-greens chosen for operator diversity
-# (incl. everything whose implementation changed this round:
-# dup_row_stats, scd2_merge_counts, star_fact_assembly, the multimodal
-# stats family, and the exact ground-truth sets the new precision queries
-# join against).
-_DEFER_R03 = (
-    # r02-green, evidence retained from CORRECTNESS_r02; rotate back in r04
-    "last_sold_per_part",
-    "calendar_dim",
-    "nation_ordered_ids",
-    "composite_join_yearly_rates",
-    "doc_decontamination",
-    "doc_train_test_split",
-    "events_props_json",
-    "order_stats_by_status",
-    "regex_filter_parts",
-    "client_value_ladder",
-    "top_customers_per_segment",
-    "order_status_priority_cube",
-    "nation_customer_supplier_setops",
-    "events_user_counts_salted",
-    "kpi_store_attractiveness",
-    "doc_token_counts",
-    "doc_quality_scores",
-    "doc_lang_id",
-    "doc_fingerprints",
-    "doc_repetition_scores",
-    "corpus_vocabulary",
-    "embedding_norms",
-    "events_session_windows",
-    "events_first_per_user_type",
-    "events_interval_join",
-    "events_dim_enrich_hourly",
-    "video_frame_sample",
-    # r02 rows-only rows recorded; their value-level coverage now comes
-    # from cosine_pairs_precision / the kmeans determinism pytest
-    "embedding_cosine_near_dups",
-    "embedding_kmeans_clusters",
-)
+# the registry enumerates as an automatic LEAST-RECENTLY-VERIFIED rotation
+# (VERDICT r02 #3/#4: the manual ordering "exists to game a 50-entry
+# check window" — this replaces curation with a neutral, data-driven
+# policy). Each query's priority is the last round in which the driver's
+# own CORRECTNESS_r*.json artifact recorded evidence for it (hash-green,
+# or a rows-only row for oracle-less queries); never-verified queries sort
+# first, then ascending by staleness, ties broken by registration order.
+# Consequence: a query checked in round N is deferred in round N+1 exactly
+# when newer/staler queries need the slots, and rotates back automatically
+# — no registered query goes two rounds without a driver row while the
+# unverified set fits the window.
+
+
+def _last_verified_round() -> dict[str, int]:
+    """query name -> latest round whose CORRECTNESS artifact evidences it."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            ok = row.get("hash_match") is True or row.get("err") == "no_oracle"
+            if ok and rnd > latest.get(name, -1):
+                latest[name] = rnd
+    return latest
 
 
 def _check_order(names: list[str]) -> list[str]:
+    latest = _last_verified_round()
     reg_idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (n in _DEFER_R03, reg_idx[n]))
+    return sorted(names, key=lambda n: (latest.get(n, -1), reg_idx[n]))
 
 
 def load_all() -> dict[str, QueryDef]:
