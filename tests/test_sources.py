@@ -147,3 +147,74 @@ def test_snapshot_partition_pruning_plan(spark, tmp_path):
     write_snapshot(df.limit(10), root, "silver", "sales", "2024-01-02")
     assert read_snapshot(spark, root, "silver", "sales", "2024-01-02").count() == 10
     assert read_snapshot(spark, root, "silver", "sales", "2024-01-01").count() == 100
+
+
+def test_jsonl_roundtrip_with_quarantine(spark, tmp_path):
+    """JSONL read: explicit schema, clean rows parse, malformed lines land
+    in quarantine verbatim; write round-trips values."""
+    from pyspark.sql import types as T
+
+    from bbt_etl_dw_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    src = tmp_path / "corpus.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "hello world", "extra": true}\n'
+        '{"doc_id": 2, "text": "zwei"}\n'
+        "{not json at all}\n"
+        '{"doc_id": "not-an-int", "text": "bad type"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, bad = read_jsonl(spark, str(src), schema)
+    rows = {(r.doc_id, r.text) for r in good.collect()}
+    assert rows == {(1, "hello world"), (2, "zwei")}
+    bad_lines = [r.raw_line for r in bad.collect()]
+    assert len(bad_lines) == 2 and "{not json at all}" in bad_lines
+
+    out = tmp_path / "out"
+    write_jsonl(good, str(out), partitions=1)
+    back, back_bad = read_jsonl(spark, str(out), schema)
+    assert {(r.doc_id, r.text) for r in back.collect()} == rows
+    assert back_bad.count() == 0
+
+
+def test_compaction_hits_target_file_count(spark, sf_dir, tmp_path):
+    """Compaction rewrites a fragmented table into the computed number of
+    files; sort_by additionally makes per-file min/max stats selective."""
+    import glob
+
+    from bbt_etl_dw_spark.catalog import table
+    from bbt_etl_dw_spark.sources.compact import compact_to_target
+
+    li = table(spark, sf_dir, "lineitem")
+    fragmented = str(tmp_path / "fragmented")
+    li.repartition(40).write.parquet(fragmented)  # small-files disease
+    assert len(glob.glob(f"{fragmented}/*.parquet")) == 40
+
+    compacted = str(tmp_path / "compacted")
+    n = compact_to_target(
+        spark.read.parquet(fragmented), compacted, target_file_mb=1, sort_by="l_orderkey"
+    )
+    files = glob.glob(f"{compacted}/*.parquet")
+    assert len(files) == n < 40
+    back = spark.read.parquet(compacted)
+    assert back.count() == li.count()
+    # range partitioning: files cover disjoint key ranges => min/max stats prune
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_orderkey"
+        )
+        mins = min(md.row_group(g).column(col_idx).statistics.min for g in range(md.num_row_groups))
+        maxs = max(md.row_group(g).column(col_idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((mins, maxs))
+    ranges.sort()
+    assert all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:]))
