@@ -31,23 +31,27 @@ def read_jsonl(
     the reference's audit-report philosophy applied to ingestion). Fields
     present in the data but absent from the schema are ignored; fields in
     the schema but absent from a line are null."""
+    # Read as text + from_json rather than spark.read.json: filtering on
+    # the json reader's corrupt column requires caching the scan (a
+    # non-starter at 100TB); the text formulation is one streamed scan,
+    # no cache, and both outputs stay lazy.
     full = T.StructType(
         [*schema.fields, T.StructField(CORRUPT_COL, T.StringType(), True)]
     )
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
+    parsed = spark.read.text(path).select(
+        F.col("value"),
+        F.from_json(
+            "value",
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("j"),
     )
-    # Spark requires caching/materialization before filtering on the
-    # corrupt column of a JSON scan (the referenced-column-only pushdown
-    # would otherwise optimize the corrupt marker away).
-    df = df.cache()
-    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw_line")
-    )
+    good = parsed.filter(
+        F.col("j").isNotNull() & F.col(f"j.{CORRUPT_COL}").isNull()
+    ).select(*[f"j.{f.name}" for f in schema.fields])
+    bad = parsed.filter(
+        F.col("j").isNull() | F.col(f"j.{CORRUPT_COL}").isNotNull()
+    ).select(F.col("value").alias("raw_line"))
     return good, bad
 
 
