@@ -340,15 +340,21 @@ def dedup_clusters(
     (Kiveris et al., "Connected Components in MapReduce") for
     high-diameter graphs."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # edges persist: every round joins against them — without this the
+    # whole upstream pair-emission pipeline (e.g. a corpus-wide shingle
+    # self-join) would re-execute once per round.
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .persist()
     )
+    changed = -1
     for _ in range(max_iters):
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
@@ -366,6 +372,20 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
+    if changed != 0:
+        # Never return silently-wrong clusters: a component with diameter
+        # > max_iters would keep a non-minimal label, splitting one real
+        # duplicate group into several.
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — raise max_iters or use a "
+            "large-star/small-star variant for high-diameter graphs"
+        )
+    # The converged labels stay persisted so consumption is one cheap scan
+    # (unpersisting here would force a full re-run of every round at read
+    # time); long-lived sessions should unpersist the result when done.
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -34,14 +34,21 @@ def compact_to_target(
     path: str,
     target_file_mb: int = 128,
     sort_by: str | None = None,
+    parquet_ratio: float = 4.0,
+    total_bytes: float | None = None,
 ) -> int:
     """Rewrite ``df`` as parquet files near ``target_file_mb`` each.
     Returns the file count chosen. Row count comes from a count() action
-    (cheap columnar metadata scan for parquet inputs)."""
-    n_rows = df.count()
-    row_bytes = estimate_row_bytes(df)
-    total = n_rows * row_bytes
-    n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+    (cheap columnar metadata scan for parquet inputs).
+
+    The JSON-width sample measures DECODED text width; parquet's encoding
+    + compression lands well below that, so the estimate divides by
+    ``parquet_ratio`` (typical dictionary+snappy ratio; tune per table —
+    or pass ``total_bytes`` directly when the true on-disk size is known,
+    as :func:`compact_directory` does, which needs no estimate at all)."""
+    if total_bytes is None:
+        total_bytes = df.count() * estimate_row_bytes(df) / parquet_ratio
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     if sort_by:
         out = df.repartitionByRange(n_files, sort_by).sortWithinPartitions(sort_by)
     else:
@@ -51,7 +58,25 @@ def compact_to_target(
 
 
 def compact_directory(
-    spark: SparkSession, src: str, dst: str, target_file_mb: int = 128
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+    sort_by: str | None = None,
 ) -> int:
-    """Compact an existing parquet directory into ``dst``."""
-    return compact_to_target(spark.read.parquet(src), dst, target_file_mb)
+    """Compact an existing parquet directory into ``dst``. Sizes from the
+    ACTUAL on-disk bytes (filesystem listing) — exact, no sampling."""
+    import glob
+    import os
+
+    on_disk = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(src, "**"), recursive=True)
+        if os.path.isfile(f)
+    )
+    return compact_to_target(
+        spark.read.parquet(src),
+        dst,
+        target_file_mb,
+        sort_by=sort_by,
+        total_bytes=float(on_disk),
+    )

@@ -31,6 +31,8 @@ def read_jsonl(
     the reference's audit-report philosophy applied to ingestion). Fields
     present in the data but absent from the schema are ignored; fields in
     the schema but absent from a line are null."""
+    if any(f.name == CORRUPT_COL for f in schema.fields):
+        raise ValueError(f"schema must not contain the reserved column {CORRUPT_COL!r}")
     # Read as text + from_json rather than spark.read.json: filtering on
     # the json reader's corrupt column requires caching the scan (a
     # non-starter at 100TB); the text formulation is one streamed scan,
@@ -48,7 +50,11 @@ def read_jsonl(
     )
     good = parsed.filter(
         F.col("j").isNotNull() & F.col(f"j.{CORRUPT_COL}").isNull()
-    ).select(*[f"j.{f.name}" for f in schema.fields])
+    ).select(
+        # backtick-quoted: a field name containing dots must resolve as
+        # one struct field, not a nested path (same guard as catalog.py)
+        *[F.col(f"j.`{f.name}`").alias(f.name) for f in schema.fields]
+    )
     bad = parsed.filter(
         F.col("j").isNull() | F.col(f"j.{CORRUPT_COL}").isNotNull()
     ).select(F.col("value").alias("raw_line"))

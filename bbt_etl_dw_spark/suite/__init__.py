@@ -28,6 +28,19 @@ class QueryDef:
 
 QUERIES: dict[str, QueryDef] = {}
 
+
+def zsum(cond, name: str):
+    """Empty-safe violation counter for verification queries:
+    SUM(cond) as long with 0 default on empty input. Shared by the
+    precision/consistency queries in suite.text and suite.vector."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(name)
+    )
+
 _MODULES = (
     "bbt_etl_dw_spark.suite.core",
     "bbt_etl_dw_spark.suite.quality",
@@ -95,10 +108,26 @@ def _last_verified_round() -> dict[str, int]:
     return latest
 
 
+# Queries whose IMPLEMENTATION changed after their last driver row: recency
+# alone would defer them with stale evidence, so they sort as never-verified
+# until the next artifact re-evidences them (then remove from this set).
+_FORCE_RECHECK = frozenset(
+    {
+        # r03: reimplemented one-pass / refactored onto _scd2_promo_merge
+        "dup_row_stats",
+        "scd2_merge_counts",
+    }
+)
+
+
 def _check_order(names: list[str]) -> list[str]:
     latest = _last_verified_round()
     reg_idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (latest.get(n, -1), reg_idx[n]))
+
+    def recency(n: str) -> int:
+        return -1 if n in _FORCE_RECHECK else latest.get(n, -1)
+
+    return sorted(names, key=lambda n: (recency(n), reg_idx[n]))
 
 
 def load_all() -> dict[str, QueryDef]:

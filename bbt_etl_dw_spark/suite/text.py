@@ -29,6 +29,7 @@ from bbt_etl_dw_spark.operators.textstats import (
     words,
 )
 from bbt_etl_dw_spark.suite import register
+from bbt_etl_dw_spark.suite import zsum as _zsum
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -237,15 +238,6 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance <= 3 verify. Signature is a pure array-fold expression."""
     docs = table(spark, sf_dir, "documents", spread=True)
     return simhash_near_dups(docs, "doc_id", "text").orderBy("id_a", "id_b")
-
-
-def _zsum(cond, name: str) -> F.Column:
-    """Empty-safe violation counter: SUM(cond) with 0 default."""
-    return (
-        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
-        .cast("long")
-        .alias(name)
-    )
 
 
 # Precision is SQL-checkable even though the LSH candidate generation is

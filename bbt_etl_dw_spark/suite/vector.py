@@ -18,6 +18,7 @@ from bbt_etl_dw_spark.operators.similarity import (
     norm_expr,
 )
 from bbt_etl_dw_spark.suite import register
+from bbt_etl_dw_spark.suite import zsum as _zsum
 
 # Exact decimal sum of per-element products, as double (twin of
 # operators/similarity._dec_fold_sum) — see functions/numeric.py for why
@@ -165,15 +166,6 @@ def embedding_cosine_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings", spread=True)
     return exact_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4).orderBy(
         "id_a", "id_b"
-    )
-
-
-def _zsum(cond, name: str) -> F.Column:
-    """Empty-safe violation counter: SUM(cond) with 0 default."""
-    return (
-        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
-        .cast("long")
-        .alias(name)
     )
 
 

@@ -83,7 +83,10 @@ def generate() -> None:
         # many row groups => the catalog's spread heuristic is a no-op and
         # scans parallelize off the files themselves, like a real lake
         out.repartition(32).write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
-        print(f"{t}: x{COPIES} -> {out.count()} rows")
+        # count from the WRITTEN parquet (metadata-only) — counting `out`
+        # would re-execute the whole explode+shift pipeline a second time
+        n = spark.read.parquet(f"{DST}/{t}.parquet").count()
+        print(f"{t}: x{COPIES} -> {n} rows")
 
 
 if __name__ == "__main__":
