@@ -332,13 +332,14 @@ def dedup_clusters(
     Min-label propagation: each round every node takes the min label among
     itself and its neighbors; converges in O(component diameter) rounds
     (near-dup components are shallow in practice — exact dups are cliques
-    of diameter 1). Each round is ONE shuffle (edge join + min-agg);
-    per-round results are persisted and the loop exits on a converged
-    round, so the driver runs a bounded number of jobs, never a
-    collect of the graph. At 100TB, swap persist for checkpoint to
-    truncate lineage, or the large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce") for
-    high-diameter graphs."""
+    of diameter 1). Each round is ONE shuffle (edge join + min-agg), and
+    each round's labels are localCheckpoint'ed: caching alone does NOT
+    truncate lineage, so a deep iteration would grow the logical plan
+    every round until planning itself OOMs the driver (observed at ~30
+    rounds even on toy data). On a cluster, use reliable checkpoint(dir)
+    instead of localCheckpoint (which does not survive executor loss), or
+    the large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce") for high-diameter graphs."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # edges persist: every round joins against them — without this the
     # whole upstream pair-emission pipeline (e.g. a corpus-wide shingle
@@ -352,7 +353,7 @@ def dedup_clusters(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     changed = -1
     for _ in range(max_iters):
@@ -361,14 +362,13 @@ def dedup_clusters(
         ).select(F.col("src").alias("node"), "label")
         new_labels = (
             labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
-        ).persist()
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -377,15 +377,13 @@ def dedup_clusters(
         # Never return silently-wrong clusters: a component with diameter
         # > max_iters would keep a non-minimal label, splitting one real
         # duplicate group into several.
-        labels.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds "
             f"({changed} labels still changing) — raise max_iters or use a "
             "large-star/small-star variant for high-diameter graphs"
         )
-    # The converged labels stay persisted so consumption is one cheap scan
-    # (unpersisting here would force a full re-run of every round at read
-    # time); long-lived sessions should unpersist the result when done.
+    # labels is checkpointed (materialized, lineage-free): consumption is
+    # one cheap scan; superseded rounds' blocks free on GC.
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -218,3 +218,40 @@ def test_compaction_hits_target_file_count(spark, sf_dir, tmp_path):
         ranges.append((mins, maxs))
     ranges.sort()
     assert all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:]))
+
+
+def test_jsonl_rejects_reserved_column_and_quotes_dotted_names(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from bbt_etl_dw_spark.sources.jsonl import read_jsonl
+
+    src = tmp_path / "d.jsonl"
+    src.write_text('{"user.id": 7, "text": "x"}\n')
+    with _pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl(
+            spark,
+            str(src),
+            T.StructType([T.StructField("_corrupt_record", T.StringType())]),
+        )
+    dotted = T.StructType(
+        [T.StructField("user.id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    good, bad = read_jsonl(spark, str(src), dotted)
+    assert [tuple(r) for r in good.collect()] == [(7, "x")]
+    assert bad.count() == 0
+
+
+def test_compact_directory_sizes_from_disk(spark, sf_dir, tmp_path):
+    import glob
+
+    from bbt_etl_dw_spark.catalog import table
+    from bbt_etl_dw_spark.sources.compact import compact_directory
+
+    src = str(tmp_path / "src")
+    table(spark, sf_dir, "orders").repartition(20).write.parquet(src)
+    dst = str(tmp_path / "dst")
+    n = compact_directory(spark, src, dst, target_file_mb=1)
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == n
+    assert spark.read.parquet(dst).count() == table(spark, sf_dir, "orders").count()

@@ -400,3 +400,18 @@ def test_ivf_partitioned_layout_prunes_probed_lists(spark, sf_dir, tmp_path):
     want = {r.vec_id for r in listed.filter(F.col("cid").isin([0, 3])).collect()}
     got = {r.vec_id for r in probed.collect()}
     assert got == want and len(got) > 0
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from bbt_etl_dw_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iters=2)
+    # and converges fine when the budget covers the diameter
+    got = dedup_clusters(chain, max_iters=40)
+    assert got.filter(F.col("cluster_id") != 0).count() == 0
