@@ -317,11 +317,108 @@ def minhash_dedup_pairs(
     return jaccard_verify(df, cands, id_col, text_col, shingle_k, threshold)
 
 
+def _star_components(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the high-diameter fallback behind :func:`dedup_clusters`.
+
+    Per round, for each node u with inclusive-neighborhood minimum
+    m = min(N(u) ∪ {u}):
+      - large-star rewires every strictly-larger neighbor v > u to m;
+      - small-star rewires every neighbor v <= u (and u itself) to m.
+    Both are one groupBy (the min) + one join (the rewire) on skinny id
+    pairs. The edge set converges to a star forest — every node pointing
+    at its component minimum — in O(log² n) rounds REGARDLESS of graph
+    diameter, which is the property min-label propagation (O(diameter)
+    rounds) lacks on pathological near-dup chains.
+
+    ``edges`` must be the symmetric, distinct, self-loop-free adjacency
+    list (src, dst). Returns (doc_id, cluster_id). Raises if the edge set
+    has not stabilized after ``max_rounds`` (never silently wrong); the
+    star-forest shape of the result is asserted outright."""
+    cur = edges.localCheckpoint()
+    stable = False
+    for _ in range(max_rounds):
+        def nbhd_min(nbr: DataFrame) -> DataFrame:
+            return (
+                nbr.groupBy("src")
+                .agg(F.min("dst").alias("_mn"))
+                .select("src", F.least(F.col("_mn"), F.col("src")).alias("m"))
+            )
+
+        # large-star: (v, m(u)) for each neighbor v > u
+        lmin = nbhd_min(cur)
+        large = (
+            cur.join(lmin, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        sym_large = (
+            large.unionByName(
+                large.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: (v, m(u)) for each neighbor v <= u, plus (u, m(u))
+        smin = nbhd_min(sym_large)
+        small = (
+            sym_large.join(smin, "src")
+            .filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("node"), F.col("m").alias("lbl"))
+            .unionByName(smin.select(F.col("src").alias("node"), F.col("m").alias("lbl")))
+        )
+        nxt = (
+            small.filter(F.col("node") != F.col("lbl"))
+            .select(F.col("node").alias("src"), F.col("lbl").alias("dst"))
+        )
+        sym_nxt = (
+            nxt.unionByName(
+                nxt.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when the (distinct, symmetric) edge set is unchanged
+        if (
+            sym_nxt.count() == cur.count()
+            and sym_nxt.join(cur, ["src", "dst"], "left_anti").isEmpty()
+        ):
+            cur = sym_nxt
+            stable = True
+            break
+        cur = sym_nxt
+    if not stable:
+        raise RuntimeError(
+            f"_star_components did not stabilize in {max_rounds} rounds"
+        )
+    # a stable alternating-star edge set is a star forest: every non-root
+    # node has exactly one neighbor below it (the component min). Assert it
+    # rather than assume it.
+    stars = cur.filter(F.col("src") > F.col("dst"))
+    bad = (
+        stars.groupBy("src")
+        .agg(F.count_distinct("dst").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    if bad:
+        raise RuntimeError(f"_star_components: {bad} nodes with multiple roots")
+    roots = stars.select(F.col("dst").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return stars.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+    ).unionByName(roots)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    star_fallback: bool = True,
 ) -> DataFrame:
     """Connected components over a near-dup pair list -> (doc_id,
     cluster_id), cluster_id = the component's minimum doc id. The dedup
@@ -337,9 +434,15 @@ def dedup_clusters(
     truncate lineage, so a deep iteration would grow the logical plan
     every round until planning itself OOMs the driver (observed at ~30
     rounds even on toy data). On a cluster, use reliable checkpoint(dir)
-    instead of localCheckpoint (which does not survive executor loss), or
-    the large-star/small-star variant (Kiveris et al., "Connected
-    Components in MapReduce") for high-diameter graphs."""
+    instead of localCheckpoint (which does not survive executor loss).
+
+    A component with diameter > ``max_iters`` (a pathological near-dup
+    CHAIN — boilerplate drifting one edit at a time) does not converge
+    under propagation; with ``star_fallback`` the operator then switches
+    to :func:`_star_components` (alternating large-star/small-star,
+    O(log² n) rounds independent of diameter) instead of failing the run.
+    With ``star_fallback=False`` it raises — never silently-split
+    clusters."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # edges persist: every round joins against them — without this the
     # whole upstream pair-emission pipeline (e.g. a corpus-wide shingle
@@ -372,16 +475,26 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     if changed != 0:
-        # Never return silently-wrong clusters: a component with diameter
-        # > max_iters would keep a non-minimal label, splitting one real
-        # duplicate group into several.
+        # A component with diameter > max_iters still has a non-minimal
+        # label: returning now would split one real duplicate group into
+        # several. Degrade to the diameter-independent algorithm (or
+        # raise, if the caller opted out of the fallback).
+        if star_fallback:
+            try:
+                out = _star_components(edges)
+                return out.select(
+                    F.col("doc_id"), F.col("cluster_id")
+                ).localCheckpoint()
+            finally:
+                edges.unpersist()
+        edges.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds "
-            f"({changed} labels still changing) — raise max_iters or use a "
-            "large-star/small-star variant for high-diameter graphs"
+            f"({changed} labels still changing) — raise max_iters or enable "
+            "star_fallback (large-star/small-star) for high-diameter graphs"
         )
+    edges.unpersist()
     # labels is checkpointed (materialized, lineage-free): consumption is
     # one cheap scan; superseded rounds' blocks free on GC.
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -81,15 +81,42 @@ def _make_fake_decode():
 _fake_decode = _make_fake_decode()
 
 
+def _make_real_decode():
+    """Pillow-backed image decode: true dimensions + a 12-dim feature (the
+    RGB values of a 2x2 thumbnail, normalized) — deterministic for a given
+    payload. Audio/video kinds yield metadata-only rows (null dims, empty
+    feature): those codecs (ffmpeg/torchaudio) stay out of scope, and a
+    silent wrong answer would be worse than an explicit partial one.
+
+    Nested def for the same cloudpickle-by-value reason as the fake."""
+
+    def real_decode(payload: bytes, kind: str):
+        if kind != "image" or not payload:
+            return None, None, []
+        import io as _io
+
+        from PIL import Image as _Image
+
+        with _Image.open(_io.BytesIO(payload)) as img:
+            width, height = img.size
+            thumb = img.convert("RGB").resize((2, 2))
+            feature = [v / 255.0 for px in thumb.getdata() for v in px]
+        return width, height, feature
+
+    return real_decode
+
+
 def decode_media(df: DataFrame, fake: bool = False, batch_size: int = 64) -> DataFrame:
     """Decode/feature-extract media rows via Arrow-batched mapInPandas.
 
     ``fake=True`` uses the deterministic fake codec (tests, this
-    environment); otherwise requires real codec libraries.
+    environment); otherwise Pillow decodes image rows for real (audio and
+    video rows pass through metadata-only — see :func:`_make_real_decode`)
+    and the call raises if Pillow is unavailable.
     """
     if not fake and not _HAS_CODECS:
         raise NotImplementedError(
-            "media codecs (Pillow/ffmpeg) not available in this environment; "
+            "media codecs (Pillow) not available in this environment; "
             "pass fake=True for the deterministic stub decoder"
         )
 
@@ -99,7 +126,9 @@ def decode_media(df: DataFrame, fake: bool = False, batch_size: int = 64) -> Dat
     except Exception:
         pass
 
-    fake_decode = _make_fake_decode()  # nested def => pickled by value
+    # nested defs => pickled by value into the UDF closure
+    decode = _make_fake_decode() if fake else _make_real_decode()
+    use_fake = fake
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -111,9 +140,12 @@ def decode_media(df: DataFrame, fake: bool = False, batch_size: int = 64) -> Dat
                 "n_bytes": [],
                 "feature": [],
             }
-            for payload in pdf["payload"]:
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload) if payload is not None else b""
-                w, h, feat = fake_decode(raw)  # real codecs would branch on kind
+                if use_fake:
+                    w, h, feat = decode(raw)
+                else:
+                    w, h, feat = decode(raw, kind)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_bytes"].append(len(raw))

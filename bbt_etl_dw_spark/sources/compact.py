@@ -17,15 +17,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def estimate_row_bytes(df: DataFrame, sample_rows: int = 1000) -> float:
+def estimate_row_bytes(
+    df: DataFrame, sample_rows: int = 1000, sample_fraction: float = 0.05
+) -> float:
     """Average serialized row width from a bounded sample (never a full
-    scan): JSON length is a stable proxy for parquet-decoded width."""
+    scan): JSON length is a stable proxy for parquet-decoded width.
+
+    Rows are drawn via ``sample(fraction)`` BEFORE the limit so the sample
+    spans partitions/files instead of taking the head of the first file —
+    on sorted or heterogeneous layouts (e.g. a corpus whose short-doc
+    files sort first) a head sample biases the width estimate and hence
+    the file count. Tiny tables (where the fraction yields nothing) fall
+    back to a plain head sample."""
     from pyspark.sql import functions as F
 
-    sampled = df.limit(sample_rows).select(
-        F.avg(F.length(F.to_json(F.struct("*")))).alias("w")
-    )
-    w = sampled.collect()[0]["w"]
+    def avg_width(d: DataFrame):
+        row = d.limit(sample_rows).select(
+            F.avg(F.length(F.to_json(F.struct("*")))).alias("w"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return row["w"], row["n"]
+
+    w, n = avg_width(df.sample(fraction=sample_fraction, seed=42))
+    if n == 0:
+        w, _ = avg_width(df)
     return float(w or 64.0)
 
 
@@ -65,14 +80,21 @@ def compact_directory(
     sort_by: str | None = None,
 ) -> int:
     """Compact an existing parquet directory into ``dst``. Sizes from the
-    ACTUAL on-disk bytes (filesystem listing) — exact, no sampling."""
-    import glob
-    import os
+    ACTUAL on-disk bytes — exact, no sampling.
 
-    on_disk = sum(
-        os.path.getsize(f) for f in glob.glob(os.path.join(src, "**"), recursive=True)
-        if os.path.isfile(f)
-    )
+    The listing goes through Hadoop's FileSystem API (resolved from the
+    path's own scheme), so sizing works wherever the table actually lives
+    at 100TB — hdfs://, s3a://, file:// — not just the driver-local disk a
+    ``glob`` would see. An empty listing RAISES instead of silently
+    compacting "0 bytes" into a single file (the failure mode of a wrong
+    path or an unmounted scheme: n_files = max(1, round(0)) = 1 would
+    funnel the whole table through one writer)."""
+    on_disk = _on_disk_bytes(spark, src)
+    if on_disk <= 0:
+        raise ValueError(
+            f"compact_directory: no data files found under {src!r} — "
+            "wrong path, empty table, or unreadable filesystem scheme"
+        )
     return compact_to_target(
         spark.read.parquet(src),
         dst,
@@ -80,3 +102,22 @@ def compact_directory(
         sort_by=sort_by,
         total_bytes=float(on_disk),
     )
+
+
+def _on_disk_bytes(spark: SparkSession, src: str) -> int:
+    """Recursive byte count of the data files under ``src`` via the Hadoop
+    FileSystem API (spark._jvm). Hidden/metadata files (_SUCCESS, .crc,
+    _committed markers) are excluded — they are not table bytes."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise ValueError(f"compact_directory: path does not exist: {src!r}")
+    total = 0
+    files = fs.listFiles(jpath, True)  # recursive
+    while files.hasNext():
+        status = files.next()
+        name = status.getPath().getName()
+        if status.isFile() and not name.startswith(("_", ".")):
+            total += status.getLen()
+    return total

@@ -113,9 +113,10 @@ def _last_verified_round() -> dict[str, int]:
 # until the next artifact re-evidences them (then remove from this set).
 _FORCE_RECHECK = frozenset(
     {
-        # r03: reimplemented one-pass / refactored onto _scd2_promo_merge
-        "dup_row_stats",
-        "scd2_merge_counts",
+        # r04: orphan-detecting left-join rework (ADVICE r03)
+        "simhash_pairs_check",
+        # r04: dedup_clusters gained the star fallback path
+        "doc_dedup_clusters",
     }
 )
 

@@ -303,14 +303,19 @@ def simhash_pairs_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", spread=True)
     emitted = simhash_near_dups(docs, "doc_id", "text")
     sigs = docs.select(F.col("doc_id"), simhash("text").alias("sig"))
+    # LEFT joins from the emitted side: an emitted pair referencing an id
+    # absent from the corpus must surface as a bad pair (null sig), not
+    # silently drop out of an inner join and evade every counter.
     j = (
         emitted.join(
             sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")),
             "id_a",
+            "left",
         )
         .join(
             sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")),
             "id_b",
+            "left",
         )
         .withColumn(
             "recomputed", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -319,11 +324,18 @@ def simhash_pairs_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         (F.count(F.lit(1)) > 0).alias("has_pairs"),
         _zsum(
-            (F.col("hamming") != F.col("recomputed")) | (F.col("hamming") > 3),
+            (F.col("recomputed").isNull())
+            | (F.col("hamming") != F.col("recomputed"))
+            | (F.col("hamming") > 3),
             "n_hamming_mismatches",
         ),
         (
-            _zsum(F.col("id_a") >= F.col("id_b"), "_ord")
+            _zsum(
+                F.col("sig_a").isNull()
+                | F.col("sig_b").isNull()
+                | (F.col("id_a") >= F.col("id_b")),
+                "_ord",
+            )
             + (F.count(F.lit(1)) - F.countDistinct("id_a", "id_b"))
         )
         .cast("long")

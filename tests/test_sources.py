@@ -255,3 +255,66 @@ def test_compact_directory_sizes_from_disk(spark, sf_dir, tmp_path):
     files = glob.glob(f"{dst}/*.parquet")
     assert len(files) == n
     assert spark.read.parquet(dst).count() == table(spark, sf_dir, "orders").count()
+
+
+def test_compact_directory_hadoop_fs_scheme_and_empty_guard(spark, sf_dir, tmp_path):
+    """Sizing goes through the Hadoop FileSystem API: an explicit file://
+    URI (the same resolution path hdfs:// and s3a:// take on a cluster)
+    works, and a missing or file-less source RAISES instead of silently
+    compacting '0 bytes' into one file."""
+    import glob
+
+    import pytest as _pytest
+
+    from bbt_etl_dw_spark.catalog import table
+    from bbt_etl_dw_spark.sources.compact import _on_disk_bytes, compact_directory
+
+    src = str(tmp_path / "src")
+    table(spark, sf_dir, "orders").repartition(10).write.parquet(src)
+
+    # scheme-qualified URI resolves through Hadoop's FS, not local glob
+    uri = f"file://{src}"
+    sized = _on_disk_bytes(spark, uri)
+    import os
+
+    local = sum(
+        os.path.getsize(f)
+        for f in glob.glob(f"{src}/**", recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    )
+    assert sized == local > 0
+
+    dst = str(tmp_path / "dst")
+    n = compact_directory(spark, uri, dst, target_file_mb=1)
+    assert len(glob.glob(f"{dst}/*.parquet")) == n
+    assert spark.read.parquet(dst).count() == table(spark, sf_dir, "orders").count()
+
+    with _pytest.raises(ValueError, match="does not exist"):
+        compact_directory(spark, str(tmp_path / "nope"), str(tmp_path / "d2"))
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(ValueError, match="no data files"):
+        compact_directory(spark, str(empty), str(tmp_path / "d3"))
+
+
+def test_estimate_row_bytes_samples_across_partitions(spark):
+    """The width estimate must not be dominated by the head of the first
+    file: a frame whose first partition holds only short rows and later
+    partitions hold long rows should estimate well above the short-row
+    width."""
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.sources.compact import estimate_row_bytes
+
+    short = spark.range(0, 2000, 1, 1).select(F.lit("x").alias("payload"))
+    long_ = spark.range(0, 2000, 1, 4).select(F.lit("y" * 400).alias("payload"))
+    df = short.unionByName(long_).coalesce(5)
+    w = estimate_row_bytes(df)
+    # head-of-first-partition sampling would report ~16 bytes; a spread
+    # sample must see a meaningful share of the 400-byte rows
+    assert w > 100
+
+    # tiny-table fallback still returns a sane width
+    tiny = spark.range(0, 3).select(F.lit("abc").alias("p"))
+    assert estimate_row_bytes(tiny) > 0

@@ -233,12 +233,43 @@ def test_multimodal_decode_plumbing(spark):
     # determinism: same payload -> same fake decode
     again = {r["media_id"]: r for r in decode_media(df, fake=True).collect()}
     assert again[1]["feature"] == got[1]["feature"]
-    # real-codec path is explicitly stubbed in this environment
-    with pytest.raises(NotImplementedError):
-        decode_media(df, fake=False)
+    # without Pillow the real-codec path is an explicit boundary, not a stub
+    from bbt_etl_dw_spark.operators import multimodal as _mm
+
+    if not _mm._HAS_CODECS:
+        with pytest.raises(NotImplementedError):
+            decode_media(df, fake=False)
 
     stats = {r["kind"]: r for r in media_stats(df).collect()}
     assert stats["image"]["n_items"] == 2
+
+
+def test_multimodal_real_decode_roundtrip(spark):
+    """When Pillow is present, the real decode path reports true image
+    dimensions and a 2x2-thumbnail RGB feature; audio rows pass through
+    metadata-only. Skipped where Pillow is absent (documented sandbox
+    boundary — the fake-codec test above exercises the same batch path)."""
+    from bbt_etl_dw_spark.operators import multimodal as _mm
+
+    if not _mm._HAS_CODECS:
+        pytest.skip("Pillow not installed")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (2, 2), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    rows = [
+        (1, "image", bytearray(png), "image/png", "mem://red.png"),
+        (2, "audio", bytearray(b"riff"), "audio/wav", "mem://a.wav"),
+    ]
+    df = spark.createDataFrame(rows, _mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_media(df, fake=False).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (2, 2)
+    assert len(got[1]["feature"]) == 12
+    assert got[1]["feature"][0] == pytest.approx(1.0)  # red channel
+    assert got[2]["width"] is None and got[2]["feature"] == []
 
 
 def test_sample_frames(spark):
@@ -411,7 +442,57 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
         [(i, i + 1) for i in range(30)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup_clusters(chain, max_iters=2)
+        dedup_clusters(chain, max_iters=2, star_fallback=False)
     # and converges fine when the budget covers the diameter
     got = dedup_clusters(chain, max_iters=40)
     assert got.filter(F.col("cluster_id") != 0).count() == 0
+
+
+def test_dedup_clusters_star_fallback_on_high_diameter_chain(spark):
+    """A chain longer than the propagation budget must still resolve (via
+    the alternating large-star/small-star fallback), not fail the run —
+    and resolve CORRECTLY: every node labeled with the component min."""
+    from bbt_etl_dw_spark.operators.dedup import dedup_clusters
+
+    # chain 0-1-...-30 (diameter 30 >> max_iters=3) plus a separate clique
+    # and an isolated pair, so the fallback must keep components apart
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)]
+        + [(100, 101), (100, 102), (101, 102), (200, 201)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(pairs, max_iters=3).collect()
+    }
+    want = {(i, 0) for i in range(31)} | {
+        (100, 100), (101, 100), (102, 100), (200, 200), (201, 200),
+    }
+    assert got == want
+
+
+def test_star_components_matches_propagation_on_random_graph(spark):
+    """The fallback algorithm must agree with min-label propagation on a
+    graph where both converge (random sparse graph, seeded)."""
+    import random
+
+    from bbt_etl_dw_spark.operators.dedup import _star_components, dedup_clusters
+
+    rng = random.Random(7)
+    raw = {(rng.randrange(80), rng.randrange(80)) for _ in range(90)}
+    raw = [(a, b) for a, b in raw if a != b]
+    pairs = spark.createDataFrame(raw, "id_a long, id_b long")
+    via_prop = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(pairs, max_iters=40, star_fallback=False).collect()
+    }
+    e = pairs.selectExpr("id_a as src", "id_b as dst")
+    edges = (
+        e.unionByName(e.selectExpr("dst as src", "src as dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    via_star = {
+        (r.doc_id, r.cluster_id) for r in _star_components(edges).collect()
+    }
+    assert via_star == via_prop and len(via_star) > 0
