@@ -84,9 +84,18 @@ def _per_shingle_hashes(text_col: str, num_hashes: int, shingle_k: int) -> Colum
     shingle array is referenced exactly ONCE — computing H mins as separate
     expressions would re-inline (and re-evaluate) the shingle computation H
     times after projection collapse, since higher-order functions get no
-    codegen subexpression elimination. Each shingle STRING is hashed once;
-    the H family members are derived by re-hashing that fixed-width long —
-    H string hashes per shingle would dominate the signature cost."""
+    codegen subexpression elimination.
+
+    The family is md5-derived Kirsch-Mitzenmacher: each shingle STRING is
+    hashed once (md5), two independent 48-bit values h1/h2 come from hex
+    substrings, and slot i's hash is h1 + i*h2 (max < 2^54 — no signed
+    overflow anywhere). Two properties paid for here:
+    - ONE string hash per shingle; the H family members are integer
+      arithmetic (an H-string-hash family would dominate signature cost);
+    - every value is reproducible in ANY engine with md5 (unlike
+      xxhash64), so the full MinHash->LSH->verify pipeline carries a
+      value-level DuckDB oracle — the driver checks the production path
+      itself, not a companion."""
     sh = shingles(text_col, shingle_k)
     # transform-over-sequence instead of an H-wide explicit F.array: the
     # hash VALUES are identical (lambda var i == lit(i), both int), but the
@@ -97,8 +106,14 @@ def _per_shingle_hashes(text_col: str, num_hashes: int, shingle_k: int) -> Colum
     return F.transform(
         sh,
         lambda s: bind_once(
-            F.xxhash64(s),
-            lambda h: F.transform(idx, lambda i: F.xxhash64(h, i)),
+            F.md5(s),
+            lambda m: bind_once(
+                F.conv(F.substring(m, 1, 12), 16, 10).cast("long"),
+                lambda h1: bind_once(
+                    F.conv(F.substring(m, 13, 12), 16, 10).cast("long"),
+                    lambda h2: F.transform(idx, lambda i: h1 + i * h2),
+                ),
+            ),
         ),
     )
 
@@ -116,17 +131,19 @@ def _minhash_fold(text_col: str, num_hashes: int, shingle_k: int, finish=None) -
 
 
 def minhash_signature(text_col: str, num_hashes: int = 64, shingle_k: int = 3) -> Column:
-    """MinHash signature as an array<long> (xxhash64 family, one seed per
-    slot). One pass over the shingle array."""
+    """MinHash signature as an array<long> (md5-derived KM family, one
+    arithmetic seed per slot). One pass over the shingle array."""
     return _minhash_fold(text_col, num_hashes, shingle_k)
 
 
 def minhash_band_keys(
     text_col: str, num_hashes: int, bands: int, shingle_k: int
 ) -> Column:
-    """B band-bucket keys: hash of each R-slot slice of the signature,
-    computed in the fold's finish lambda so the signature is an evaluated
-    array, never a re-inlined expression."""
+    """B band-bucket keys: md5-prefix of each R-slot slice of the
+    signature (16 hex chars — short shuffle key, zero practical collision
+    mass, and reproducible by the SQL oracle, unlike xxhash64), computed
+    in the fold's finish lambda so the signature is an evaluated array,
+    never a re-inlined expression."""
     rows = num_hashes // bands
 
     def finish(sig: Column) -> Column:
@@ -134,8 +151,14 @@ def minhash_band_keys(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", *[sig[b * rows + r].cast("string") for r in range(rows)])
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[sig[b * rows + r].cast("string") for r in range(rows)]
+                            )
+                        ),
+                        1,
+                        16,
                     ).alias("bucket"),
                 )
                 for b in range(bands)
@@ -413,6 +436,122 @@ def _star_components(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     ).unionByName(roots)
 
 
+def shingle_hash_set(text_col: str, shingle_k: int = 3) -> Column:
+    """Distinct 48-bit md5-derived shingle hashes (the h1 of the KM
+    family): the compact shingle-set representation persisted in the
+    corpus index. Jaccard over these sets equals raw-shingle Jaccard up to
+    48-bit collisions (~|set|²/2^48 — vanishing) and is exactly
+    reproducible by any engine with md5."""
+    return F.array_distinct(
+        F.transform(
+            shingles(text_col, shingle_k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+        )
+    )
+
+
+def minhash_corpus_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The persisted per-doc near-dup index: (doc_id, bands, shset) where
+    ``bands`` are the B LSH band keys and ``shset`` the hashed shingle
+    set. ~100s of bytes per doc regardless of document size — the compact
+    state an append-mode corpus keeps so near-dup checks NEVER re-read
+    corpus text. At 100TB, write it partitioned/bucketed by band keys so
+    an incoming batch's probe join is co-located."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_band_keys(text_col, num_hashes, bands, shingle_k).alias("bands"),
+        shingle_hash_set(text_col, shingle_k).alias("shset"),
+    )
+
+
+def incremental_minhash_pairs(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING an incoming batch (id_a < id_b, jaccard):
+    batch-vs-corpus via the persisted band-key ``index`` plus in-batch
+    pairs — the append-time shape of MinHash dedup. Work is O(batch +
+    bucket collisions): the corpus contributes only its index rows (band
+    keys + hashed shingle sets); its TEXT is never scanned, tokenized, or
+    shuffled. History–history pairs are excluded (they were resolved when
+    those docs were ingested).
+
+    Verification jaccard is over the hashed shingle sets (see
+    :func:`shingle_hash_set`) for both sides — identical semantics for
+    in-batch and batch-vs-corpus pairs, and exactly SQL-reproducible."""
+    bx = minhash_corpus_index(batch, id_col, text_col, num_hashes, bands, shingle_k)
+    allx = (
+        index.select("doc_id", "bands", "shset")
+        .withColumn("is_new", F.lit(0))
+        .unionByName(bx.withColumn("is_new", F.lit(1)))
+    )
+    keys = allx.select("doc_id", "is_new", F.explode("bands").alias("bk")).select(
+        "doc_id", "is_new", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+    pairs = bucket_pairs(
+        keys, ["band", "bucket"], payload_cols=("is_new",), max_bucket_size=max_bucket_size
+    )
+    cand = pairs.filter((F.col("a.is_new") == 1) | (F.col("b.is_new") == 1)).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    )
+    shs = allx.select("doc_id", "shset")
+    return (
+        cand.join(shs.withColumnsRenamed({"doc_id": "id_a", "shset": "sh_a"}), "id_a")
+        .join(shs.withColumnsRenamed({"doc_id": "id_b", "shset": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_minhash_dedup(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Surviving batch rows: a batch doc is dropped when it near-dups the
+    indexed corpus, or a smaller-id doc within its own batch (the min-id
+    representative rule of :func:`incremental_exact_dedup`; chains resolve
+    over successive appends). Returns the batch rows to ingest — append
+    them AND their :func:`minhash_corpus_index` rows."""
+    pairs = incremental_minhash_pairs(index, batch, id_col, text_col, **kwargs)
+    ba = batch.select(F.col(id_col).alias("id_a")).withColumn("a_in", F.lit(True))
+    bb = batch.select(F.col(id_col).alias("id_b")).withColumn("b_in", F.lit(True))
+    victims = (
+        pairs.join(ba, "id_a", "left")
+        .join(bb, "id_b", "left")
+        .select(
+            F.when(
+                F.col("a_in").isNotNull() & F.col("b_in").isNull(), F.col("id_a")
+            )
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
+        )
+        .distinct()
+    )
+    return batch.join(victims, id_col, "left_anti")
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -525,19 +664,50 @@ def _assemble_sign_bits(votes: Column) -> Column:
     return out
 
 
+# bit b of the 64-bit md5-derived token hash lives in word 0 (low 32 bits)
+# or word 1 (high 32 bits) under a POSITIVE 32-bit mask — no sign-bit mask
+# anywhere in the vote path, so the SQL oracle needs no negative-shift
+# semantics to reproduce it.
+_WORD_MASKS = [(0 if b < 32 else 1, 1 << (b % 32)) for b in range(64)]
+
+
 def _simhash_fold(text_col: str, shingle_k: int, finish) -> Column:
     """Single-pass SimHash vote fold: hash each token once, keep a 64-slot
     ±1 vote accumulator (zip_with against a constant mask array); ``finish``
     maps the evaluated vote array to the final value. The naive
-    per-bit-aggregate formulation re-evaluates the tokenization 64×."""
-    hashes = F.transform(shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
-    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    per-bit-aggregate formulation re-evaluates the tokenization 64×.
+
+    Token hashes are md5-derived (two 32-bit words from hex substrings) —
+    one string hash per token, and reproducible in any engine with md5, so
+    the whole SimHash near-dup pipeline carries a value-level SQL oracle
+    (xxhash64 would be Spark-only)."""
+    hashes = F.transform(
+        shingles(text_col, shingle_k),
+        lambda s: bind_once(
+            F.md5(s),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("hi"),
+                F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("lo"),
+            ),
+        ),
+    )
+    masks = F.array(
+        *[
+            F.struct(F.lit(w).alias("w"), F.lit(mk).cast("long").alias("m"))
+            for w, mk in _WORD_MASKS
+        ]
+    )
 
     def merge(acc: Column, h: Column) -> Column:
         return F.zip_with(
             acc,
             masks,
-            lambda v, m: v + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+            lambda v, mk: v
+            + F.when(
+                F.when(mk["w"] == 1, h["hi"]).otherwise(h["lo"]).bitwiseAND(mk["m"])
+                != 0,
+                1,
+            ).otherwise(-1),
         )
 
     return F.aggregate(hashes, F.array_repeat(F.lit(0).cast("long"), 64), merge, finish)
@@ -555,15 +725,29 @@ def simhash_chunk_keys(text_col: str, chunks: int, shingle_k: int) -> Column:
     once per row (each struct carries sig so downstream needs no second
     reference to the aggregate)."""
     width = 64 // chunks
-    mask = (1 << width) - 1
 
     def finish(votes: Column) -> Column:
         sig = _assemble_sign_bits(votes)
+
+        def chunk_val(c: int) -> Column:
+            # assemble the chunk's bits straight from the votes (all
+            # positive masks) rather than shiftright on the signed sig —
+            # identical values, and the SQL oracle reproduces it without
+            # engine-specific negative-shift behavior
+            out = F.lit(0).cast("long")
+            for j in range(width):
+                out = out.bitwiseOR(
+                    F.when(
+                        votes[c * width + j] > 0, F.lit(1 << j).cast("long")
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+            return out
+
         return F.array(
             *[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftright(sig, c * width).bitwiseAND(F.lit(mask)).alias("val"),
+                    chunk_val(c).alias("val"),
                     sig.alias("sig"),
                 )
                 for c in range(chunks)

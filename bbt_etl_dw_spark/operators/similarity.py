@@ -5,14 +5,17 @@
   expression (zip_with product + exact decimal fold), so results are
   bit-reproducible and oracle-checkable.
 - ``lsh_topk``: the scale path — random-hyperplane bucketing prunes the
-  corpus before exact re-ranking. Hyperplanes are derived from
-  xxhash64(plane, dim) signs: deterministic, no stored model, identical on
-  every executor. At 100TB, bucket probing turns an O(N·Q) scan into
-  O(N/2^planes · Q) with a single shuffle on bucket keys.
+  corpus before exact re-ranking. Hyperplane coefficients are md5-derived
+  ±1 literals: deterministic, no stored model, identical on every
+  executor, and re-derivable by the SQL oracle (the driver value-checks
+  the LSH pipeline itself, not a companion). At 100TB, bucket probing
+  turns an O(N·Q) scan into O(N/2^planes · Q) with a single shuffle on
+  bucket keys.
 - ``ivf_topk``: the centroid-partitioned scale path — deterministic
-  hash-seeded k-means (exact-decimal Lloyd steps, so centroids are
-  identical at any parallelism), inverted lists by nearest centroid,
-  nprobe-list probing with exact re-rank.
+  md5-seeded k-means (exact-decimal Lloyd steps AND exact-decimal
+  assignment distances, so centroids and lists are identical at any
+  parallelism), inverted lists by nearest centroid, nprobe-list probing
+  with exact re-rank.
 
 Dot products fold into DECIMAL(38,18) via the string-mediated conversion
 (see functions/numeric.py) so sums are order-independent and match the
@@ -94,19 +97,45 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, planes: int = 16, seed: int = 0) -> Column:
+def _hyperplane_coeffs(planes: int, dims: int, seed: int) -> list[list[float]]:
+    """±1 hyperplane coefficient matrix, derived from md5("{seed}_{p}_{d}")
+    hex-digit parity. Computed ONCE on the driver (hashlib) and inlined as
+    plan literals — zero per-row hashing — while any engine with md5 can
+    re-derive the identical matrix (the SQL oracle does exactly that)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}_{p}_{d}".encode()).hexdigest()[0], 16) % 2
+            else -1.0
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+def hyperplane_signature(
+    vec: Column, planes: int = 16, seed: int = 0, dims: int = 64
+) -> Column:
     """LSH bucket id: sign pattern of ``planes`` pseudo-random hyperplanes.
-    Plane p's coefficient for dimension d is ±1 from xxhash64(seed, p, d) —
-    deterministic everywhere, never materialized. ``seed`` yields an
-    independent hyperplane family per LSH table."""
+    Plane p's coefficient for dimension d is ±1 from md5 hex parity —
+    deterministic, no stored model, reproducible cross-engine. ``seed``
+    yields an independent hyperplane family per LSH table.
+
+    Projections fold in native doubles SEQUENTIALLY over the array — a
+    per-row fold has a fixed order on every engine (unlike cross-row
+    sums), so the sign — and therefore every bucket id — is bit-identical
+    at any parallelism and in the SQL oracle, which mirrors the fold with
+    list_reduce in the same element order."""
+    coeffs = _hyperplane_coeffs(planes, dims, seed)
+
     def plane_bit(p: int) -> Column:
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, d: F.when(
-                    F.xxhash64(F.lit(seed), F.lit(p), d).bitwiseAND(F.lit(1)) == 1, x
-                ).otherwise(-x),
+                F.array(*[F.lit(c) for c in coeffs[p]]),
+                lambda x, c: x * c,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -182,6 +211,13 @@ def _lit_vec(v: list[float]) -> Column:
 
 
 def _l2sq(vec: Column, cvec: Column) -> Column:
+    # Native double fold — and still bit-reproducible: a PER-ROW array
+    # fold runs sequentially in array order on every engine and at every
+    # parallelism (unlike a cross-row SUM, whose partial-agg order is
+    # nondeterministic — those need the decimal discipline). The SQL
+    # oracle mirrors this with list_reduce in the same order, so centroid
+    # assignments match exactly without paying interpreted-Decimal cost
+    # (~10x) on the k-means hot path.
     return F.aggregate(
         F.zip_with(vec, cvec, lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
@@ -189,24 +225,36 @@ def _l2sq(vec: Column, cvec: Column) -> Column:
     )
 
 
+def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of exact-decimal L2² distances to each centroid.
+    ONE fold expression mapped over a literal centroid MATRIX — not
+    ``nlist`` separate fold subtrees, which made Catalyst analysis +
+    codegen scale O(nlist · dims) per Lloyd step (measured 2-4x the whole
+    job's wall at nlist=16). Values are identical: same products, same
+    decimal fold order."""
+    mat = F.array(*[_lit_vec(c) for c in centroids])
+    return F.transform(mat, lambda cv: _l2sq(vec, cv))
+
+
 def assign_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """0-based index of the nearest (L2) centroid; ties -> lowest index.
     Centroids are plan literals — broadcast with the plan, a narrow map
     stage over the corpus, never a shuffle."""
-    dists = F.array(*[_l2sq(vec, _lit_vec(c)) for c in centroids])
     return bind_once(
-        dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int")
+        _centroid_dists(vec, centroids),
+        lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
     )
 
 
 def probe_centroids(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
     """The ``nprobe`` nearest centroid ids for a query vector (array<int>),
     deterministic (distance, then index) order."""
-    ds = F.array(
-        *[
-            F.struct(_l2sq(vec, _lit_vec(c)).alias("dist"), F.lit(j).alias("cid"))
-            for j, c in enumerate(centroids)
-        ]
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    ds = bind_once(
+        _centroid_dists(vec, centroids),
+        lambda d: F.zip_with(
+            d, idx, lambda dist, cid: F.struct(dist.alias("dist"), cid.alias("cid"))
+        ),
     )
     return F.transform(F.slice(F.array_sort(ds), 1, nprobe), lambda s: s["cid"])
 
@@ -220,16 +268,17 @@ def ivf_centroids(
 ) -> list[list[float]]:
     """Deterministic IVF centroid training, pure DataFrame jobs.
 
-    Seeds = the ``nlist`` corpus vectors with the smallest xxhash64(id)
-    (a reproducible pseudo-random sample); then ``iters`` Lloyd steps where
-    the element-wise means use exact decimal sums (order-independent, so
-    the centroids are IDENTICAL at any parallelism — k-means on floats is
-    normally partitioning-dependent). Per step: one narrow assignment pass
-    + one groupBy(cid, dim) shuffle of nlist*dim skinny rows."""
+    Seeds = the ``nlist`` corpus vectors with the smallest md5(id) hex
+    string (a reproducible pseudo-random sample ANY engine can re-derive —
+    the SQL oracle replays the same ordering); then ``iters`` Lloyd steps
+    where the element-wise means use exact decimal sums (order-independent,
+    so the centroids are IDENTICAL at any parallelism — k-means on floats
+    is normally partitioning-dependent). Per step: one narrow assignment
+    pass + one groupBy(cid, dim) shuffle of nlist*dim skinny rows."""
     v = F.col(vec_col).cast("array<double>")
     seeds = (
         corpus.select(F.col(id_col).alias("sid"), v.alias("sv"))
-        .orderBy(F.xxhash64(F.col("sid")), F.col("sid"))
+        .orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
         .limit(nlist)
         .collect()
     )

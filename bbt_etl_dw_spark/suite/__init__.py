@@ -117,6 +117,19 @@ _FORCE_RECHECK = frozenset(
         "simhash_pairs_check",
         # r04: dedup_clusters gained the star fallback path
         "doc_dedup_clusters",
+        # r04: md5-derived hash families (KM minhash, simhash words,
+        # hyperplane coeffs, kmeans seeds) + full-pipeline oracles
+        "minhash_near_dup_pairs",
+        "minhash_pairs_precision",
+        "simhash_near_dup_pairs",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "ann_lsh_precision",
+        "ann_ivf_precision",
+        "embedding_cosine_near_dups",
+        "cosine_pairs_precision",
+        "embedding_cosine_exact_pairs",
+        "embedding_kmeans_clusters",
     }
 )
 

@@ -62,6 +62,16 @@ def star_fact_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("star_fact_assembly_unsorted", oracle=_FACT_ORACLE, bench=True)
+def star_fact_assembly_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """star_fact_assembly WITHOUT the output determinism sort — the shape a
+    pipeline actually writes (parquet cares about partition layout, not
+    global row order). Benchmarked separately because the global sort is a
+    driver-hash artifact worth ~1s at sf0.1 that no production plan pays;
+    the driver compare itself sorts rows, so the same oracle applies."""
+    return fact_sales(spark, sf_dir).drop("customer_key", "part_key", "supplier_key")
+
+
 _CLIENT_VALUE_KPI_ORACLE = f"""
 WITH seg AS (
     SELECT c_custkey,
@@ -232,7 +242,7 @@ def _scd2_promo_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scd2_merge_rows", oracle=_SCD2_ROWS_ORACLE)
+@register("scd2_merge_rows", oracle=_SCD2_ROWS_ORACLE, bench=True)
 def scd2_merge_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full merged SCD2 table, value-level: natural key, tracked attrs,
     validity window, currency flag for every row — proving expired rows

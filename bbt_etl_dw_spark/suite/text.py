@@ -185,11 +185,74 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("minhash_near_dup_pairs", oracle=None, bench=True)
+# FULL-PIPELINE oracle: DuckDB replays the exact production path —
+# md5-derived Kirsch-Mitzenmacher hash family (h1 + i*h2 from md5 hex
+# substrings), per-slot mins, 16 md5-prefix band buckets, the 2000-row
+# degenerate-bucket cap, the banded self-join, and the exact-Jaccard
+# verify — so the emitted pair set AND values are checked bit-for-bit,
+# recall included (an LSH bucketing bug that loses candidates now reds
+# this row, which the precision companion alone could not see).
+_MINHASH_PIPELINE_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+sh_list AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                                  FOR i IN generate_series(1, len(ws)-2)])
+              ELSE [norm] END AS shs
+  FROM w
+),
+sh AS (SELECT doc_id, UNNEST(shs) AS s FROM sh_list),
+hv AS (
+  SELECT doc_id, t.i,
+         CAST(('0x'||substring(md5(s),1,12)) AS BIGINT)
+         + t.i * CAST(('0x'||substring(md5(s),13,12)) AS BIGINT) AS h
+  FROM sh CROSS JOIN range(0, 64) AS t(i)
+),
+sig AS (SELECT doc_id, i, MIN(h) AS mh FROM hv GROUP BY doc_id, i),
+band AS (
+  SELECT doc_id, i // 4 AS band,
+         substring(md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)), 1, 16) AS bucket
+  FROM sig GROUP BY doc_id, i // 4
+),
+capped AS (
+  SELECT doc_id, band, bucket FROM band
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 2000
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a
+  JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, len(shs) AS n FROM sh_list),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, i.ni / (na.n + nb.n - i.ni) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE i.ni / (na.n + nb.n - i.ni) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@register("minhash_near_dup_pairs", oracle=_MINHASH_PIPELINE_ORACLE, bench=True)
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands) candidates -> exact n-gram-Jaccard
-    verification >= 0.5. xxhash64 signature family is Spark-native (no SQL
-    oracle); ground truth covered by pytest brute-force Jaccard tests."""
+    verification >= 0.5. The md5-derived KM hash family makes the WHOLE
+    approximate pipeline reproducible in SQL, so the oracle replays it
+    end-to-end (signatures, band buckets, bucket cap, verify) instead of
+    only bounding precision."""
     docs = table(spark, sf_dir, "documents", spread=True)
     return minhash_dedup_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
 
@@ -232,10 +295,73 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
 
 
-@register("simhash_near_dup_pairs", oracle=None)
+# FULL-PIPELINE oracle: DuckDB recomputes the md5-derived token hashes
+# (two 32-bit words per token), the 64-slot ±1 vote fold, the signed
+# signature assembly (sign bit via the explicit -2^63 mask — no negative
+# shifts anywhere), the 4 chunk bucket keys, the 2000-cap, the bucket
+# self-join, and the Hamming<=3 verify. Candidate generation, signature
+# values, and distances are all value-checked — not just consistency.
+_SIMHASH_PIPELINE_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+sh_list AS (
+  SELECT doc_id, CASE WHEN len(ws) >= 1 THEN list_distinct(ws) ELSE [norm] END AS shs
+  FROM w
+),
+tok AS (SELECT doc_id, UNNEST(shs) AS s FROM sh_list),
+h AS (
+  SELECT doc_id,
+         CAST(('0x'||substring(md5(s),1,8)) AS BIGINT) AS hi,
+         CAST(('0x'||substring(md5(s),9,8)) AS BIGINT) AS lo
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, t.b,
+         CAST(SUM(CASE WHEN t.b < 32
+                       THEN CASE WHEN ((lo >> t.b) & 1) = 1 THEN 1 ELSE -1 END
+                       ELSE CASE WHEN ((hi >> (t.b - 32)) & 1) = 1 THEN 1 ELSE -1 END
+                  END) AS BIGINT) AS v
+  FROM h CROSS JOIN range(0, 64) AS t(b)
+  GROUP BY doc_id, t.b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN
+                    CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                         ELSE (CAST(1 AS BIGINT) << b) END
+                  ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, b // 16 AS chunk,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (b % 16)) ELSE 0 END)
+              AS BIGINT) AS val
+  FROM votes GROUP BY doc_id, b // 16
+),
+buck AS (SELECT c.doc_id, c.chunk, c.val, s.sig FROM chunks c JOIN sig s USING (doc_id)),
+capped AS (
+  SELECT * FROM buck QUALIFY COUNT(*) OVER (PARTITION BY chunk, val) <= 2000
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM capped a
+  JOIN capped b ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@register("simhash_near_dup_pairs", oracle=_SIMHASH_PIPELINE_ORACLE)
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dups: 16-bit-chunk candidate buckets, Hamming
-    distance <= 3 verify. Signature is a pure array-fold expression."""
+    distance <= 3 verify. The md5-derived token-hash family makes the
+    whole pipeline SQL-reproducible; the oracle replays it end-to-end."""
     docs = table(spark, sf_dir, "documents", spread=True)
     return simhash_near_dups(docs, "doc_id", "text").orderBy("id_a", "id_b")
 
@@ -467,7 +593,7 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
-@register("doc_dedup_clusters", oracle=_CLUSTERS_ORACLE)
+@register("doc_dedup_clusters", oracle=_CLUSTERS_ORACLE, bench=True)
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the exact Jaccard
     pair set (min-label propagation, one shuffle per round) — keeping one
@@ -515,6 +641,94 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select(
         "doc_id", md5_fingerprint("text").alias("fp")
     ).orderBy("doc_id")
+
+
+# Incremental near-dup: even doc_ids play the already-indexed corpus
+# (only their band keys + hashed shingle sets exist — never their text),
+# odd doc_ids the incoming batch. The oracle replays the identical
+# md5-KM signatures, band buckets, cap, and the touching-the-batch
+# filter, then verifies with jaccard over the hashed shingle sets.
+_INCR_NEAR_DUP_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+sh_list AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                                  FOR i IN generate_series(1, len(ws)-2)])
+              ELSE [norm] END AS shs
+  FROM w
+),
+sh AS (SELECT doc_id, UNNEST(shs) AS s FROM sh_list),
+hv AS (
+  SELECT doc_id, t.i,
+         CAST(('0x'||substring(md5(s),1,12)) AS BIGINT)
+         + t.i * CAST(('0x'||substring(md5(s),13,12)) AS BIGINT) AS h
+  FROM sh CROSS JOIN range(0, 64) AS t(i)
+),
+sig AS (SELECT doc_id, i, MIN(h) AS mh FROM hv GROUP BY doc_id, i),
+band AS (
+  SELECT doc_id, i // 4 AS band,
+         substring(md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)), 1, 16) AS bucket
+  FROM sig GROUP BY doc_id, i // 4
+),
+capped AS (
+  SELECT doc_id, band, bucket, CAST(doc_id % 2 AS INT) AS is_new FROM band
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 2000
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a
+  JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE a.is_new = 1 OR b.is_new = 1
+),
+hs AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(shs,
+                s -> CAST(('0x'||substring(md5(s),1,12)) AS BIGINT)))) AS h
+  FROM sh_list
+),
+hn AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN hs ha ON ha.doc_id = c.id_a
+  JOIN hs hb ON hb.doc_id = c.id_b AND hb.h = ha.h
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, i.ni / (na.n + nb.n - i.ni) AS jaccard
+FROM inter i
+JOIN hn na ON na.doc_id = i.id_a
+JOIN hn nb ON nb.doc_id = i.id_b
+WHERE i.ni / (na.n + nb.n - i.ni) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@register("doc_incremental_near_dup", oracle=_INCR_NEAR_DUP_ORACLE)
+def doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (append-time) NEAR-dup detection: the corpus keeps a
+    compact MinHash index (band keys + hashed shingle sets); an incoming
+    batch probes it and self-checks, emitting every near-dup pair that
+    touches the batch. The corpus text is never re-read — O(batch) work
+    per append instead of re-running full-corpus dedup
+    (operators/dedup.incremental_minhash_pairs)."""
+    from bbt_etl_dw_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_corpus_index,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = minhash_corpus_index(hist, "doc_id", "text")
+    return incremental_minhash_pairs(idx, batch, "doc_id", "text").orderBy(
+        "id_a", "id_b"
+    )
 
 
 _PACKING_ORACLE = """

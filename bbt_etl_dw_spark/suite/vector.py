@@ -89,11 +89,97 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
 
-@register("ann_lsh_topk", oracle=None)
+# --------------------------------------------------------------------------
+# Full-pipeline oracle SQL builders. The md5-derived hyperplane family and
+# md5-seeded exact-decimal k-means make every approximate path REPLAYABLE
+# in DuckDB, so the emitters below carry their own value-level oracles
+# (signature, bucketing, candidate generation, re-rank — recall included)
+# instead of rows-only rows plus a precision companion.
+# --------------------------------------------------------------------------
+
+
+def _dsum(expr: str) -> str:
+    """Exact decimal sum of a double expression, as double (the SQL twin
+    of operators/similarity._dec_fold_sum — string-mediated both ways)."""
+    return (
+        f"CAST(CAST(SUM(TRY_CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(25,18)))"
+        " AS VARCHAR) AS DOUBLE)"
+    )
+
+
+def _hyperplane_sig_ctes(tables: int, planes: int) -> str:
+    """CTE chain producing hsig(vec_id, tbl, bucket): md5-hex-parity ±1
+    coefficients and a SEQUENTIAL in-row double fold (list_reduce — the
+    same element order as the Spark side's array fold, hence bit-identical
+    projections) with sign-bit bucket assembly — the SQL replay of
+    operators/similarity.hyperplane_signature."""
+    return f"""
+hplane AS (
+  SELECT vec_id, tt.tbl, pp.p,
+         list_reduce(list_transform(range(1, len(embedding)+1),
+           i -> CASE WHEN CAST(('0x'||substring(md5(tt.tbl||'_'||pp.p||'_'||(i-1)),1,1)) AS INT) % 2 = 1
+                THEN embedding[i]::DOUBLE ELSE -(embedding[i]::DOUBLE) END),
+           (a, b) -> a + b) AS pr
+  FROM embeddings
+  CROSS JOIN range(0, {tables}) AS tt(tbl)
+  CROSS JOIN range(0, {planes}) AS pp(p)
+),
+hsig AS (
+  SELECT vec_id, tbl,
+         CAST(SUM(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM hplane GROUP BY vec_id, tbl
+)"""
+
+
+def _topk_rerank_tail(k: int) -> str:
+    """Exact-decimal cosine re-rank over cand(query_id, corpus_id) — the
+    same formulation as the brute-force _TOPK_ORACLE, restricted to the
+    candidate set."""
+    return f"""
+cpairs AS (
+  SELECT c.query_id, c.corpus_id,
+         UNNEST(list_transform(range(1, len(e.embedding)+1),
+                               i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) AS p,
+         UNNEST(list_transform(range(1, len(e.embedding)+1),
+                               i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS pc,
+         UNNEST(list_transform(range(1, len(e.embedding)+1),
+                               i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) AS pq
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.corpus_id
+  JOIN embeddings q ON q.vec_id = c.query_id
+),
+cscored AS (
+  SELECT query_id, corpus_id,
+         {_dsum("p")} / (sqrt({_dsum("pc")}) * sqrt({_dsum("pq")})) AS cosine
+  FROM cpairs GROUP BY query_id, corpus_id
+),
+cranked AS (
+  SELECT query_id, corpus_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
+  FROM cscored
+)
+SELECT query_id, corpus_id, cosine, rank FROM cranked
+WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+_LSH_TOPK_ORACLE = f"""
+WITH {_hyperplane_sig_ctes(tables=4, planes=8)},
+q AS (SELECT vec_id AS query_id, tbl, bucket FROM hsig WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS corpus_id
+  FROM q JOIN hsig c ON c.tbl = q.tbl AND c.bucket = q.bucket
+),
+{_topk_rerank_tail(k=10)}
+"""
+
+
+@register("ann_lsh_topk", oracle=_LSH_TOPK_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH buckets (8 planes) with
-    exact re-rank inside the bucket. Hash-derived hyperplanes are
-    Spark-native => rows-only; recall vs brute force asserted in pytest."""
+    """Approximate top-10 via random-hyperplane LSH buckets (8 planes, 4
+    tables) with exact re-rank inside the bucket. The md5-derived
+    coefficient family is cross-engine reproducible, so the oracle replays
+    the ENTIRE pipeline (buckets, candidates, re-rank) value-for-value —
+    recall behavior included, not just precision."""
     emb = table(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -101,12 +187,98 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=10, planes=8).orderBy("query_id", "rank")
 
 
-@register("ann_ivf_topk", oracle=None)
+def _ivf_ctes(nlist: int, iters: int) -> tuple[str, str]:
+    """CTE chain for deterministic md5-seeded k-means: seeds, ``iters``
+    unrolled Lloyd steps, one final distance pass. Distances are
+    SEQUENTIAL in-row double folds (list_reduce — same element order as
+    the Spark side's array fold => bit-identical); the Lloyd MEANS are
+    cross-row aggregates and therefore use the exact-decimal discipline,
+    mirroring operators/similarity.ivf_centroids. Returns (ctes,
+    final_dist_cte_name) where the final pass d{{iters+1}} holds
+    (vec_id, cid, dist) against the trained centroids — argmin gives the
+    corpus assignment, top-nprobe gives a query's probe list."""
+
+    def dist(c: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, len(v.e)+1),"
+            f" i -> (v.e[i] - {c}.ce[i]) * (v.e[i] - {c}.ce[i])), (a, b) -> a + b)"
+        )
+
+    ctes = f"""
+v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+mx AS (
+  SELECT vec_id,
+         UNNEST(range(1, len(e)+1)) AS pos,
+         UNNEST(e) AS x
+  FROM v
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, vec_id
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {nlist}
+),
+c0 AS (SELECT s.cid, v.e AS ce FROM seeds s JOIN v USING (vec_id))"""
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes += f""",
+d{it} AS (
+  SELECT v.vec_id, {prev}.cid, {dist(prev)} AS dist
+  FROM v CROSS JOIN {prev}
+),
+a{it} AS (
+  SELECT vec_id, cid FROM d{it}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+m{it} AS (
+  SELECT a{it}.cid, mx.pos, {_dsum("mx.x")} / COUNT(mx.x) AS cx
+  FROM mx JOIN a{it} USING (vec_id) GROUP BY a{it}.cid, mx.pos
+),
+c{it} AS (
+  SELECT cid, list(cx ORDER BY pos) AS ce FROM m{it} GROUP BY cid
+  UNION ALL
+  SELECT cid, ce FROM {prev}
+  WHERE cid NOT IN (SELECT DISTINCT cid FROM a{it})
+)"""
+        prev = f"c{it}"
+    fin = iters + 1
+    ctes += f""",
+d{fin} AS (
+  SELECT v.vec_id, {prev}.cid, {dist(prev)} AS dist
+  FROM v CROSS JOIN {prev}
+)"""
+    return ctes, f"d{fin}"
+
+
+def _ivf_topk_oracle(nlist: int, iters: int, nprobe: int, k: int) -> str:
+    ctes, dfin = _ivf_ctes(nlist, iters)
+    return f"""
+WITH {ctes},
+afin AS (
+  SELECT vec_id, cid FROM {dfin}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cid FROM {dfin}
+  WHERE vec_id < 5
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS corpus_id
+  FROM probe p JOIN afin a ON a.cid = p.cid
+),
+{_topk_rerank_tail(k=k)}
+"""
+
+
+_IVF_TOPK_ORACLE = _ivf_topk_oracle(nlist=16, iters=2, nprobe=4, k=10)
+
+
+@register("ann_ivf_topk", oracle=_IVF_TOPK_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: deterministic hash-seeded k-means centroids
-    (exact-decimal Lloyd steps), corpus bucketed into inverted lists, each
-    query probes its 4 nearest of 16 lists with exact cosine re-rank.
-    Rows-only; recall vs brute force asserted in pytest."""
+    """IVF approximate top-10: deterministic md5-seeded k-means centroids
+    (exact-decimal Lloyd steps AND distances), corpus bucketed into
+    inverted lists, each query probes its 4 nearest of 16 lists with exact
+    cosine re-rank. The oracle replays the whole trainer + probe: seeds,
+    both Lloyd iterations, final assignment, probing, re-rank."""
     emb = table(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -114,7 +286,57 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).orderBy("query_id", "rank")
 
 
-@register("embedding_cosine_near_dups", oracle=None)
+# The candidate set is ~100x the surviving pair set, so the oracle mirrors
+# the engine's own double-prescreen + exact-finish discipline: plain double
+# sums (cheap) prune candidates with a 1e-6 safety margin (double-sum error
+# is ~1e-14 — no exact-passing pair can be dropped), and the expensive
+# string-mediated exact-decimal cosine runs only on survivors, where the
+# final >= 0.45 filter is applied identically to the Spark side.
+_COS_NEAR_DUP_ORACLE = f"""
+WITH {_hyperplane_sig_ctes(tables=16, planes=4)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM hsig a JOIN hsig b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+fpairs AS (
+  SELECT c.id_a, c.id_b,
+         UNNEST(list_transform(range(1, len(ea.embedding)+1),
+                               i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) AS p,
+         UNNEST(list_transform(range(1, len(ea.embedding)+1),
+                               i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE)) AS pa,
+         UNNEST(list_transform(range(1, len(ea.embedding)+1),
+                               i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) AS pb
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+),
+screened AS (
+  SELECT id_a, id_b FROM fpairs GROUP BY id_a, id_b
+  HAVING SUM(p) / (sqrt(SUM(pa)) * sqrt(SUM(pb))) >= 0.45 - 1e-6
+),
+vpairs AS (
+  SELECT s.id_a, s.id_b,
+         UNNEST(list_transform(range(1, len(ea.embedding)+1),
+                               i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) AS p,
+         UNNEST(list_transform(range(1, len(ea.embedding)+1),
+                               i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE)) AS pa,
+         UNNEST(list_transform(range(1, len(ea.embedding)+1),
+                               i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) AS pb
+  FROM screened s
+  JOIN embeddings ea ON ea.vec_id = s.id_a
+  JOIN embeddings eb ON eb.vec_id = s.id_b
+),
+vscored AS (
+  SELECT id_a, id_b,
+         {_dsum("p")} / (sqrt({_dsum("pa")}) * sqrt({_dsum("pb")})) AS cosine
+  FROM vpairs GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cosine FROM vscored
+WHERE cosine >= 0.45 ORDER BY id_a, id_b
+"""
+
+
+@register("embedding_cosine_near_dups", oracle=_COS_NEAR_DUP_ORACLE)
 def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: multi-table hyperplane LSH
     buckets -> exact cosine verify. The embedding-space analog of MinHash.
@@ -122,7 +344,8 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 0.95 threshold would be vacuously empty and prove nothing. At 0.45
     (p≈0.65 per plane) the family must be shallow-and-wide: 4 planes x 16
     tables => per-pair recall ≈ 1-(1-0.65^4)^16 ≈ 0.95 at the threshold
-    (higher above it); pytest asserts recall vs the exact all-pairs oracle."""
+    (higher above it). The oracle replays buckets + candidates + exact
+    verify end-to-end (the md5 coefficient family is SQL-reproducible)."""
     emb = table(spark, sf_dir, "embeddings", spread=True)
     return cosine_near_dups(
         emb, "vec_id", "embedding", threshold=0.45, planes=4, tables=16
@@ -130,17 +353,32 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exact_pairs_sql(threshold: float) -> str:
+    # double-prescreen (in-row list_reduce dot, ~100x cheaper than the
+    # string-mediated decimal casts) with a 1e-6 margin no exact-passing
+    # pair can slip through, exact-decimal finish on survivors only —
+    # the engine's own exact_cosine_pairs discipline, mirrored.
     return f"""
 WITH prods AS (
     SELECT vec_id, UNNEST(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS p
     FROM embeddings
 ), norms AS (
     SELECT vec_id, sqrt({_DOT_SQL}) AS nrm FROM prods GROUP BY vec_id
+), screened AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    JOIN norms sna ON sna.vec_id = a.vec_id
+    JOIN norms snb ON snb.vec_id = b.vec_id
+    WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                                     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+                      (x, y) -> x + y) / (sna.nrm * snb.nrm) >= {threshold} - 1e-6
 ), pairprods AS (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    SELECT s.id_a, s.id_b,
            UNNEST(list_transform(range(1, len(a.embedding) + 1),
                                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS p
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM screened s
+    JOIN embeddings a ON a.vec_id = s.id_a
+    JOIN embeddings b ON b.vec_id = s.id_b
 ), dots AS (
     SELECT id_a, id_b, {_DOT_SQL} AS dot FROM pairprods GROUP BY id_a, id_b
 )
@@ -290,13 +528,92 @@ def ann_ivf_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_result_check(ivf_topk(emb, queries, k=10, nlist=16, nprobe=4), emb)
 
 
-@register("embedding_kmeans_clusters", oracle=None)
+@register("ann_ivf_partitioned_topk", oracle=_IVF_TOPK_ORACLE)
+def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 THROUGH the partitioned on-disk layout: the corpus is
+    written ``partitionBy(cid)`` (the inverted lists as physical
+    partitions), probes re-read it with a cid filter, and the builder
+    RAISES unless that filter reaches the scan as a PartitionFilter — so
+    this row is green only if partition pruning actually happened. Same
+    result as ann_ivf_topk by construction (identical centroids, lists,
+    probes); at 100TB this layout is what turns a probe into an
+    nprobe/nlist-fraction scan instead of a full pass."""
+    import os
+    import tempfile
+
+    from bbt_etl_dw_spark.operators.similarity import (
+        assign_centroid,
+        cosine_expr,
+        ivf_centroids,
+        probe_centroids,
+    )
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    cents = ivf_centroids(emb, nlist=16, iters=2)
+    v = F.col("embedding").cast("array<double>")
+    lists_path = os.path.join(
+        tempfile.gettempdir(),
+        f"bbt_ivf_lists_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        v.alias("cvec"),
+        assign_centroid(v, cents).alias("cid"),
+    ).write.mode("overwrite").partitionBy("cid").parquet(lists_path)
+
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        v.alias("qv"),
+        F.explode(probe_centroids(v, cents, nprobe=4)).alias("cid"),
+    )
+    probe_cids = sorted(r["cid"] for r in probes.select("cid").distinct().collect())
+
+    lists = spark.read.parquet(lists_path)
+    pruned = lists.filter(F.col("cid").isin(probe_cids))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: [" not in plan or "cid" not in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]:
+        raise AssertionError(
+            "cid filter did not reach the scan as a PartitionFilter — "
+            "partition pruning regressed:\n" + plan
+        )
+
+    scored = pruned.join(F.broadcast(probes), "cid").select(
+        "query_id",
+        "corpus_id",
+        cosine_expr(F.col("cvec"), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "corpus_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _kmeans_sizes_oracle(nlist: int, iters: int) -> str:
+    ctes, dfin = _ivf_ctes(nlist, iters)
+    return f"""
+WITH {ctes},
+afin AS (
+  SELECT vec_id, cid FROM {dfin}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)
+SELECT CAST(cid AS INT) AS cluster_id, COUNT(*) AS n_vectors
+FROM afin GROUP BY cid ORDER BY cid
+"""
+
+
+@register("embedding_kmeans_clusters", oracle=_kmeans_sizes_oracle(nlist=8, iters=2))
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means clustering of the corpus (the IVF trainer used
-    directly as a clustering operator): hash-seeded centroids, 2
-    exact-decimal Lloyd steps, per-cluster sizes. Rows-only (xxhash seeds
-    are Spark-native); determinism follows from the exact-decimal means —
-    identical clusters at any parallelism."""
+    directly as a clustering operator): md5-seeded centroids, 2
+    exact-decimal Lloyd steps, per-cluster sizes. Determinism follows from
+    the exact-decimal means and distances — identical clusters at any
+    parallelism — and the oracle replays the full trainer in SQL."""
     from bbt_etl_dw_spark.operators.similarity import assign_centroid, ivf_centroids
 
     emb = table(spark, sf_dir, "embeddings", spread=True)
