@@ -77,6 +77,7 @@ def incremental_exact_dedup(
 
 
 _LONG_MAX = (1 << 63) - 1
+_MERSENNE31 = (1 << 31) - 1
 
 
 def _per_shingle_hashes(text_col: str, num_hashes: int, shingle_k: int) -> Column:
@@ -86,10 +87,15 @@ def _per_shingle_hashes(text_col: str, num_hashes: int, shingle_k: int) -> Colum
     times after projection collapse, since higher-order functions get no
     codegen subexpression elimination.
 
-    The family is md5-derived Kirsch-Mitzenmacher: each shingle STRING is
+    The family is md5-derived universal hashing: each shingle STRING is
     hashed once (md5), two independent 48-bit values h1/h2 come from hex
-    substrings, and slot i's hash is h1 + i*h2 (max < 2^54 — no signed
-    overflow anywhere). Two properties paid for here:
+    substrings, and slot i's hash is (h1 + i*h2) mod (2^31 - 1). The
+    intermediate maxes at ~2^54 — no signed overflow anywhere — and the
+    MODULAR WRAPAROUND is load-bearing, not decoration: without it the
+    family is monotone in i, slot argmins correlate (one shingle with a
+    small (h1, h2) pair dominates every slot), and banded LSH misses
+    jaccard-0.9 pairs outright — observed, not hypothetical. With the mod,
+    each slot is a fresh universal permutation. Two properties paid for:
     - ONE string hash per shingle; the H family members are integer
       arithmetic (an H-string-hash family would dominate signature cost);
     - every value is reproducible in ANY engine with md5 (unlike
@@ -111,7 +117,9 @@ def _per_shingle_hashes(text_col: str, num_hashes: int, shingle_k: int) -> Colum
                 F.conv(F.substring(m, 1, 12), 16, 10).cast("long"),
                 lambda h1: bind_once(
                     F.conv(F.substring(m, 13, 12), 16, 10).cast("long"),
-                    lambda h2: F.transform(idx, lambda i: h1 + i * h2),
+                    lambda h2: F.transform(
+                        idx, lambda i: (h1 + i * h2) % F.lit(_MERSENNE31).cast("long")
+                    ),
                 ),
             ),
         ),

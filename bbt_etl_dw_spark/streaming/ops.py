@@ -149,3 +149,69 @@ def enrich_with_dim(
     restarting the query. The canonical Kafka-enrichment shape at scale:
     the stream never shuffles, only the dim moves."""
     return df.join(F.broadcast(dim), on=on, how=how)
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def docs_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Parquet file-source stream of document batches — the corpus-append
+    feed. One file per trigger = one ingest batch."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_dedup_ingest(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **dedup_kwargs,
+):
+    """The corpus ingest loop as a stream: per micro-batch, probe the
+    persisted MinHash index (operators/dedup.incremental_minhash_dedup),
+    append the surviving rows to the corpus and their index rows to the
+    index. Returns the DataStreamWriter (caller .start()s it).
+
+    This is the production shape of near-dup dedup at 100TB: the corpus
+    is only ever APPENDED to, each batch costs O(batch + collisions), and
+    the corpus text is never re-read — the compact index (band keys +
+    hashed shingle sets) is the only standing state. foreachBatch runs
+    micro-batches serially, so batch N+1 sees batch N's survivors in the
+    index (in-batch and cross-batch dups both resolve)."""
+    from bbt_etl_dw_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_corpus_index,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        empty = minhash_corpus_index(
+            batch_df.limit(0), id_col, text_col, **dedup_kwargs
+        )
+        try:
+            idx = sess.read.parquet(index_path)
+        except Exception:  # first batch: no index yet
+            idx = empty
+        survivors = incremental_minhash_dedup(
+            idx, batch_df, id_col, text_col, **dedup_kwargs
+        )
+        # survivors feed two sinks; materialize once, not twice
+        survivors = survivors.localCheckpoint()
+        survivors.write.mode("append").parquet(corpus_path)
+        minhash_corpus_index(survivors, id_col, text_col, **dedup_kwargs).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    return docs_stream.writeStream.foreachBatch(ingest).outputMode("update")

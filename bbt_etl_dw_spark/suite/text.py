@@ -186,7 +186,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # FULL-PIPELINE oracle: DuckDB replays the exact production path —
-# md5-derived Kirsch-Mitzenmacher hash family (h1 + i*h2 from md5 hex
+# md5-derived universal hash family ((h1 + i*h2) mod 2^31-1 from md5 hex
 # substrings), per-slot mins, 16 md5-prefix band buckets, the 2000-row
 # degenerate-bucket cap, the banded self-join, and the exact-Jaccard
 # verify — so the emitted pair set AND values are checked bit-for-bit,
@@ -210,8 +210,8 @@ sh_list AS (
 sh AS (SELECT doc_id, UNNEST(shs) AS s FROM sh_list),
 hv AS (
   SELECT doc_id, t.i,
-         CAST(('0x'||substring(md5(s),1,12)) AS BIGINT)
-         + t.i * CAST(('0x'||substring(md5(s),13,12)) AS BIGINT) AS h
+         (CAST(('0x'||substring(md5(s),1,12)) AS BIGINT)
+          + t.i * CAST(('0x'||substring(md5(s),13,12)) AS BIGINT)) % 2147483647 AS h
   FROM sh CROSS JOIN range(0, 64) AS t(i)
 ),
 sig AS (SELECT doc_id, i, MIN(h) AS mh FROM hv GROUP BY doc_id, i),
@@ -666,8 +666,8 @@ sh_list AS (
 sh AS (SELECT doc_id, UNNEST(shs) AS s FROM sh_list),
 hv AS (
   SELECT doc_id, t.i,
-         CAST(('0x'||substring(md5(s),1,12)) AS BIGINT)
-         + t.i * CAST(('0x'||substring(md5(s),13,12)) AS BIGINT) AS h
+         (CAST(('0x'||substring(md5(s),1,12)) AS BIGINT)
+          + t.i * CAST(('0x'||substring(md5(s),13,12)) AS BIGINT)) % 2147483647 AS h
   FROM sh CROSS JOIN range(0, 64) AS t(i)
 ),
 sig AS (SELECT doc_id, i, MIN(h) AS mh FROM hv GROUP BY doc_id, i),

@@ -4,7 +4,13 @@ the sf0.1 tables 10x with join-integrity-preserving key shifts, then run
 the headline bench set against them.
 
 Usage:
-    python scale_probe.py generate   # write /root/repo/.scale/sf1 (once)
+    python scale_probe.py generate    # write /root/repo/.scale/sf1 (once)
+    python scale_probe.py bench r04   # run bench.py at sf1 (generating the
+                                      # data if missing) and write
+                                      # BENCH_sf1_r04.json next to BENCH —
+                                      # the standing per-round artifact so
+                                      # scale regressions show up as a
+                                      # committed JSON diff, not prose
     SPARK_GRAFT_SF_DIR=/root/repo/.scale/sf1 python bench.py
 
 Key shifts per replica i (0..9): every key column in a foreign-key
@@ -89,8 +95,66 @@ def generate() -> None:
         print(f"{t}: x{COPIES} -> {n} rows")
 
 
+def bench_sf1(tag: str) -> None:
+    """Run bench.py at sf0.1 AND at the synthetic sf1 back-to-back (same
+    machine state, so the per-query ratios isolate data-scale cost from
+    ambient load) and write BENCH_sf1_{tag}.json. The 10x-data ratio per
+    query is the actual scale signal a round-over-round diff should watch
+    — a query drifting toward 10x has lost its sublinearity."""
+    import json
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(DST):
+        generate()
+
+    def run(sf_dir: str):
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py")],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=repo,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                return proc.returncode, json.loads(line)
+            except json.JSONDecodeError:
+                continue
+        return proc.returncode, None
+
+    rc01, p01 = run(SRC)
+    rc1, p1 = run(DST)
+    ratios = None
+    if p01 and p1:
+        q01 = p01.get("queries", {})
+        ratios = {
+            q: round(t / q01[q], 2)
+            for q, t in p1.get("queries", {}).items()
+            if q01.get(q)
+        }
+        ratios["_total"] = round(p1["value"] / p01["value"], 2)
+    out = {
+        "rc": max(rc01, rc1),
+        "sf": "sf1-synthetic (10x sf0.1, key-shifted replicas)",
+        "sf01_baseline": p01,
+        "parsed": p1,
+        "ratio_sf1_vs_sf01": ratios,
+    }
+    dst = os.path.join(repo, f"BENCH_sf1_{tag}.json")
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=2)
+    print(
+        f"wrote {dst}: sf0.1={p01 and p01.get('value')}s "
+        f"sf1={p1 and p1.get('value')}s ratio={ratios and ratios.get('_total')}"
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "generate":
         generate()
+    elif len(sys.argv) > 2 and sys.argv[1] == "bench":
+        bench_sf1(sys.argv[2])
     else:
         print(__doc__)

@@ -336,3 +336,66 @@ def test_stream_stream_left_interval_join_equals_batch(
     # non-vacuous both ways: matched rows AND unmatched (null-click) rows
     assert any(c is not None for _, c in want)
     assert any(c is None for _, c in want)
+
+
+def test_streaming_dedup_ingest_equals_sequential_batches(spark, tmp_path):
+    """The corpus ingest loop run as a real stream (3 document files = 3
+    micro-batches through foreachBatch) must produce exactly the corpus
+    that sequential batch application of incremental_minhash_dedup
+    produces: cross-batch near-dups dropped, in-batch dups keep the
+    min id, the index grows only with survivors."""
+    from bbt_etl_dw_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_corpus_index,
+    )
+    from bbt_etl_dw_spark.streaming.ops import docs_file_stream, streaming_dedup_ingest
+
+    base = "the quick brown fox jumps over the lazy dog near the old wooden door"
+    batches = [
+        [(1, base), (2, "totally unrelated first text about engines and planners")],
+        [(11, base + " x"),  # near-dup of doc 1 -> dropped
+         (12, "fresh second-batch content that stands completely alone")],
+        [(21, "totally unrelated first text about engines and planners"),  # exact dup of 2
+         (22, "final unique document closing out the ingest test run"),
+         (23, "final unique document closing out the ingest test run")],  # in-batch dup
+    ]
+    files_dir = tmp_path / "feed"
+    files_dir.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        chunk = tmp_path / f"chunk{i}"
+        df.coalesce(1).write.parquet(str(chunk))
+        for f_ in sorted(chunk.glob("*.parquet")):
+            f_.rename(files_dir / f"part-{i:03d}.parquet")
+
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+    q = streaming_dedup_ingest(
+        docs_file_stream(spark, str(files_dir)), corpus_path, index_path
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus_path).collect())
+
+    # sequential batch-mode application over the same batches
+    idx = None
+    want = []
+    for rows in batches:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        if idx is None:
+            idx = minhash_corpus_index(df.limit(0), "doc_id", "text")
+        surv = incremental_minhash_dedup(idx, df, "doc_id", "text")
+        rows_kept = [(r.doc_id, r.text) for r in surv.collect()]
+        want += [d for d, _ in rows_kept]
+        kept_df = spark.createDataFrame(rows_kept, "doc_id long, text string")
+        idx = idx.unionByName(minhash_corpus_index(kept_df, "doc_id", "text"))
+    assert got == sorted(want)
+    assert got == [1, 2, 12, 22]  # 11 near-dups 1; 21 dups 2; 23 dups 22
+
+    # the index holds exactly the survivors
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(index_path).collect()
+    ) == got
