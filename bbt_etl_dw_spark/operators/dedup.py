@@ -348,7 +348,20 @@ def minhash_dedup_pairs(
     return jaccard_verify(df, cands, id_col, text_col, shingle_k, threshold)
 
 
-def _star_components(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+
+def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
+    """Per-round lineage truncation for iterative plans. ``reliable=True``
+    uses checkpoint() into the session's checkpoint dir (HDFS/S3 on a real
+    cluster — survives executor loss, which localCheckpoint's
+    executor-local blocks do not); the caller must have called
+    ``sparkContext.setCheckpointDir`` first. Default stays localCheckpoint
+    (no dir needed, right for local/tests)."""
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+
+
+def _star_components(
+    edges: DataFrame, max_rounds: int = 40, reliable_checkpoint: bool = False
+) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
     Beyond") — the high-diameter fallback behind :func:`dedup_clusters`.
@@ -367,7 +380,7 @@ def _star_components(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     list (src, dst). Returns (doc_id, cluster_id). Raises if the edge set
     has not stabilized after ``max_rounds`` (never silently wrong); the
     star-forest shape of the result is asserted outright."""
-    cur = edges.localCheckpoint()
+    cur = _ckpt(edges, reliable_checkpoint)
     stable = False
     for _ in range(max_rounds):
         def nbhd_min(nbr: DataFrame) -> DataFrame:
@@ -390,8 +403,8 @@ def _star_components(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             )
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
         )
+        sym_large = _ckpt(sym_large, reliable_checkpoint)
         # small-star: (v, m(u)) for each neighbor v <= u, plus (u, m(u))
         smin = nbhd_min(sym_large)
         small = (
@@ -407,10 +420,9 @@ def _star_components(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
         sym_nxt = (
             nxt.unionByName(
                 nxt.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            )
-            .distinct()
-            .localCheckpoint()
+            ).distinct()
         )
+        sym_nxt = _ckpt(sym_nxt, reliable_checkpoint)
         # converged when the (distinct, symmetric) edge set is unchanged
         if (
             sym_nxt.count() == cur.count()
@@ -566,6 +578,7 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_iters: int = 20,
     star_fallback: bool = True,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over a near-dup pair list -> (doc_id,
     cluster_id), cluster_id = the component's minimum doc id. The dedup
@@ -580,8 +593,10 @@ def dedup_clusters(
     each round's labels are localCheckpoint'ed: caching alone does NOT
     truncate lineage, so a deep iteration would grow the logical plan
     every round until planning itself OOMs the driver (observed at ~30
-    rounds even on toy data). On a cluster, use reliable checkpoint(dir)
-    instead of localCheckpoint (which does not survive executor loss).
+    rounds even on toy data). On a cluster, pass
+    ``reliable_checkpoint=True`` (after ``sparkContext.setCheckpointDir``)
+    so rounds checkpoint to HDFS/S3 and survive executor loss, which
+    localCheckpoint's executor-local blocks do not.
 
     A component with diameter > ``max_iters`` (a pathological near-dup
     CHAIN — boilerplate drifting one edit at a time) does not converge
@@ -603,16 +618,17 @@ def dedup_clusters(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
+    labels = _ckpt(labels, reliable_checkpoint)
     changed = -1
     for _ in range(max_iters):
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
-        new_labels = (
-            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        new_labels = _ckpt(
+            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label")),
+            reliable_checkpoint,
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -629,10 +645,11 @@ def dedup_clusters(
         # raise, if the caller opted out of the fallback).
         if star_fallback:
             try:
-                out = _star_components(edges)
-                return out.select(
-                    F.col("doc_id"), F.col("cluster_id")
-                ).localCheckpoint()
+                out = _star_components(edges, reliable_checkpoint=reliable_checkpoint)
+                return _ckpt(
+                    out.select(F.col("doc_id"), F.col("cluster_id")),
+                    reliable_checkpoint,
+                )
             finally:
                 edges.unpersist()
         edges.unpersist()

@@ -1,8 +1,9 @@
 """Training-data text-pipeline suite over the documents table: dedup
-(exact / MinHash-LSH / SimHash), language ID, quality scoring, token
-counting, fingerprinting. Oracle-paired wherever the computation is
-SQL-expressible; hash-family ops (xxhash64) are rows-only with pytest
-ground-truth tests instead."""
+(exact / MinHash-LSH / SimHash / incremental), language ID, quality
+scoring, token counting, fingerprinting. EVERY query here is
+oracle-paired: the md5-derived hash families make even the approximate
+pipelines (signatures, banding, bucket caps, verify) replayable in
+DuckDB value-for-value."""
 
 from __future__ import annotations
 

@@ -581,3 +581,31 @@ def test_incremental_minhash_never_rereads_corpus_text(spark, tmp_path):
     # and the probe actually finds the cross-boundary near-dup
     got = {(r.id_a, r.id_b) for r in out.collect()}
     assert (1, 14) in got  # batch doc 1 ~ history doc 14 ("number 7")
+
+
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    """reliable_checkpoint=True routes every round through checkpoint()
+    into the session checkpoint dir (the executor-loss-safe cluster mode)
+    and produces identical clusters, on both the propagation path and the
+    star fallback path."""
+    from bbt_etl_dw_spark.operators.dedup import dedup_clusters
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(100, 101)], "id_a long, id_b long"
+    )
+    want = {(i, 0) for i in range(13)} | {(100, 100), (101, 100)}
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(pairs, reliable_checkpoint=True).collect()
+    }
+    assert got == want
+    # star fallback under reliable checkpointing (diameter 12 > max_iters 2)
+    got_star = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(pairs, max_iters=2, reliable_checkpoint=True).collect()
+    }
+    assert got_star == want
+    import glob
+
+    assert glob.glob(str(tmp_path / "ckpt" / "*")), "no checkpoint data written"
