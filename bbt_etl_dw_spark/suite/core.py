@@ -18,7 +18,7 @@ from bbt_etl_dw_spark.catalog import table
 from bbt_etl_dw_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 from bbt_etl_dw_spark.operators.asof import asof_join
 from bbt_etl_dw_spark.operators.ffill import forward_fill
-from bbt_etl_dw_spark.operators.surrogate import hash_key, ordered_key
+from bbt_etl_dw_spark.operators.surrogate import hash_key, md5_key, ordered_key
 from bbt_etl_dw_spark.suite import register
 
 # --------------------------------------------------------------------------
@@ -425,9 +425,31 @@ def surrogate_hash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic xxhash64 surrogate keys (fixes the reference's
     monotonically_increasing_id instability, SURVEY §4). No SQL oracle —
     xxhash64 is Spark-specific — but results are run-stable; the test suite
-    asserts determinism + uniqueness. Rows-only driver check."""
+    asserts determinism + uniqueness. Rows-only driver check; the oracled
+    twin is surrogate_md5_keys (same operator family, auditable hash)."""
     c = table(spark, sf_dir, "customer")
     out = hash_key(c, ["c_custkey"], "customer_sk")
+    return out.select("c_custkey", "customer_sk").orderBy("c_custkey")
+
+
+@register(
+    "surrogate_md5_keys",
+    oracle="""
+SELECT c_custkey,
+       CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS customer_sk
+FROM customer ORDER BY c_custkey
+""",
+)
+def surrogate_md5_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-engine-AUDITABLE surrogate-key strategy: 60-bit md5-prefix
+    keys any downstream system can re-derive (operators/surrogate.md5_key).
+    Fully value-checked against DuckDB recomputing the same keys — the
+    oracled twin of surrogate_hash_keys (xxhash64 stays the pure-Spark
+    hot-path default; this is the choice when key audit matters more than
+    ~3x hash cost)."""
+    c = table(spark, sf_dir, "customer")
+    out = md5_key(c, ["c_custkey"], "customer_sk")
     return out.select("c_custkey", "customer_sk").orderBy("c_custkey")
 
 
@@ -753,13 +775,53 @@ def customer_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact count — the single-pass sketch path for 100TB cardinality
     (exact count-distinct needs a full shuffle of the keys; the sketch is
     mergeable map-side state). Rows-only: sketch estimates are
-    engine-specific; the relative-error bound is pytest-asserted."""
+    engine-specific; the relative-error bound is pytest-asserted AND
+    driver-checked by the oracled companion cardinality_sketch_check."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
             F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# The sketch VALUE is engine-specific, but its CONTRACT is not: the exact
+# per-group cardinalities are SQL, and the HLL++ estimate must land within
+# a 5-sigma relative-error band (rsd=0.02 -> 10%) of them. Emitting the
+# exact counts plus a bound-satisfied flag makes the sketch's guarantee a
+# hash-checked driver row: a broken sketch (or a bound violation) flips
+# within_bound to FALSE and reds the row, while exact counts are verified
+# value-for-value.
+_SKETCH_CHECK_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS within_bound
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register("cardinality_sketch_check", oracle=_SKETCH_CHECK_ORACLE)
+def cardinality_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable contract of the HLL++ sketch: per order status,
+    the exact distinct-customer count (value-checked vs DuckDB) and
+    whether the rsd=0.02 estimate stayed within 5 sigma (10%) of it."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            (
+                F.abs(F.col("_approx") - F.col("exact_customers"))
+                <= 0.10 * F.col("exact_customers")
+            ).alias("within_bound"),
         )
         .orderBy("o_orderstatus")
     )

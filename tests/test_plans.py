@@ -118,3 +118,24 @@ def test_fact_hash_keys_match_natural_ids(spark, sf_dir):
         )
     ).count()
     assert bad == 0
+
+
+def test_md5_key_deterministic_unique_and_python_rederivable(spark, sf_dir):
+    """md5_key: stable across runs, unique on a key column, and re-derivable
+    outside Spark (hashlib) — the auditability property it exists for."""
+    import hashlib
+
+    from bbt_etl_dw_spark.catalog import table
+    from bbt_etl_dw_spark.operators.surrogate import check_unique, md5_key
+
+    c = table(spark, sf_dir, "customer")
+    keyed = md5_key(c, ["c_custkey"], "sk")
+    check_unique(keyed, "sk")
+    rows = {r["c_custkey"]: r["sk"] for r in keyed.select("c_custkey", "sk").collect()}
+    again = {
+        r["c_custkey"]: r["sk"]
+        for r in md5_key(c, ["c_custkey"], "sk").select("c_custkey", "sk").collect()
+    }
+    assert rows == again
+    for k in list(rows)[:20]:
+        assert rows[k] == int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
