@@ -251,9 +251,26 @@ def jaccard_verify(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only: join shingle sets back
-    twice (broadcast-eligible candidate side), array_intersect/union."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), shingles(text_col, shingle_k).alias("sh")
+    twice (broadcast-eligible candidate side), array_intersect/union.
+
+    The corpus is semi-join-pruned to docs that actually appear in a
+    candidate pair BEFORE shingles are computed: Catalyst cannot push a
+    join's row pruning below the expensive shingle projection on its own,
+    so without this every doc in the corpus is tokenized (twice — once per
+    join side) to verify a candidate set ~100x smaller. Verification cost
+    is O(candidates), not O(corpus) — the property that matters when the
+    corpus is 100TB and the candidate set is a few percent."""
+    # the pair list is small (that is the point of LSH); materialize it
+    # once so the upstream candidate pipeline (signatures + bucket join)
+    # is not re-executed for each of its three uses below
+    candidates = candidates.localCheckpoint()
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", shingles(text_col, shingle_k).alias("sh"))
     )
     out = (
         candidates.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), "id_a")
