@@ -1,0 +1,148 @@
+"""Span-level exact dedup: maximal duplicated token spans across documents.
+
+Motivation (training-data pipelines): document-level dedup (exact or
+MinHash) misses the common failure mode where *parts* of documents repeat
+across the corpus — boilerplate headers, license blocks, quoted chain
+mail. "Deduplicating Training Data Makes Language Models Better" (Lee et
+al., 2022) removes any ≥50-token substring that appears more than once.
+A distributed suffix array is overkill on Spark; the standard scalable
+approximation is fixed-width token *windows*: a span is duplicated iff
+every n-token window inside it is duplicated, so detecting duplicated
+windows and merging overlapping ones recovers maximal duplicated spans
+at window granularity.
+
+Scale shape (the reason this formulation survives 100 TB):
+
+- The document body is tokenized ONCE in a narrow map stage; what
+  shuffles is ``(doc_id, pos, 16-hex window digest)`` — ~30 bytes per
+  token, never the text.
+- Window frequency needs only "appears in ≥2 distinct docs", which is
+  ``MIN(doc_id) <> MAX(doc_id)`` — two partial-aggregatable aggregates,
+  so the first shuffle map-side combines to one row per digest. No
+  COUNT(DISTINCT) expansion, no cap needed: unlike pair-emitting dedup
+  there is NO quadratic join anywhere — a window shared by a million
+  documents still contributes exactly one row per occurrence.
+- The island merge windows over ``doc_id`` — the third shuffle carries
+  only the duplicated windows, typically a small fraction of the corpus.
+
+Reference: the BBT-ETL-DW reference has no span-level operator (its dedup
+is row-level `dropDuplicates`, deduplication.py); this is part of the
+training-data extension surface alongside operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.operators.textstats import word_ngrams
+
+
+def window_digests(text_col: str, n: int) -> Column:
+    """array<string>: 16-hex-char md5 digest of each n-token window, in
+    position order (index i = window starting at 0-based token i). md5,
+    not xxhash64, so any engine (the DuckDB oracle included) re-derives
+    identical digests from the text alone."""
+    return F.transform(
+        word_ngrams(text_col, n), lambda g: F.substring(F.md5(g), 1, 16)
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans per document.
+
+    A window (n consecutive whitespace tokens of the lower-cased text) is
+    *duplicated* when it occurs in at least 2 distinct documents. Runs of
+    duplicated windows that overlap or touch (next start ≤ prev start + n)
+    merge into one span. Token positions are 0-based; a span covers
+    ``[span_start, span_end]`` inclusive.
+
+    Returns ``(doc_id, span_start, span_end, span_tokens)`` — the removal
+    plan a trainer applies (or audits) before packing. Within-document
+    repetition alone does NOT mark a window (that signal lives in
+    ``repetition_features``); the contract here is cross-document sharing.
+    """
+    windows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(window_digests(text_col, n)).alias("pos", "h"),
+    )
+    # appears-in-≥2-docs without COUNT(DISTINCT): min≠max over doc ids.
+    dup = (
+        windows.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    dup_windows = windows.join(dup, "h", "left_semi").select("doc_id", "pos")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = (
+        dup_windows.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + n), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(run))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def span_dedup_stats(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span summary: how much of each document is
+    covered by cross-document duplicated spans. Docs with no duplicated
+    span are kept (zero coverage) via a left join — the output is one row
+    per input document, the shape a filter stage consumes."""
+    spans = duplicated_spans(docs, n, id_col, text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_fraction",
+            (
+                F.col("dup_tokens").cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1).cast("long"))
+            ),
+        )
+    )

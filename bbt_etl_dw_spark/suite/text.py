@@ -917,3 +917,84 @@ def corpus_vocabulary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return corpus_vocabulary(docs)
+
+
+# --- span-level exact dedup (duplicated-substring detection) --------------
+# Lee-et-al-style substring dedup at 8-token-window granularity: the
+# oracle replays the whole pipeline — window digests, the min≠max
+# distinct-doc test, the island merge — value-for-value.
+
+_SPAN_CTES = r"""
+v AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+w AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         substring(md5(array_to_string(ws[i:i+7], ' ')), 1, 16) AS h
+  FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws) - 6)) AS i FROM v)
+),
+dup AS (SELECT h FROM w GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+dw AS (SELECT doc_id, pos FROM w JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER win IS NULL OR pos > lag(pos) OVER win + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM dw WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+         MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
+  FROM grp GROUP BY doc_id, island
+)"""
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH {_SPAN_CTES}
+SELECT doc_id, span_start, span_end, span_tokens
+FROM spans ORDER BY doc_id, span_start
+"""
+
+
+@register("doc_span_dedup", oracle=_SPAN_DEDUP_ORACLE, bench=True)
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated token spans (8-token windows):
+    the removal plan substring-level dedup applies before packing. The
+    shuffle keys are 16-hex digests and doc ids — the text never moves,
+    and there is no pair join anywhere, so (unlike pair-emitting dedup)
+    no quadratic blowup exists even for a window shared by millions of
+    documents."""
+    from bbt_etl_dw_spark.operators.spans import duplicated_spans
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    return duplicated_spans(docs, n=8).orderBy("doc_id", "span_start")
+
+
+_SPAN_STATS_ORACLE = f"""
+WITH {_SPAN_CTES}
+SELECT v.doc_id,
+       CAST(len(v.ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(COUNT(s.doc_id), 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(SUM(s.span_tokens), 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(SUM(s.span_tokens), 0) AS BIGINT)
+         / CAST(GREATEST(len(v.ws), 1) AS DOUBLE) AS dup_fraction
+FROM v LEFT JOIN spans s ON v.doc_id = s.doc_id
+GROUP BY v.doc_id, len(v.ws)
+ORDER BY v.doc_id
+"""
+
+
+@register("doc_span_dedup_stats", oracle=_SPAN_STATS_ORACLE)
+def doc_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage (one row per doc, zero-filled
+    via left join): the signal a quality-filter stage thresholds on. Same
+    span pipeline as doc_span_dedup plus one small doc-keyed join."""
+    from bbt_etl_dw_spark.operators.spans import span_dedup_stats
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    return span_dedup_stats(docs, n=8).orderBy("doc_id")

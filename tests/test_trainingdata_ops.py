@@ -609,3 +609,59 @@ def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
     import glob
 
     assert glob.glob(str(tmp_path / "ckpt" / "*")), "no checkpoint data written"
+
+
+def test_duplicated_spans_semantics(spark):
+    """Cross-doc shared runs become merged maximal spans; within-doc
+    repetition alone never marks a window; short docs emit nothing."""
+    from bbt_etl_dw_spark.operators.spans import duplicated_spans, span_dedup_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+    rows = [
+        # doc 0 and 1 share the 10-token run at different offsets
+        (0, "x1 x2 " + shared + " y1 y2"),
+        (1, shared + " z1 z2 z3"),
+        # doc 2: within-doc repetition only (8-token phrase twice) — no span
+        (2, "p1 p2 p3 p4 p5 p6 p7 p8 q p1 p2 p3 p4 p5 p6 p7 p8"),
+        # doc 3: too short for one window
+        (3, "short doc"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_spans(docs, n=8).collect()
+    }
+    # 10 shared tokens => three 8-token windows starting at the run's
+    # first 3 positions, merged into ONE maximal span covering the run.
+    assert spans[0] == (2, 11, 10)
+    assert spans[1] == (0, 9, 10)
+    assert 2 not in spans and 3 not in spans
+
+    stats = {r["doc_id"]: r for r in span_dedup_stats(docs, n=8).collect()}
+    assert set(stats) == {0, 1, 2, 3}  # one row per input doc
+    assert stats[0]["dup_tokens"] == 10 and stats[0]["n_spans"] == 1
+    assert stats[1]["dup_fraction"] == 10 / 13
+    assert stats[2]["dup_tokens"] == 0 and stats[3]["dup_tokens"] == 0
+
+
+def test_duplicated_spans_disjoint_runs_stay_separate(spark):
+    """Two shared runs separated by a unique gap > window width must come
+    out as TWO spans, not merge across the gap."""
+    from bbt_etl_dw_spark.operators.spans import duplicated_spans
+
+    run_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    run_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    gap = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{run_a} {gap} {run_b}"),
+            (1, f"w1 {run_a} w2 w3"),
+            (2, f"{run_b} v1 v2"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, n=8).filter(F.col("doc_id") == 0).collect()
+    )
+    assert got == [(0, 7), (18, 25)]
