@@ -187,7 +187,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=10, planes=8).orderBy("query_id", "rank")
 
 
-def _ivf_ctes(nlist: int, iters: int) -> tuple[str, str]:
+def _ivf_ctes(
+    nlist: int, iters: int, train_pred: str | None = None
+) -> tuple[str, str]:
     """CTE chain for deterministic md5-seeded k-means: seeds, ``iters``
     unrolled Lloyd steps, one final distance pass. Distances are
     SEQUENTIAL in-row double folds (list_reduce — same element order as
@@ -196,7 +198,13 @@ def _ivf_ctes(nlist: int, iters: int) -> tuple[str, str]:
     mirroring operators/similarity.ivf_centroids. Returns (ctes,
     final_dist_cte_name) where the final pass d{{iters+1}} holds
     (vec_id, cid, dist) against the trained centroids — argmin gives the
-    corpus assignment, top-nprobe gives a query's probe list."""
+    corpus assignment, top-nprobe gives a query's probe list.
+
+    ``train_pred`` (a SQL predicate over ``vec_id``) restricts TRAINING —
+    seeds and every Lloyd step — to the matching sample, while the final
+    assignment pass still covers the full corpus: the replay of
+    sample-trained k-means (operators/similarity.ivf_centroids on a
+    filtered corpus + assign_centroid on the full one)."""
 
     def dist(c: str) -> str:
         return (
@@ -204,17 +212,29 @@ def _ivf_ctes(nlist: int, iters: int) -> tuple[str, str]:
             f" i -> (v.e[i] - {c}.ce[i]) * (v.e[i] - {c}.ce[i])), (a, b) -> a + b)"
         )
 
+    # Training relation: the full corpus, or the sampled subset (aliased
+    # back to ``v`` in FROM clauses so the shared dist() text applies).
+    train = "v" if train_pred is None else "vt"
     ctes = f"""
-v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),"""
+    if train_pred is not None:
+        ctes += f"""
+vt AS (SELECT * FROM v WHERE {train_pred}),"""
+    seed_src = (
+        "embeddings"
+        if train_pred is None
+        else f"(SELECT * FROM embeddings WHERE {train_pred})"
+    )
+    ctes += f"""
 mx AS (
   SELECT vec_id,
          UNNEST(range(1, len(e)+1)) AS pos,
          UNNEST(e) AS x
-  FROM v
+  FROM {train}
 ),
 seeds AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, vec_id
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {nlist}
+  FROM {seed_src} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {nlist}
 ),
 c0 AS (SELECT s.cid, v.e AS ce FROM seeds s JOIN v USING (vec_id))"""
     prev = "c0"
@@ -222,7 +242,7 @@ c0 AS (SELECT s.cid, v.e AS ce FROM seeds s JOIN v USING (vec_id))"""
         ctes += f""",
 d{it} AS (
   SELECT v.vec_id, {prev}.cid, {dist(prev)} AS dist
-  FROM v CROSS JOIN {prev}
+  FROM {train} AS v CROSS JOIN {prev}
 ),
 a{it} AS (
   SELECT vec_id, cid FROM d{it}
@@ -623,5 +643,60 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(assign_centroid(v, cents).alias("cluster_id"))
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster_id")
+    )
+
+
+# --- sample-trained k-means (the 100 TB Lloyd-cost refinement) ------------
+# Training cost dominates k-means at scale: every Lloyd step re-scans the
+# corpus (and the means shuffle corpus×dim skinny rows). Training on a
+# deterministic hash sample and assigning the full corpus ONCE cuts the
+# iterative cost to the sample fraction while the assignment stays a
+# single narrow map pass. The md5-prefix sample predicate is re-derivable
+# by any engine, so the oracle replays sampled training + full assignment.
+
+_SAMPLE_PRED_SQL = "md5(CAST(vec_id AS VARCHAR)) < '8'"  # ~50% of hex space
+
+
+def _kmeans_sampled_oracle(nlist: int, iters: int) -> str:
+    ctes, dfin = _ivf_ctes(nlist, iters, train_pred=_SAMPLE_PRED_SQL)
+    return f"""
+WITH {ctes},
+afin AS (
+  SELECT vec_id, cid FROM {dfin}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)
+SELECT CAST(cid AS INT) AS cluster_id,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN {_SAMPLE_PRED_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train
+FROM afin GROUP BY cid ORDER BY cid
+"""
+
+
+@register("embedding_kmeans_sampled", oracle=_kmeans_sampled_oracle(nlist=8, iters=2))
+def embedding_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means with SAMPLE-BASED training: centroids are trained (seeds +
+    Lloyd steps) only on the ~50% md5(vec_id) < '8' hash sample, then the
+    FULL corpus is assigned in one narrow pass. At 100TB this is the
+    difference between iters full-corpus shuffles and iters
+    sample-fraction shuffles; per-cluster n_train makes the sample's
+    footprint visible (and oracle-checked) in the output."""
+    from bbt_etl_dw_spark.operators.similarity import assign_centroid, ivf_centroids
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    samp = F.md5(F.col("vec_id").cast("string")) < "8"
+    cents = ivf_centroids(emb.filter(samp), nlist=8, iters=2)
+    v = F.col("embedding").cast("array<double>")
+    return (
+        emb.select(
+            assign_centroid(v, cents).alias("cluster_id"),
+            samp.cast("long").alias("is_train"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("is_train").alias("n_train"),
+        )
         .orderBy("cluster_id")
     )
