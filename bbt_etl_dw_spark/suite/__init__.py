@@ -48,6 +48,7 @@ _MODULES = (
     "bbt_etl_dw_spark.suite.text",
     "bbt_etl_dw_spark.suite.vector",
     "bbt_etl_dw_spark.suite.stream",
+    "bbt_etl_dw_spark.suite.behavior",
     "bbt_etl_dw_spark.suite.multimodal",
 )
 

@@ -665,3 +665,70 @@ def test_duplicated_spans_disjoint_runs_stay_separate(spark):
         for r in duplicated_spans(docs, n=8).filter(F.col("doc_id") == 0).collect()
     )
     assert got == [(0, 7), (18, 25)]
+
+
+def test_redact_pii_patterns(spark):
+    """Structured PII patterns scrub emails, IPs, SSNs, and phones while
+    leaving ordinary words, version-like tokens, and short numbers alone."""
+    from bbt_etl_dw_spark.functions.redact import mask_digit_runs, redact_pii
+
+    rows = [
+        (0, "contact bob.smith+test@corp.example.co for access"),
+        (1, "server at 192.168.001.1 rebooted"),
+        (2, "ssn 123-45-6789 on file"),
+        (3, "call +1 (555) 123-4567 today"),
+        (4, "plain text with v2 and 42 items"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        r["id"]: r["clean"]
+        for r in df.select("id", redact_pii("t").alias("clean")).collect()
+    }
+    assert got[0] == "contact [EMAIL] for access"
+    assert got[1] == "server at [IP] rebooted"
+    assert got[2] == "ssn [SSN] on file"
+    assert got[3] == "call [PHONE] today"
+    assert got[4] == "plain text with v2 and 42 items"  # untouched
+
+    masked = df.filter(F.col("id") == 4).select(
+        mask_digit_runs("t").alias("m")
+    ).collect()[0]["m"]
+    assert masked == "plain text with v# and # items"
+
+
+def test_funnel_strict_ordering(spark):
+    """A purchase BEFORE the user's first post-signup click must not count
+    as funnel completion — the step-k event has to follow step k-1."""
+    import datetime as dt
+
+    from bbt_etl_dw_spark.suite import load_all
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, typ, minutes):
+        return (i, base + dt.timedelta(minutes=minutes), u, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: signup -> click -> purchase in order (completes)
+        ev(0, 1, "signup", 0), ev(1, 1, "click", 10), ev(2, 1, "purchase", 20),
+        # user 2: purchase precedes the click (stops at click)
+        ev(3, 2, "signup", 0), ev(4, 2, "purchase", 5), ev(5, 2, "click", 10),
+        # user 3: click precedes signup, clicks never again (stops at signup)
+        ev(6, 3, "click", 0), ev(7, 3, "signup", 5),
+        # user 4: no signup at all (never enters)
+        ev(8, 4, "click", 0), ev(9, 4, "purchase", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(), "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    sf = os.path.dirname(path)
+    got = {
+        r["stage"]: r["n_users"]
+        for r in load_all()["events_funnel"].builder(spark, sf).collect()
+    }
+    assert got == {"signup": 3, "click": 2, "purchase": 1}
