@@ -1,0 +1,62 @@
+"""Engine-wide physical-plan lint: every registered suite query must plan
+without the two scale-killers —
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin``: an unkeyed join
+  that goes quadratic at 100TB (every keyed join in the engine is an
+  equi-join, a broadcast, or a range-bucketed join by design);
+- ``BatchEvalPython`` / ``PythonUDF``: a row-at-a-time Python UDF on the
+  hot path (the engine's contract is built-in expressions everywhere,
+  Arrow-batched mapInPandas only where Spark has no native expression).
+
+This is the standing regression gate for the "no anti-patterns on any
+hot path" audit: a future query or refactor that sneaks either pattern
+in fails here, not in a 1000-executor postmortem. Plans are *built*, not
+executed — physical planning is driver-side and cheap. Builders that
+train/collect internally (k-means seeds, LSH coefficients) do run those
+bounded sub-jobs; that cost is the same the oracle suite already pays.
+"""
+
+import pytest
+
+from bbt_etl_dw_spark.suite import load_all
+
+QUERIES = load_all()
+
+FORBIDDEN = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "BatchEvalPython",  # row-at-a-time Python UDF
+)
+
+# mapInPandas is the documented Arrow-batched escape hatch — allowed only
+# where Spark genuinely lacks an expression (multimodal decode).
+ARROW_ALLOWED = {"media_decode_features", "video_frame_sample"}
+
+# Deliberately quadratic plans — each one a documented BASELINE or AUDIT
+# path, never the production path for its capability:
+# - ann_bruteforce_topk: the exact O(corpus x 5-query) correctness
+#   baseline every ANN variant is measured against; the query side is a
+#   bounded broadcast, so BroadcastNestedLoopJoin IS the intended plan.
+# - embedding_cosine_exact_pairs / cosine_pairs_precision: exact all-pairs
+#   cosine, the audit/verification twin of the bucketed near-dup pipeline
+#   (which is the production path and plans equi-joins only).
+QUADRATIC_ALLOWED = {
+    "ann_bruteforce_topk",
+    "embedding_cosine_exact_pairs",
+    "cosine_pairs_precision",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_has_no_scale_killers(spark, sf_dir, name):
+    df = QUERIES[name].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in FORBIDDEN:
+        if marker == "BroadcastNestedLoopJoin" and name in QUADRATIC_ALLOWED:
+            continue
+        assert marker not in plan, f"{name}: {marker} in physical plan:\n{plan}"
+    if name not in ARROW_ALLOWED:
+        assert "MapInPandas" not in plan, (
+            f"{name}: undeclared MapInPandas stage — either remove it or "
+            f"add the query to ARROW_ALLOWED with a justification:\n{plan}"
+        )
