@@ -318,3 +318,79 @@ def test_estimate_row_bytes_samples_across_partitions(spark):
     # tiny-table fallback still returns a sane width
     tiny = spark.range(0, 3).select(F.lit("abc").alias("p"))
     assert estimate_row_bytes(tiny) > 0
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-order compaction must shrink per-file min/max spans on BOTH
+    columns (each file ≈ a rectangle), where a linear sort leaves the
+    secondary column's span at ~the full range (thin full-height
+    stripes). This is exactly the property parquet footer pruning feeds
+    on for two-column predicates."""
+    import pyspark.sql.functions as F
+
+    from bbt_etl_dw_spark.sources.compact import compact_to_target, compact_zorder
+
+    n = 1 << 14
+    grid = 1 << 7
+    df = (
+        spark.range(n)
+        .select(
+            # x, y decorrelated uniform over a 128x128 grid
+            (F.xxhash64(F.col("id")) % grid + grid) % grid,
+            (F.xxhash64(F.col("id"), F.lit(1)) % grid + grid) % grid,
+        )
+        .toDF("x", "y")
+    )
+
+    def avg_spans(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+            .collect()[0]
+        )
+        return per_file["ax"], per_file["ay"]
+
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    # Force ~16 files via total_bytes so the geometry is comparable.
+    nf = compact_zorder(df, zpath, ("x", "y"), target_file_mb=1,
+                        total_bytes=16 * 1024 * 1024)
+    compact_to_target(df, lpath, target_file_mb=1, sort_by="x",
+                      total_bytes=16 * 1024 * 1024)
+    assert nf == 16
+
+    zx, zy = avg_spans(zpath)
+    lx, ly = avg_spans(lpath)
+    # Linear sort: x tightly clustered, y spans the whole range.
+    assert lx < grid * 0.2 and ly > grid * 0.9
+    # Z-order: BOTH dims contract well below the full range. 16 files over
+    # a 128x128 grid ideally gives 32x64 rectangles; allow generous slack.
+    assert zx < grid * 0.6 and zy < grid * 0.6, (zx, zy, lx, ly)
+    # And the secondary dimension must beat the linear layout decisively.
+    assert zy < ly * 0.7
+
+
+def test_zorder_key_is_monotone_in_quadrants(spark):
+    """Sanity on the Morton bit interleave: the four quadrants of the
+    value plane map to the four quarters of the key range, in Z order."""
+    import pyspark.sql.functions as F
+
+    from bbt_etl_dw_spark.sources.compact import zorder_key
+
+    pts = spark.createDataFrame(
+        [(0, 0), (0, 9), (9, 0), (9, 9)], ["a", "b"]
+    ).select(
+        "a", "b",
+        zorder_key(F.col("a"), 0, 9, F.col("b"), 0, 9, bits=2).alias("k"),
+    )
+    got = {(r["a"], r["b"]): r["k"] for r in pts.collect()}
+    # bits=2: values normalize to 0..3; a contributes odd bit positions.
+    assert got[(0, 0)] == 0
+    assert got[(0, 9)] == 0b0101  # b=3 spread to even bits
+    assert got[(9, 0)] == 0b1010  # a=3 spread to odd bits
+    assert got[(9, 9)] == 0b1111
