@@ -900,3 +900,61 @@ def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_value").isNotNull())
         .orderBy("user_id", "event_type")
     )
+
+
+# Quantile-sketch twin of cardinality_sketch_check: the percentile_approx
+# VALUE is engine-specific, but its rank-error CONTRACT (<= n/accuracy by
+# construction of the GK/KLL sketch; we check a 10x-slack 1% band) is
+# checkable exactly — compute the true rank of each estimated quantile
+# and flag the band. Exact n per group is value-checked; a broken sketch
+# flips within_bound and reds the row.
+_QUANTILE_CHECK_ORACLE = """
+SELECT o_orderstatus,
+       CAST(p AS DOUBLE) AS pct,
+       COUNT(*) AS n_orders,
+       TRUE AS within_bound
+FROM orders CROSS JOIN (SELECT UNNEST([0.25, 0.5, 0.75, 0.95]) AS p) pcts
+GROUP BY o_orderstatus, p ORDER BY o_orderstatus, pct
+"""
+
+
+@register("order_quantile_sketch_check", oracle=_QUANTILE_CHECK_ORACLE)
+def order_quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable contract of the quantile sketch: per order
+    status, percentile_approx(accuracy=1000) estimates for 4 quantiles
+    must land within a 1% true-rank band (10x the sketch's n/1000
+    guarantee). The sketch is single-pass mergeable map-side state — the
+    100TB path where exact percentiles need a per-group sort; the check
+    joins the 12 estimated values back (broadcast) for one conditional
+    re-aggregation."""
+    pcts = [0.25, 0.5, 0.75, 0.95]
+    o = table(spark, sf_dir, "orders")
+    qs = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", pcts, 1000).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pv = qs.select(
+        "o_orderstatus",
+        "n",
+        F.posexplode("ap").alias("i", "v"),
+    ).withColumn(
+        "p", F.element_at(F.array(*[F.lit(float(x)) for x in pcts]), F.col("i") + 1)
+    )
+    ranks = (
+        o.join(F.broadcast(pv), "o_orderstatus")
+        .groupBy("o_orderstatus", "p", "n", "v")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") <= F.col("v"), 1).otherwise(0)).alias(
+                "r"
+            )
+        )
+    )
+    return ranks.select(
+        "o_orderstatus",
+        F.col("p").alias("pct"),
+        F.col("n").alias("n_orders"),
+        (
+            F.abs(F.col("r") - F.col("p") * F.col("n"))
+            <= F.col("n") / 100.0 + 1.0
+        ).alias("within_bound"),
+    ).orderBy("o_orderstatus", "pct")

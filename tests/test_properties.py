@@ -184,3 +184,48 @@ def test_decontaminate_matches_bruteforce(spark, train, eval_):
         r["doc_id"] for r in decontaminate(tdf, edf, n=2).select("doc_id").collect()
     )
     assert got == want
+
+
+wordpool = st.sampled_from(["aa", "bb", "cc", "dd"])
+docstexts = st.lists(
+    st.lists(wordpool, max_size=10).map(" ".join), min_size=1, max_size=5
+)
+
+
+@given(texts=docstexts)
+@settings(**SETTINGS)
+def test_duplicated_spans_matches_bruteforce(spark, texts):
+    """duplicated_spans vs a pure-Python reference on tiny random corpora
+    over a 4-word alphabet (dense window collisions by construction):
+    same spans, same merges, same cross-doc-only semantics."""
+    from bbt_etl_dw_spark.operators.spans import duplicated_spans
+
+    n = 3
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, n=n).collect()
+    )
+
+    toks = {i: t.lower().split() for i, t in enumerate(texts)}
+    wins: dict[str, set[int]] = {}
+    for i, ws in toks.items():
+        for p in range(len(ws) - n + 1):
+            wins.setdefault(" ".join(ws[p : p + n]), set()).add(i)
+    dup = {g for g, ds in wins.items() if len(ds) >= 2}
+    want = []
+    for i, ws in toks.items():
+        pos = [p for p in range(len(ws) - n + 1) if " ".join(ws[p : p + n]) in dup]
+        start = None
+        prev = None
+        for p in pos:
+            if start is None:
+                start, prev = p, p
+            elif p > prev + n:
+                want.append((i, start, prev + n - 1))
+                start, prev = p, p
+            else:
+                prev = p
+        if start is not None:
+            want.append((i, start, prev + n - 1))
+    assert got == sorted(want), (texts, got, sorted(want))
