@@ -1,0 +1,116 @@
+"""Behavioral/product-analytics operators over event streams: ordered
+funnels and cohort retention.
+
+Scale shapes:
+
+- The funnel is the classic "did the user do A, then B after A, then C
+  after B" question. The naive formulation is one join per step (k
+  shuffles); this one filters to the step types (pushed to the scan) and
+  chains k min-over-user windows — Catalyst plans ONE hash exchange on
+  the user key and k Window operators over the same sort, so funnel
+  depth costs sorts, not shuffles.
+- Retention buckets by *epoch-integer* weeks, not ``date_trunc('week')``:
+  week truncation consults the session timezone, so a non-UTC session
+  moves events near Monday midnight across week boundaries (hour
+  truncation survives only because zone offsets are whole hours).
+  ``unix_micros`` arithmetic is identical in every timezone and every
+  engine.
+
+Reference: the BBT-ETL-DW reference has no funnel/retention operators
+(its KPIs are store/product aggregates, kpi_*.py); this module is part
+of the warehouse extension surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Monday 2024-01-01 as an epoch day — anchors week indexes on a Monday.
+WEEK_ANCHOR_DAY = 19723
+WEEK_ANCHOR_DATE = "2024-01-01"
+
+
+def funnel_stage_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Users reaching each funnel stage, where stage k requires an event
+    of type ``steps[k]`` STRICTLY AFTER the time stage k-1 was reached
+    (stage 0 = earliest event of its type). Returns
+    ``(stage_idx, stage, n_users)`` ordered by stage.
+
+    One exchange on ``user_col`` regardless of funnel depth — each step
+    adds a Window over the same partitioning, not a join."""
+    ev = events.filter(F.col(type_col).isin(*steps))
+    w = Window.partitionBy(user_col)
+    t = F.col(ts_col)
+    prev: F.Column | None = None
+    cols: list[str] = []
+    for i, step in enumerate(steps):
+        reached = (F.col(type_col) == step) if prev is None else (
+            (F.col(type_col) == step) & (t > prev)
+        )
+        name = f"__t{i}"
+        ev = ev.withColumn(name, F.min(F.when(reached, t)).over(w))
+        prev = F.col(name)
+        cols.append(name)
+    per_user = ev.groupBy(user_col).agg(
+        *[F.max(c).alias(c) for c in cols]
+    )
+    counts = per_user.agg(
+        *[F.count(c).alias(f"__c{i}") for i, c in enumerate(cols)]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{s}', __c{i}" for i, s in enumerate(steps)
+    )
+    return counts.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (stage_idx, stage, n_users)"
+    ).orderBy("stage_idx")
+
+
+def week_index(ts_col: str = "ts", anchor_day: int = WEEK_ANCHOR_DAY):
+    """Timezone-proof week index of a timestamp: pure integer epoch
+    arithmetic (micros → days → weeks since the Monday anchor)."""
+    return F.expr(
+        f"((unix_micros({ts_col}) div 86400000000) - {anchor_day}) div 7"
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week; for each (cohort_week, week_offset), the count of cohort users
+    active that week plus the cohort size. Returns
+    ``(cohort_week DATE, week_offset, n_users, n_cohort)``.
+
+    User-keyed shuffles only; the output is cohorts x offsets — tiny at
+    any scale. At 100TB the first-event table is a maintained incremental
+    dimension (a MIN merge per batch) rather than a recomputed groupBy."""
+    wk = events.select(
+        F.col(user_col).alias("user_id"), week_index(ts_col).alias("w")
+    )
+    first_wk = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
+    cohort_sizes = first_wk.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
+    active = wk.distinct()
+    ret = (
+        active.join(first_wk, "user_id")
+        .groupBy("cw", (F.col("w") - F.col("cw")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return ret.join(cohort_sizes, "cw").select(
+        F.date_add(
+            F.lit(WEEK_ANCHOR_DATE).cast("date"), (F.col("cw") * 7).cast("int")
+        ).alias("cohort_week"),
+        F.col("week_offset").cast("long").alias("week_offset"),
+        "n_users",
+        "n_cohort",
+    )

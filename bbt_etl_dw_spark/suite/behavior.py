@@ -13,10 +13,11 @@ timezone touches, then rendered as real DATEs with date-only arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bbt_etl_dw_spark.catalog import table
+from bbt_etl_dw_spark.operators.behavior import WEEK_ANCHOR_DAY as _EPOCH_ANCHOR_DAY
 from bbt_etl_dw_spark.suite import register
 
 # --- ordered funnel -------------------------------------------------------
@@ -56,31 +57,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id (Catalyst plans one Exchange, three Window operators) —
     versus the naive three-join formulation's three shuffles. The final
     stage counts collapse through a tiny per-user distinct."""
-    ev = table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin(*_FUNNEL_STEPS)
-    )
-    w = Window.partitionBy("user_id")
-    t = F.col("ts")
-    typ = F.col("event_type")
-    staged = (
-        ev.withColumn("t1", F.min(F.when(typ == "signup", t)).over(w))
-        .withColumn(
-            "t2", F.min(F.when((typ == "click") & (t > F.col("t1")), t)).over(w)
-        )
-        .withColumn(
-            "t3", F.min(F.when((typ == "purchase") & (t > F.col("t2")), t)).over(w)
-        )
-    )
-    per_user = staged.groupBy("user_id").agg(
-        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
-    )
-    counts = per_user.agg(
-        F.count("t1").alias("c1"), F.count("t2").alias("c2"), F.count("t3").alias("c3")
-    )
-    return counts.selectExpr(
-        "stack(3, 1, 'signup', c1, 2, 'click', c2, 3, 'purchase', c3)"
-        " AS (stage_idx, stage, n_users)"
-    ).orderBy("stage_idx")
+    from bbt_etl_dw_spark.operators.behavior import funnel_stage_counts
+
+    ev = table(spark, sf_dir, "events")
+    return funnel_stage_counts(ev, _FUNNEL_STEPS)
 
 
 # --- weekly cohort retention ---------------------------------------------
@@ -88,7 +68,6 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Monday 2024-01-01 = epoch day 19723 anchors week indexing; the index is
 # pure integer epoch arithmetic, immune to session timezones on BOTH
 # engines, and renders back to a DATE with date-only (+days) arithmetic.
-_EPOCH_ANCHOR_DAY = 19723
 _WEEK_SQL = (
     f"((epoch_us(ts) // 86400000000) - {_EPOCH_ANCHOR_DAY}) // 7"
 )
@@ -122,37 +101,10 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity, the retention join) — at 100TB the first-event table is a
     maintained incremental dimension and the join co-partitions on
     user_id; the output is cohorts × offsets, tiny at any scale."""
+    from bbt_etl_dw_spark.operators.behavior import retention_cohorts
+
     ev = table(spark, sf_dir, "events")
-    # Integer `div` end-to-end (non-negative here): unix_micros ignores
-    # the session timezone, unlike date_trunc('week', ...).
-    wk = ev.select(
-        "user_id",
-        F.expr(
-            f"((unix_micros(ts) div 86400000000) - {_EPOCH_ANCHOR_DAY}) div 7"
-        ).alias("w"),
-    )
-    first_wk = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
-    cohort_sizes = first_wk.groupBy("cw").agg(
-        F.count(F.lit(1)).alias("n_cohort")
-    )
-    active = wk.distinct()
-    ret = (
-        active.join(first_wk, "user_id")
-        .groupBy("cw", (F.col("w") - F.col("cw")).alias("week_offset"))
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-    return (
-        ret.join(cohort_sizes, "cw")
-        .select(
-            F.date_add(
-                F.lit("2024-01-01").cast("date"), (F.col("cw") * 7).cast("int")
-            ).alias("cohort_week"),
-            F.col("week_offset").cast("long").alias("week_offset"),
-            "n_users",
-            "n_cohort",
-        )
-        .orderBy("cohort_week", "week_offset")
-    )
+    return retention_cohorts(ev).orderBy("cohort_week", "week_offset")
 
 
 # --- PII scrubbing --------------------------------------------------------

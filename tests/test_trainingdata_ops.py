@@ -732,3 +732,39 @@ def test_funnel_strict_ordering(spark):
         for r in load_all()["events_funnel"].builder(spark, sf).collect()
     }
     assert got == {"signup": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_operator_arbitrary_depth(spark):
+    """funnel_stage_counts is depth-generic: a 4-step funnel plans the
+    same single user-key exchange and enforces strict ordering at every
+    step."""
+    import datetime as dt
+
+    from bbt_etl_dw_spark.operators.behavior import funnel_stage_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(u, typ, minutes):
+        nonlocal eid
+        rows.append((eid, base + dt.timedelta(minutes=minutes), u, typ, 1.0, "{}"))
+        eid += 1
+
+    steps = ["a", "b", "c", "d"]
+    # user 1 completes all four in order
+    for i, s in enumerate(steps):
+        ev(1, s, i * 10)
+    # user 2 does a,b,c but d arrives BEFORE c -> stops at c
+    ev(2, "a", 0); ev(2, "b", 10); ev(2, "d", 15); ev(2, "c", 20)
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {r["stage"]: r["n_users"] for r in funnel_stage_counts(df, steps).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2, "d": 1}
+
+    plan = funnel_stage_counts(df, steps)._jdf.queryExecution().executedPlan().toString()
+    # depth-4 funnel: 4 Windows, still ONE user-key hash exchange (+ the
+    # single-partition collapse for the 4-row stack output).
+    assert plan.count("Window [") == 4
+    assert plan.count("Exchange hashpartitioning") == 1
