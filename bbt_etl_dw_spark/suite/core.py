@@ -958,3 +958,96 @@ def order_quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n") / 100.0 + 1.0
         ).alias("within_bound"),
     ).orderBy("o_orderstatus", "pct")
+
+
+# --- classic TPC-H-shape analytics (Q3 / Q18 adaptations) -----------------
+# The two canonical warehouse join+agg shapes the reference never had:
+# a selective multi-way join with a revenue top-k (Q3) and a
+# having-filtered semi-join back into the fact (Q18). Both use the
+# exact-decimal sum discipline so double revenue totals hash-match.
+
+_SHIP_PRIORITY_ORACLE = f"""
+SELECT l.l_orderkey,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+       o.o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+"""
+
+
+@register("shipping_priority_topk", oracle=_SHIP_PRIORITY_ORACLE)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: un-shipped-revenue top-10 for one market segment.
+    The segment filter prunes customers BEFORE the join (broadcast), both
+    date filters push to the scans, revenue is an exact-decimal sum (the
+    top-k order is therefore deterministic at any parallelism), and the
+    LIMIT plans as TakeOrdered — no global sort."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cut = F.lit("1998-06-01").cast("timestamp")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    return (
+        li.join(
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+_LARGE_VOLUME_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+"""
+
+
+@register("large_volume_customers", oracle=_LARGE_VOLUME_ORACLE)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind orders whose total line quantity
+    exceeds 300. The HAVING aggregate is computed once and drives a
+    semi-join back into orders (the survivors are few — the join flips to
+    broadcast under AQE); quantities are integer-valued doubles, so the
+    native SUM is exact below 2^53 and the threshold is deterministic
+    without the decimal discipline."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
