@@ -215,3 +215,59 @@ def streaming_dedup_ingest(
         ).parquet(index_path)
 
     return docs_stream.writeStream.foreachBatch(ingest).outputMode("update")
+
+
+def streaming_first_event_dim(
+    events_stream: DataFrame,
+    dim_path: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Maintain the first-event-per-user dimension incrementally — the
+    standing input cohort retention needs (operators/behavior.
+    retention_cohorts docstring: "at 100TB the first-event table is a
+    maintained incremental dimension, not a recomputed groupBy").
+
+    Per micro-batch, ONLY the batch's per-user minima are appended
+    (O(batch users) rows, never a rewrite of the dimension — at 100TB a
+    per-batch rewrite of a billion-user dim would dwarf the batch
+    itself). Readers fold the appended candidates with a MIN merge
+    (:func:`read_first_event_dim`); :func:`fold_first_event_dim`
+    compacts the log back to one row per user when the fold cost grows.
+    Returns the DataStreamWriter (caller .start()s it)."""
+    from pyspark.sql import functions as F
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy(F.col(user_col).alias("user_id"))
+            .agg(F.min(ts_col).alias("first_ts"))
+            .write.mode("append")
+            .parquet(dim_path)
+        )
+
+    return events_stream.writeStream.foreachBatch(ingest).outputMode("update")
+
+
+def read_first_event_dim(spark, dim_path: str) -> DataFrame:
+    """Fold the appended first-event candidates to one MIN row per user.
+    The fold is a single hash aggregate over candidate rows (one small
+    row per user per batch that saw that user), partial-aggregated
+    map-side."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(dim_path)
+        .groupBy("user_id")
+        .agg(F.min("first_ts").alias("first_ts"))
+    )
+
+
+def fold_first_event_dim(spark, dim_path: str) -> int:
+    """Compact the candidate log in place: rewrite ``dim_path`` as one
+    row per user. Returns the folded row count. Run when the appended
+    file count makes the read-side fold noticeable (the usual log +
+    periodic-compaction lifecycle, same as sources/compact.py)."""
+    folded = read_first_event_dim(spark, dim_path).localCheckpoint()
+    n = folded.count()
+    folded.write.mode("overwrite").parquet(dim_path)
+    return n

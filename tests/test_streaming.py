@@ -399,3 +399,104 @@ def test_streaming_dedup_ingest_equals_sequential_batches(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(index_path).collect()
     ) == got
+
+
+def test_streaming_first_event_dim_retention_equals_batch(spark, tmp_path):
+    """The incrementally-maintained first-event dimension (3 event files =
+    3 micro-batches, append-only MIN candidates) must yield EXACTLY the
+    retention matrix the batch operator computes from the full history —
+    including a user whose true first event arrives in an EARLIER batch
+    than a later sighting (the MIN merge case), both before and after the
+    in-place compaction fold."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.behavior import retention_cohorts, week_index
+    from bbt_etl_dw_spark.streaming.ops import (
+        events_file_stream,
+        fold_first_event_dim,
+        read_first_event_dim,
+        streaming_first_event_dim,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(u, days):
+        nonlocal eid
+        rows.append((eid, base + dt.timedelta(days=days), u, "click", 1.0, "{}"))
+        eid += 1
+
+    # batch 0: users 1,2 week0 | batch 1: user 1 week1, user 3 week0 |
+    # batch 2: user 2 again in week0 (MIN-merge must not move their first)
+    batches = [[(1, 0), (2, 1)], [(1, 7), (3, 2)], [(2, 3), (3, 9)]]
+    files_dir = tmp_path / "evfeed"
+    files_dir.mkdir()
+    all_rows = []
+    for i, specs in enumerate(batches):
+        rows = []
+        for u, d in specs:
+            ev(u, d)
+        batch_rows = rows[:]
+        all_rows += batch_rows
+        df = spark.createDataFrame(
+            batch_rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        chunk = tmp_path / f"evchunk{i}"
+        df.coalesce(1).write.parquet(str(chunk))
+        for f_ in sorted(chunk.glob("*.parquet")):
+            f_.rename(files_dir / f"part-{i:03d}.parquet")
+
+    dim_path = str(tmp_path / "first_dim")
+    q = streaming_first_event_dim(
+        events_file_stream(spark, str(files_dir)), dim_path
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = spark.createDataFrame(
+        all_rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    want = sorted(
+        map(tuple, retention_cohorts(full).collect())
+    )
+
+    def retention_from_dim(dim):
+        wk = full.select("user_id", week_index("ts").alias("w")).distinct()
+        first = dim.select("user_id", week_index("first_ts").alias("cw"))
+        sizes = first.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
+        ret = (
+            wk.join(first, "user_id")
+            .groupBy("cw", (F.col("w") - F.col("cw")).alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
+        return sorted(
+            map(
+                tuple,
+                ret.join(sizes, "cw")
+                .select(
+                    F.date_add(F.lit("2024-01-01").cast("date"), (F.col("cw") * 7).cast("int")).alias("cohort_week"),
+                    F.col("week_offset").cast("long"),
+                    "n_users",
+                    "n_cohort",
+                )
+                .collect(),
+            )
+        )
+
+    # raw candidate log has multiple rows for users 1-3 — the fold-on-read
+    # MIN merge must fix that
+    dim = read_first_event_dim(spark, dim_path)
+    assert retention_from_dim(dim) == want
+    raw_rows = spark.read.parquet(dim_path).count()
+    assert raw_rows > dim.count()  # the log really is append-only
+
+    # in-place compaction: one row per user, same retention
+    n = fold_first_event_dim(spark, dim_path)
+    assert n == 3
+    assert spark.read.parquet(dim_path).count() == 3
+    assert retention_from_dim(read_first_event_dim(spark, dim_path)) == want
