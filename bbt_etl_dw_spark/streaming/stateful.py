@@ -96,3 +96,57 @@ def running_totals_batch(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_events"),
         running.cast("string").cast("double").alias("running_value"),
     )
+
+
+# --- streaming funnel progression ----------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, stages_reached int"
+# Reached-stage timestamps as comma-joined epoch micros: exact integer
+# state (no float drift), variable funnel depth in a fixed state schema.
+FUNNEL_STATE_SCHEMA = "reached string"
+
+
+def _make_update_funnel(steps: tuple[str, ...]):
+    def update_funnel(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        (reached_s,) = state.get if state.exists else ("",)
+        reached = [int(x) for x in reached_s.split(",") if x]
+        rows = _pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for _, r in rows.iterrows():
+            if len(reached) >= len(steps):
+                break
+            t = int(r["ts"].value) // 1000  # ns -> us
+            if r["event_type"] == steps[len(reached)] and (
+                not reached or t > reached[-1]
+            ):
+                reached.append(t)
+        state.update((",".join(str(x) for x in reached),))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "stages_reached": [len(reached)]}
+        )
+
+    return update_funnel
+
+
+def funnel_progress_stream(events: DataFrame, steps: tuple[str, ...]) -> DataFrame:
+    """Streaming funnel progression: per user, how many ordered stages
+    (steps[0] then steps[1] strictly after it, ...) have been reached so
+    far — emitted every micro-batch that touches the user. State is the
+    reached-stage timestamps (O(depth) integers per user, keyed state
+    partitioned by user). CONTRACT: ordered arrival across batches (same
+    as first_event_per_key's streaming twin); within a batch events are
+    sorted by event time before the automaton runs, so only cross-batch
+    disorder would need a watermark+retention design. The batch twin is
+    operators/behavior.funnel_stage_counts — pytest asserts the stream's
+    final per-user depth reproduces its stage counts exactly."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_update_funnel(tuple(steps)),
+        FUNNEL_OUTPUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

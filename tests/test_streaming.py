@@ -500,3 +500,78 @@ def test_streaming_first_event_dim_retention_equals_batch(spark, tmp_path):
     assert n == 3
     assert spark.read.parquet(dim_path).count() == 3
     assert retention_from_dim(read_first_event_dim(spark, dim_path)) == want
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """The stateful streaming funnel's final per-user depth must reproduce
+    the batch funnel's stage counts on an ordered feed — including the
+    out-of-order-step user (purchase before click) and a stage reached
+    only across a micro-batch boundary."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.behavior import funnel_stage_counts
+    from bbt_etl_dw_spark.streaming.ops import events_file_stream
+    from bbt_etl_dw_spark.streaming.stateful import funnel_progress_stream
+
+    steps = ("signup", "click", "purchase")
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+
+    def ev(u, typ, minutes):
+        rows.append(
+            (len(rows), base + dt.timedelta(minutes=minutes), u, typ, 1.0, "{}")
+        )
+
+    # time-ordered feed split into 3 files at minute boundaries 0-9/10-19/20+
+    ev(1, "signup", 0); ev(2, "signup", 1); ev(3, "click", 2); ev(2, "purchase", 5)
+    ev(1, "click", 10); ev(3, "signup", 11); ev(2, "click", 12)
+    ev(1, "purchase", 20); ev(2, "purchase", 21)  # 2 completes AFTER its click
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    full = spark.createDataFrame(rows, schema)
+
+    files_dir = tmp_path / "funnelfeed"
+    files_dir.mkdir()
+    for i, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 10**6)]):
+        part = full.filter(
+            (F.col("ts") >= base + dt.timedelta(minutes=lo))
+            & (F.col("ts") < base + dt.timedelta(minutes=hi))
+        )
+        chunk = tmp_path / f"fchunk{i}"
+        part.coalesce(1).write.parquet(str(chunk))
+        for f_ in sorted(chunk.glob("*.parquet")):
+            f_.rename(files_dir / f"part-{i:03d}.parquet")
+
+    out = funnel_progress_stream(
+        events_file_stream(spark, str(files_dir)), steps
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # final depth per user = last emitted row per user
+    emitted = spark.sql(
+        "SELECT user_id, stages_reached FROM funnel_stream"
+    ).toPandas()
+    final = emitted.groupby("user_id")["stages_reached"].last().to_dict()
+    # user 1: all three in order; user 2: purchase@5 doesn't count, the
+    # one @21 does; user 3: click precedes signup -> depth 1
+    assert final == {1: 3, 2: 3, 3: 1}
+
+    want = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stage_counts(full, steps).collect()
+    }
+    got = {
+        s: sum(1 for d in final.values() if d >= i + 1)
+        for i, s in enumerate(steps)
+    }
+    assert got == want
