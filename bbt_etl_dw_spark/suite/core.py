@@ -1051,3 +1051,40 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
+
+
+_SMALL_QTY_ORACLE = """
+WITH a AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+           / COUNT(l_quantity) AS aq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(TRY_CAST(CAST(l.l_extendedprice AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+         / 7.0 AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN a USING (l_partkey)
+WHERE l.l_quantity < 0.2 * a.aq
+"""
+
+
+@register("small_quantity_revenue", oracle=_SMALL_QTY_ORACLE)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems below
+    20% of their part's average quantity. The per-part average is an
+    EXACT decimal mean (davg) — with a native double AVG the partial-agg
+    order could flip boundary rows in and out of the < 0.2*avg predicate
+    and change the answer per run; with davg the threshold is
+    deterministic on every engine and at any parallelism. One shuffle for
+    the per-part averages, one partkey join (AQE picks broadcast when the
+    part dim fits), one global exact-decimal sum."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.groupBy("l_partkey").agg(davg("l_quantity", "aq"))
+    return (
+        li.join(a, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            (dsum("l_extendedprice", "_s") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
