@@ -99,3 +99,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views for spark.sql() queries."""
     for n in TABLES:
         table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def save_table(
+    df: DataFrame,
+    name: str,
+    partition_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame as a MANAGED parquet table in the session
+    catalog (``spark.table(name)`` / ``spark.sql`` see it immediately) —
+    the writable-catalog sink of SURVEY §7 phase 4. Partitioned managed
+    tables get directory-level partition pruning exactly like path-based
+    snapshots (gated in tests); in production the same call lands in the
+    configured metastore (Hive/Glue/Unity) — nothing here is local-only."""
+    w = df.write.format("parquet").mode(mode)
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.saveAsTable(name)
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    """Session-catalog read-back twin of :func:`save_table`."""
+    return spark.table(name)

@@ -394,3 +394,33 @@ def test_zorder_key_is_monotone_in_quadrants(spark):
     assert got[(0, 9)] == 0b0101  # b=3 spread to even bits
     assert got[(9, 0)] == 0b1010  # a=3 spread to odd bits
     assert got[(9, 9)] == 0b1111
+
+
+def test_writable_session_catalog_partition_pruning(spark, sf_dir):
+    """save_table registers a managed partitioned table that spark.sql /
+    spark.table can query, and a filter on the partition column reaches
+    the scan as a PartitionFilter (directory pruning, same as path-based
+    snapshots)."""
+    import pyspark.sql.functions as F
+
+    from bbt_etl_dw_spark.catalog import read_table, save_table, table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    save_table(li, "li_by_flag", partition_by="l_returnflag")
+    try:
+        back = read_table(spark, "li_by_flag")
+        assert back.count() == li.count()
+
+        pruned = spark.sql(
+            "SELECT COUNT(*) AS n FROM li_by_flag WHERE l_returnflag = 'R'"
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "l_returnflag" in plan.split(
+            "PartitionFilters:"
+        )[1].split("]")[0], plan
+        want = li.filter(F.col("l_returnflag") == "R").count()
+        assert pruned.collect()[0]["n"] == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_by_flag")
