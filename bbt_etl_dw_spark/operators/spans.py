@@ -24,6 +24,12 @@ Scale shape (the reason this formulation survives 100 TB):
   documents still contributes exactly one row per occurrence.
 - The island merge windows over ``doc_id`` — the third shuffle carries
   only the duplicated windows, typically a small fraction of the corpus.
+- The windows relation feeds two consumers (the digest aggregate and the
+  join-back), so the tokenize+md5 map stage runs twice. That is the
+  right trade at scale: re-running a narrow CPU stage is cheaper than
+  materializing a tokens-sized intermediate through the shuffle service;
+  pin ``windows`` via checkpoint only if the corpus scan itself is the
+  bottleneck (e.g. remote object storage without caching).
 
 Reference: the BBT-ETL-DW reference has no span-level operator (its dedup
 is row-level `dropDuplicates`, deduplication.py); this is part of the
