@@ -998,3 +998,65 @@ def doc_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents", spread=True)
     return span_dedup_stats(docs, n=8).orderBy("doc_id")
+
+
+# --- BPE merge training ---------------------------------------------------
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled replay of bpe_train: word freqs, then per merge a pair
+    count, a (count desc, lft, rgt) argmax, and the left-to-right
+    non-overlapping replace — identical semantics in DuckDB's replace()."""
+    ctes = r"""
+wf AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents)
+  GROUP BY word
+),
+v0 AS (
+  SELECT freq,
+         ' ' || array_to_string(
+                 list_transform(range(1, len(word)+1), i -> word[i]) || ['</w>'],
+                 ' ') || ' ' AS sym
+  FROM wf
+)"""
+    for i in range(1, k + 1):
+        prev = f"v{i-1}"
+        ctes += f""",
+p{i} AS (
+  SELECT l[i] AS lft, l[i+1] AS rgt, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (
+    SELECT freq, l, UNNEST(range(1, len(l))) AS i
+    FROM (SELECT freq, string_split(trim(sym), ' ') AS l FROM {prev})
+  )
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT lft, rgt, pair_count FROM p{i}
+         ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+v{i} AS (
+  SELECT freq, replace(sym,
+      ' ' || (SELECT lft FROM b{i}) || ' ' || (SELECT rgt FROM b{i}) || ' ',
+      ' ' || (SELECT lft FROM b{i}) || (SELECT rgt FROM b{i}) || ' ') AS sym
+  FROM {prev}
+)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, lft, rgt, lft || rgt AS merged,"
+        f" pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"WITH {ctes}\n{union}\nORDER BY merge_rank"
+
+
+@register("corpus_bpe_merges", oracle=_bpe_oracle(k=3))
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merges learned from the corpus (operators/bpe.py):
+    one corpus pass for word frequencies, then vocabulary-local merge
+    iterations (weighted pair count -> deterministic argmax -> literal
+    replace), each collecting exactly ONE row to the driver. The oracle
+    replays the whole trainer — pair statistics, tie-breaks, and the
+    left-to-right non-overlapping merge semantics — value-for-value."""
+    from bbt_etl_dw_spark.operators.bpe import bpe_train
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    return bpe_train(docs, k=3).orderBy("merge_rank")

@@ -768,3 +768,38 @@ def test_funnel_operator_arbitrary_depth(spark):
     # single-partition collapse for the 4-row stack output).
     assert plan.count("Window [") == 4
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bpe_train_matches_hand_bpe(spark):
+    """The learned merge sequence reproduces classic hand-computed BPE on
+    a toy corpus, including overlap semantics ('a a a' yields one merge,
+    not two) and the deterministic lexicographic tie-break."""
+    from bbt_etl_dw_spark.operators.bpe import apply_merges, bpe_train
+
+    # freq: "ab" x3, "abc" x2, "aaa" x1
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab abc abc aaa")], ["doc_id", "text"]
+    )
+    got = [
+        (r["merge_rank"], r["lft"], r["rgt"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, k=3).orderBy("merge_rank").collect()
+    ]
+    # pairs round 1: (a,b)=5, (b,</w>)=3, (b,c)=2, (c,</w>)=2, (a,a)=2
+    # [overlap: 'a a a </w>' counts (a,a) twice but merging is l-to-r]
+    assert got[0] == (1, "a", "b", "ab", 5)
+    # round 2: ab </w> x3 -> (ab,</w>)=3 beats (ab,c)=2, (a,a)=2...
+    assert got[1] == (2, "ab", "</w>", "ab</w>", 3)
+    # round 3: three-way tie at 2 — (a,a) [stats count BOTH overlapping
+    # positions in 'a a a', classic get_stats], (ab,c), (c,</w>) — and
+    # the lexicographic tie-break picks ("a","a").
+    assert got[2] == (3, "a", "a", "aa", 2)
+
+    toks = spark.createDataFrame([("abc",), ("aaa",)], ["w"]).select(
+        apply_merges(
+            __import__("pyspark.sql.functions", fromlist=["col"]).col("w"),
+            [(l, r) for _, l, r, _, _ in got],
+        ).alias("t")
+    ).collect()
+    # encode: 'abc' -> [ab, c, </w>]; 'aaa' -> the (a,a) merge applies
+    # left-to-right non-overlapping -> [aa, a, </w>]
+    assert [list(r["t"]) for r in toks] == [["ab", "c", "</w>"], ["aa", "a", "</w>"]]
