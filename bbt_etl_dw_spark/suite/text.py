@@ -1060,3 +1060,55 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents", spread=True)
     return bpe_train(docs, k=3).orderBy("merge_rank")
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """Replay the trainer (same CTEs), then ENCODE every document word
+    with the learned merges and sum token counts per doc — the downstream
+    tokenize pass a training pipeline runs after BPE training."""
+    trainer = _bpe_oracle(k)
+    ctes = trainer[len("WITH ") : trainer.index("\nSELECT CAST(1")]
+    rep = "' ' || array_to_string(list_transform(range(1, len(word)+1), i -> word[i]) || ['</w>'], ' ') || ' '"
+    for i in range(1, k + 1):
+        rep = (
+            f"replace({rep}, ' ' || (SELECT lft FROM b{i}) || ' ' || (SELECT rgt FROM b{i}) || ' ',"
+            f" ' ' || (SELECT lft FROM b{i}) || (SELECT rgt FROM b{i}) || ' ')"
+        )
+    return f"""WITH {ctes},
+docwords AS (
+  -- blank text: Spark's words() yields an empty array (the explode drops
+  -- the doc); mirror that rather than DuckDB's [''] split artifact.
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents WHERE len(trim(text)) > 0
+)
+SELECT doc_id,
+       CAST(SUM(len(string_split(trim({rep}), ' '))) AS BIGINT) AS bpe_tokens
+FROM docwords GROUP BY doc_id ORDER BY doc_id"""
+
+
+@register("doc_bpe_token_counts", oracle=_bpe_encode_oracle(k=3))
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the corpus-trained BPE vocabulary
+    (3 merges): train (one corpus pass + vocab-local iterations), then
+    encode every document word with apply_merges — pure expressions, a
+    narrow map stage over the corpus. The oracle replays training AND
+    encoding, so a divergence anywhere in the train->encode chain reds
+    this row."""
+    from bbt_etl_dw_spark.operators.bpe import apply_merges, bpe_train
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    merges = [
+        (r["lft"], r["rgt"])
+        for r in bpe_train(docs, k=3).orderBy("merge_rank").collect()
+    ]
+    w = F.explode(words("text")).alias("word")
+    return (
+        docs.select("doc_id", w)
+        .select(
+            "doc_id",
+            F.size(apply_merges(F.col("word"), merges)).cast("long").alias("n"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("long").alias("bpe_tokens"))
+        .orderBy("doc_id")
+    )
