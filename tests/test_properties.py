@@ -229,3 +229,42 @@ def test_duplicated_spans_matches_bruteforce(spark, texts):
         if start is not None:
             want.append((i, start, prev + n - 1))
     assert got == sorted(want), (texts, got, sorted(want))
+
+
+ev_users = st.integers(min_value=1, max_value=3)
+ev_types = st.sampled_from(["signup", "click", "purchase", "view"])
+ev_times = st.integers(min_value=0, max_value=30)
+
+
+@given(events=st.lists(st.tuples(ev_users, ev_types, ev_times), max_size=16))
+@settings(**SETTINGS)
+def test_funnel_matches_bruteforce(spark, events):
+    """funnel_stage_counts vs brute-force Python on random event soups:
+    per user, t1 = min signup ts, t2 = min click ts strictly after t1,
+    t3 = min purchase ts strictly after t2."""
+    import datetime as dt
+
+    from bbt_etl_dw_spark.operators.behavior import funnel_stage_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=t), u, typ, 1.0, "{}")
+        for i, (u, typ, t) in enumerate(events)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    steps = ("signup", "click", "purchase")
+    got = {r["stage"]: r["n_users"] for r in funnel_stage_counts(df, steps).collect()}
+
+    want = {s: 0 for s in steps}
+    for u in {u for (u, _, _) in events}:
+        mine = sorted((t, typ) for (uu, typ, t) in events if uu == u)
+        prev = None
+        for k, step in enumerate(steps):
+            cands = [t for (t, typ) in mine if typ == step and (prev is None or t > prev)]
+            if not cands:
+                break
+            prev = min(cands)
+            want[step] += 1
+    # empty stage rows: stack always emits all 3 stages (counts 0)
+    assert got == want or (not events and set(got.values()) == {0})
