@@ -152,3 +152,79 @@ def span_dedup_stats(
             ),
         )
     )
+
+
+# --- incremental (append-time) span dedup ---------------------------------
+
+
+def span_corpus_index(
+    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The standing state for append-time span dedup: the corpus's
+    DISTINCT window digests — one 16-hex string per unique n-token
+    window, no positions, no text. Append-only (union new batches'
+    digests); at 100TB this is the compact fingerprint table the ingest
+    loop probes, same lifecycle as the MinHash corpus index."""
+    return docs.select(
+        F.explode(window_digests(text_col, n)).alias("h")
+    ).distinct()
+
+
+def _merge_windows_to_spans(dup_windows: DataFrame, n: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated windows (doc_id, pos) into
+    maximal spans — shared by the full-corpus and incremental paths."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = (
+        dup_windows.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + n), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(run))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def incremental_span_dedup(
+    index: DataFrame,
+    batch: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Append-time span dedup: maximal duplicated spans of the BATCH
+    documents, where a window is duplicated if it exists in the corpus
+    index OR in ≥2 distinct batch documents. The corpus text is never
+    read — only its digest index — so each append costs O(batch), the
+    ingest shape incremental_exact_dedup / incremental_minhash_* follow.
+    Same output schema as :func:`duplicated_spans`."""
+    bw = batch.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(window_digests(text_col, n)).alias("pos", "h"),
+    )
+    in_batch = (
+        bw.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    dup = index.select("h").union(in_batch).distinct()
+    dup_windows = bw.join(dup, "h", "left_semi").select("doc_id", "pos")
+    return _merge_windows_to_spans(dup_windows, n)

@@ -1112,3 +1112,67 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("bpe_tokens"))
         .orderBy("doc_id")
     )
+
+
+# --- incremental span dedup ----------------------------------------------
+
+_INCR_SPAN_ORACLE = r"""
+WITH hist AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+hv AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM hist
+),
+hw AS (
+  SELECT DISTINCT substring(md5(array_to_string(ws[i:i+7], ' ')), 1, 16) AS h
+  FROM (SELECT ws, UNNEST(range(1, len(ws) - 6)) AS i FROM hv)
+),
+bv AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM batch
+),
+bw AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         substring(md5(array_to_string(ws[i:i+7], ' ')), 1, 16) AS h
+  FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws) - 6)) AS i FROM bv)
+),
+dupb AS (SELECT h FROM bw GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+dup AS (SELECT h FROM hw UNION SELECT h FROM dupb),
+dw AS (SELECT doc_id, pos FROM bw JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER win IS NULL OR pos > lag(pos) OVER win + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM dw WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+       MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
+FROM grp GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+@register("doc_incremental_span_dedup", oracle=_INCR_SPAN_ORACLE)
+def doc_incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-time span dedup: the batch (odd doc ids) probes the
+    corpus's digest-only span index (even ids) — a batch window is
+    duplicated if it exists in the corpus index or in >=2 batch docs.
+    Corpus TEXT is never read on the probe path (O(batch) per append;
+    inputFiles pytest gate), completing the incremental family:
+    exact -> minhash -> span."""
+    from bbt_etl_dw_spark.operators.spans import (
+        incremental_span_dedup,
+        span_corpus_index,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = span_corpus_index(hist, n=8)
+    return incremental_span_dedup(idx, batch, n=8).orderBy(
+        "doc_id", "span_start"
+    )

@@ -803,3 +803,64 @@ def test_bpe_train_matches_hand_bpe(spark):
     # encode: 'abc' -> [ab, c, </w>]; 'aaa' -> the (a,a) merge applies
     # left-to-right non-overlapping -> [aa, a, </w>]
     assert [list(r["t"]) for r in toks] == [["ab", "c", "</w>"], ["aa", "a", "</w>"]]
+
+
+def test_incremental_span_dedup_semantics(spark):
+    """Batch spans come from corpus-index hits AND in-batch cross-doc
+    sharing; corpus-only spans are not re-emitted; a batch doc matching
+    the corpus gets the span even when unique within the batch."""
+    from bbt_etl_dw_spark.operators.spans import (
+        incremental_span_dedup,
+        span_corpus_index,
+    )
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 9 tokens -> 2 windows, 1 span
+    corpus = spark.createDataFrame(
+        [(0, shared + " tail0"), (1, "c b a " + "x1 x2 x3 x4 x5 x6 x7 x8")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "lead " + shared),            # hits corpus index
+            (11, "y1 y2 y3 y4 y5 y6 y7 y8 z"),  # shares with 12 (in-batch)
+            (12, "y1 y2 y3 y4 y5 y6 y7 y8 q"),
+            (13, "all alone unique text with no duplicate window at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = span_corpus_index(corpus, n=8)
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in incremental_span_dedup(idx, batch, n=8).collect()
+    }
+    assert got == {10: (1, 9), 11: (0, 7), 12: (0, 7)}
+
+
+def test_incremental_span_dedup_never_reads_corpus_text(spark, tmp_path):
+    """O(batch) probe shape: with the digest index persisted, the probe
+    plan's input files include the index and the batch — never the corpus
+    documents file."""
+    from bbt_etl_dw_spark.operators.spans import (
+        incremental_span_dedup,
+        span_corpus_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "w1 w2 w3 w4 w5 w6 w7 w8 w9")], ["doc_id", "text"]
+    )
+    corpus_path, idx_path, batch_path = (
+        str(tmp_path / p) for p in ("corpus", "idx", "batch")
+    )
+    corpus.write.parquet(corpus_path)
+    span_corpus_index(spark.read.parquet(corpus_path), n=8).write.parquet(idx_path)
+    spark.createDataFrame(
+        [(10, "lead w1 w2 w3 w4 w5 w6 w7 w8 w9")], ["doc_id", "text"]
+    ).write.parquet(batch_path)
+
+    probe = incremental_span_dedup(
+        spark.read.parquet(idx_path), spark.read.parquet(batch_path), n=8
+    )
+    files = probe.inputFiles()
+    assert any("/idx/" in f or "idx" in f for f in files)
+    assert not any("corpus" in f for f in files), files
+    assert {r["doc_id"] for r in probe.collect()} == {10}
