@@ -65,3 +65,35 @@ def salted_count(df: DataFrame, key_cols: list[str], salt: int = 16) -> DataFram
         .agg(F.count(F.lit(1)).alias("_pc"))
     )
     return partial.groupBy(*key_cols).agg(F.sum("_pc").alias("n_rows"))
+
+
+def key_skew_report(
+    df, key: str, top_k: int = 10, n_partitions: int | None = None
+):
+    """Skew diagnostic for join/agg planning: per-key counts for the
+    ``top_k`` heaviest keys plus the share of all rows each holds and the
+    ratio of the key's count to a perfectly even per-partition row count.
+    ``skew_ratio`` >> 1 on a key means a shuffle on this key puts that
+    multiple of the average partition load on one task — the signal for
+    salting (salted_aggregate/salted_broadcast_join below) or AQE skew
+    splitting. ONE hash aggregate + a tiny top-k; run it on a sample for
+    quick checks at 100TB."""
+    from pyspark.sql import functions as F
+
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = df.count()
+    even_share = max(total / max(n_partitions, 1), 1.0)
+    return (
+        counts.orderBy(F.col("n_rows").desc(), "key_value")
+        .limit(top_k)
+        .select(
+            "key_value",
+            "n_rows",
+            (F.col("n_rows") / F.lit(float(total))).alias("row_share"),
+            (F.col("n_rows") / F.lit(float(even_share))).alias("skew_ratio"),
+        )
+    )

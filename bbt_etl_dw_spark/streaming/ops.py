@@ -271,3 +271,40 @@ def fold_first_event_dim(spark, dim_path: str) -> int:
     n = folded.count()
     folded.write.mode("overwrite").parquet(dim_path)
     return n
+
+
+def streaming_span_ingest(
+    docs_stream: DataFrame,
+    spans_path: str,
+    index_path: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Append-time span dedup as a stream: per micro-batch, probe the
+    digest-only span index for the batch's duplicated spans
+    (operators/spans.incremental_span_dedup), append the detected spans
+    to the removal log, and append the batch's distinct digests to the
+    index. foreachBatch runs batches serially, so batch N+1 sees batch
+    N's windows — cross-batch AND in-batch duplication both resolve, and
+    the corpus text is never re-read (the index is the only standing
+    state, same lifecycle as streaming_dedup_ingest)."""
+    from bbt_etl_dw_spark.operators.spans import (
+        incremental_span_dedup,
+        span_corpus_index,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            idx = sess.read.parquet(index_path)
+        except Exception:  # first batch: no index yet
+            idx = span_corpus_index(batch_df.limit(0), n, id_col, text_col)
+        spans = incremental_span_dedup(idx, batch_df, n, id_col, text_col)
+        spans.write.mode("append").parquet(spans_path)
+        # new digests only: the index stays distinct without a rewrite
+        span_corpus_index(batch_df, n, id_col, text_col).join(
+            idx, "h", "left_anti"
+        ).write.mode("append").parquet(index_path)
+
+    return docs_stream.writeStream.foreachBatch(ingest).outputMode("update")

@@ -134,3 +134,32 @@ def events_props_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask_digit_runs("props").alias("props_masked"),
         count_digit_runs("props").alias("n_masked"),
     ).orderBy("event_id")
+
+
+# --- skew diagnostics -----------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT user_id AS key_value, COUNT(*) AS n_rows FROM events GROUP BY user_id
+),
+tot AS (SELECT COUNT(*) AS t FROM events)
+SELECT key_value, n_rows,
+       n_rows / (SELECT CAST(t AS DOUBLE) FROM tot) AS row_share,
+       n_rows / GREATEST((SELECT t FROM tot) / 32.0, 1.0) AS skew_ratio
+FROM counts ORDER BY n_rows DESC, key_value LIMIT 10
+"""
+
+
+@register("events_key_skew_report", oracle=_SKEW_ORACLE)
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic over the events user_id key: top-10 heaviest keys
+    with row share and the per-task overload factor a shuffle on this key
+    would see — the measurement that justifies the salted operators
+    (events_salted_dim_join / events_user_counts_salted). One hash
+    aggregate + TakeOrdered."""
+    from bbt_etl_dw_spark.operators.skew import key_skew_report
+
+    ev = table(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", top_k=10, n_partitions=32).orderBy(
+        F.col("n_rows").desc(), "key_value"
+    )

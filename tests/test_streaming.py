@@ -575,3 +575,61 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         for i, s in enumerate(steps)
     }
     assert got == want
+
+
+def test_streaming_span_ingest_equals_sequential_batches(spark, tmp_path):
+    """The span ingest loop run as a real 3-micro-batch stream must log
+    exactly the spans sequential batch application produces: cross-batch
+    hits against earlier batches' windows, in-batch cross-doc sharing,
+    and clean docs logging nothing."""
+    from bbt_etl_dw_spark.operators.spans import (
+        incremental_span_dedup,
+        span_corpus_index,
+    )
+    from bbt_etl_dw_spark.streaming.ops import docs_file_stream, streaming_span_ingest
+
+    run8 = "r1 r2 r3 r4 r5 r6 r7 r8"
+    batches = [
+        [(1, run8 + " tail"), (2, "clean first batch text with nothing shared here")],
+        [(11, "lead " + run8), (12, "unique second batch doc completely fresh words")],
+        [(21, "p1 p2 p3 p4 p5 p6 p7 p8 x"), (22, "p1 p2 p3 p4 p5 p6 p7 p8 y")],
+    ]
+    files_dir = tmp_path / "spanfeed"
+    files_dir.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        chunk = tmp_path / f"spanchunk{i}"
+        df.coalesce(1).write.parquet(str(chunk))
+        for f_ in sorted(chunk.glob("*.parquet")):
+            f_.rename(files_dir / f"part-{i:03d}.parquet")
+
+    spans_path, index_path = str(tmp_path / "spans"), str(tmp_path / "spanidx")
+    q = streaming_span_ingest(
+        docs_file_stream(spark, str(files_dir)), spans_path, index_path
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in spark.read.parquet(spans_path).collect()
+    )
+
+    idx = None
+    want = []
+    for rows in batches:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        if idx is None:
+            idx = span_corpus_index(df.limit(0))
+        want += [
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in incremental_span_dedup(idx, df).collect()
+        ]
+        idx = idx.union(span_corpus_index(df)).distinct()
+    assert got == sorted(want)
+    # batch 2 doc 11 hits batch 1's run; batch 3 docs share in-batch
+    assert {d for d, _, _ in got} == {11, 21, 22}
+    # index stayed distinct despite append-only writes
+    idx_rows = spark.read.parquet(index_path)
+    assert idx_rows.count() == idx_rows.distinct().count()
