@@ -163,3 +163,55 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(ev, "user_id", top_k=10, n_partitions=32).orderBy(
         F.col("n_rows").desc(), "key_value"
     )
+
+
+# --- frequency sketch (count-min) ----------------------------------------
+# Completes the sketch family's driver-checked contracts: HLL
+# (cardinality), quantile sketch (ranks), count-min (frequency). The CMS
+# VALUE is engine-specific, but its one-sided guarantee is not: estimates
+# never undercount, and overcount at most eps*N (fixed seed => the
+# outcome is deterministic for a given dataset, so the flag is stable).
+
+_FREQ_SKETCH_ORACLE = """
+SELECT user_id, COUNT(*) AS n_rows, TRUE AS within_bound
+FROM events GROUP BY user_id
+ORDER BY n_rows DESC, user_id LIMIT 10
+"""
+
+
+@register("events_frequency_sketch_check", oracle=_FREQ_SKETCH_ORACLE)
+def events_frequency_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch contract check over heavy-hitter users: the CMS
+    estimate for each exact top-10 user must satisfy
+    exact <= estimate <= exact + eps*N (the sketch's one-sided error
+    bound). Exact counts are value-checked against DuckDB; a broken
+    sketch flips within_bound and reds the row. The sketch is single-pass
+    mergeable map-side state — the 100TB path for approximate frequency
+    without a per-key shuffle."""
+    ev = table(spark, sf_dir, "events")
+    eps = 0.02
+    total = ev.count()
+    # The count_min_sketch SQL aggregate is the distributed single-pass
+    # path (partial sketches merge map-side); the driver deserializes the
+    # ~11KB blob once to answer point queries.
+    blob = ev.agg(
+        F.expr(f"count_min_sketch(user_id, {eps}d, 0.9999d, 42)")
+    ).collect()[0][0]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(blob)
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), "user_id")
+        .limit(10)
+        .collect()
+    )
+    rows = []
+    for r in top:
+        est = cms.estimateCount(r["user_id"])
+        ok = r["n_rows"] <= est <= r["n_rows"] + eps * total
+        rows.append((r["user_id"], r["n_rows"], bool(ok)))
+    return spark.createDataFrame(
+        rows, "user_id long, n_rows long, within_bound boolean"
+    ).orderBy(F.col("n_rows").desc(), "user_id")
