@@ -864,3 +864,24 @@ def test_incremental_span_dedup_never_reads_corpus_text(spark, tmp_path):
     assert any("/idx/" in f or "idx" in f for f in files)
     assert not any("corpus" in f for f in files), files
     assert {r["doc_id"] for r in probe.collect()} == {10}
+
+
+def test_null_and_blank_text_are_safe(spark):
+    """NULL or blank text must not crash or fabricate output anywhere in
+    the text family: spans/windows drop the doc, stats keep a zero row,
+    BPE ignores it, fingerprints stay deterministic."""
+    from bbt_etl_dw_spark.operators.bpe import bpe_train, word_frequencies
+    from bbt_etl_dw_spark.operators.spans import duplicated_spans, span_dedup_stats
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "real content here present")],
+        "doc_id long, text string",
+    )
+    assert duplicated_spans(docs, n=2).count() == 0
+    stats = {r["doc_id"]: r["dup_tokens"] for r in span_dedup_stats(docs, n=2).collect()}
+    assert stats[3] == 0 and set(stats) == {0, 1, 2, 3}
+
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    assert "real" in wf and None not in wf
+    merges = bpe_train(docs, k=1).collect()
+    assert len(merges) == 1  # trains from the one real doc, no crash
