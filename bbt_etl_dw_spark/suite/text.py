@@ -1176,3 +1176,94 @@ def doc_incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_span_dedup(idx, batch, n=8).orderBy(
         "doc_id", "span_start"
     )
+
+
+# --- end-to-end curation pipeline ----------------------------------------
+# plans/curation.py composed: exact dedup -> quality filter ->
+# decontamination -> split, one disposition row per document with a
+# single precedence-ordered drop reason. The oracle rebuilds every stage
+# from the already-proven per-stage SQL (fingerprints, the quality
+# ladder, the eval-gram join, the md5 split bucket) and the same
+# when-ladder precedence.
+
+_CURATION_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, text, {_BUCKET_SQL} AS bucket, {_WORDS_SQL} AS ws
+  FROM documents
+),
+train AS (SELECT * FROM w WHERE bucket < 80),
+evalg AS (
+  SELECT DISTINCT gram
+  FROM (SELECT unnest({_ngrams_sql(4)}) AS gram FROM w WHERE bucket >= 90)
+),
+keepers AS (
+  SELECT md5({_NORM_SQL}) AS fp, doc_id FROM train
+),
+keep_min AS (SELECT fp, MIN(doc_id) AS keep_id FROM keepers GROUP BY fp),
+hits AS (
+  SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_hits
+  FROM (SELECT doc_id, unnest({_ngrams_sql(4)}) AS gram FROM train) t
+  JOIN evalg USING (gram)
+  GROUP BY t.doc_id
+),
+feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(ws, x -> list_contains({_STOP_LIST}, x))) AS BIGINT) AS n_stop
+  FROM train
+),
+q AS (
+  SELECT doc_id,
+         0.4::DOUBLE * (CASE WHEN n_words >= 20 THEN 1.0 WHEN n_words >= 5 THEN 0.5 ELSE 0.0 END)::DOUBLE
+       + 0.2::DOUBLE * (CASE WHEN (n_chars - (n_words - 1)) / greatest(n_words, 1) >= 3
+                              AND (n_chars - (n_words - 1)) / greatest(n_words, 1) <= 12 THEN 1.0 ELSE 0.0 END)::DOUBLE
+       + 0.2::DOUBLE * (CASE WHEN n_stop / greatest(n_words, 1) >= 0.05 THEN 1.0 ELSE 0.0 END)::DOUBLE
+       + 0.2::DOUBLE * (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.2 THEN 1.0 ELSE 0.0 END)::DOUBLE
+         AS quality_score
+  FROM feats
+),
+disp AS (
+  SELECT t.doc_id, q.quality_score,
+         CASE WHEN t.doc_id <> m.keep_id THEN 'exact_dup'
+              WHEN q.quality_score < 0.7 THEN 'low_quality'
+              WHEN h.n_hits > 0 THEN 'contaminated'
+              ELSE NULL END AS drop_reason,
+         t.bucket
+  FROM train t
+  JOIN keepers k ON k.doc_id = t.doc_id
+  JOIN keep_min m ON m.fp = k.fp
+  JOIN q ON q.doc_id = t.doc_id
+  LEFT JOIN hits h ON h.doc_id = t.doc_id
+)
+SELECT doc_id,
+       drop_reason IS NULL AS kept,
+       drop_reason,
+       quality_score,
+       CASE WHEN drop_reason IS NULL THEN
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid' ELSE 'test' END
+       END AS split
+FROM disp ORDER BY doc_id
+"""
+
+
+@register("doc_curation_pipeline", oracle=_CURATION_ORACLE)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline (plans/curation.py) over the corpus:
+    docs in md5 buckets <80 are the training corpus, buckets >=90 the
+    eval set; each doc gets one precedence-ordered disposition
+    (exact_dup -> low_quality -> contaminated -> kept+split). The oracle
+    rebuilds all four stages AND the precedence ladder in SQL, so a bug
+    in any stage or in their composition reds this single row set."""
+    from bbt_etl_dw_spark.operators.textstats import split_bucket
+    from bbt_etl_dw_spark.plans.curation import run_curation_pipeline
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    b = split_bucket("doc_id")
+    train = docs.filter(b < 80)
+    eval_df = docs.filter(b >= 90)
+    return run_curation_pipeline(train, eval_df, min_quality=0.7).disposition.orderBy(
+        "doc_id"
+    )

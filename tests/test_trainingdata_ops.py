@@ -885,3 +885,35 @@ def test_null_and_blank_text_are_safe(spark):
     assert "real" in wf and None not in wf
     merges = bpe_train(docs, k=1).collect()
     assert len(merges) == 1  # trains from the one real doc, no crash
+
+
+def test_curation_pipeline_precedence_and_stages(spark):
+    """Every drop reason fires, precedence holds (a doc that is BOTH an
+    exact dup AND contaminated reports exact_dup), and kept docs carry a
+    split while dropped docs carry none."""
+    from bbt_etl_dw_spark.plans.curation import run_curation_pipeline
+
+    good = ("the quick brown fox jumps over the lazy dog and runs into the "
+            "field while the sun is high and the wind is calm today")
+    eval_frag = "secret held out evaluation fragment nobody should train on"
+    rows = [
+        (0, good),
+        (1, good),                      # exact dup of 0
+        (2, "short junk"),              # low quality
+        (3, good + " " + eval_frag),    # contaminated
+        (4, good + " " + eval_frag),    # dup of 3 AND contaminated -> exact_dup
+        (5, "the keeper document is clean long fluent and the words are "
+            "plain and the content is entirely original and the text flows"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_df = spark.createDataFrame([(100, eval_frag)], "doc_id long, text string")
+    res = run_curation_pipeline(docs, eval_df, min_quality=0.7)
+    d = {r["doc_id"]: (r["kept"], r["drop_reason"], r["split"])
+         for r in res.disposition.collect()}
+    assert d[0][0] and d[0][2] in ("train", "valid", "test")
+    assert d[1] == (False, "exact_dup", None)
+    assert d[2] == (False, "low_quality", None)
+    assert d[3] == (False, "contaminated", None)
+    assert d[4] == (False, "exact_dup", None)   # precedence over contaminated
+    assert d[5][0]
+    assert {r["doc_id"] for r in res.kept.collect()} == {0, 5}
