@@ -1,0 +1,406 @@
+"""Classic decision-support shapes: correlated-subquery families (EXISTS /
+NOT EXISTS / scalar subqueries), value-share HAVING against a global total,
+GROUPING SETS, and time-range rolling windows.
+
+The reference's query surface (SURVEY §2.3/§2.4) stops at equi-joins and
+plain group-bys; these are the standard warehouse shapes a user migrating a
+dashboard would write next. Each is expressed the way it should run at
+100 TB: correlated EXISTS as a semi/anti hash join (never a per-row probe),
+scalar subqueries as broadcast one-row joins, rolling windows as partitioned
+range frames over pre-aggregated daily rows (never a window over the raw
+fact table). All money math uses the exact-decimal discipline from
+functions/numeric.py so every query carries a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.catalog import table
+from bbt_etl_dw_spark.functions.numeric import DEC, SQL_DEC, dsum, sql_dsum
+from bbt_etl_dw_spark.suite import register
+
+def _attach_scalar(df: DataFrame, scalar: DataFrame) -> DataFrame:
+    """Attach a ONE-ROW aggregate to every row of ``df`` as a broadcast
+    cross join — the canonical scalar-subquery plan. This intentionally
+    plans as BroadcastNestedLoopJoin with a 1-row build side: linear work
+    (one in-memory comparison per probe row, exactly what the downstream
+    filter costs anyway), not a quadratic join. Catalyst constant-folds
+    any literal-equi-key disguise back to BNLJ, so the plan lint instead
+    allow-lists the queries using this helper (SCALAR_SUBQUERY_ALLOWED in
+    tests/test_plan_lint.py)."""
+    return df.crossJoin(F.broadcast(scalar))
+
+
+# --------------------------------------------------------------------------
+# EXISTS → left-semi join (TPC-H Q4 shape)
+# --------------------------------------------------------------------------
+
+_PRIORITY_EXISTS_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("order_priority_exists_counts", oracle=_PRIORITY_EXISTS_ORACLE)
+def order_priority_exists_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders (one quarter) that have at least one line shipped
+    >60 days after ordering, counted per priority. The correlated EXISTS
+    is a LEFT SEMI hash join on orderkey with the date comparison as a
+    residual condition — one shuffle, no per-row subquery, and the quarter
+    filter pushes down to the orders scan."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# NOT EXISTS + scalar subquery → anti join + broadcast one-row agg (Q22 shape)
+# --------------------------------------------------------------------------
+
+_IDLE_RICH_ORACLE = f"""
+WITH thr AS (
+    SELECT CAST(CAST(SUM(TRY_CAST(CAST(c_acctbal AS VARCHAR) AS {SQL_DEC})) AS VARCHAR) AS DOUBLE)
+           / COUNT(c_acctbal) AS v
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_customers,
+       {sql_dsum('c.c_acctbal', 'total_bal')}
+FROM customer c, thr
+WHERE c.c_acctbal > thr.v
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("idle_rich_customers", oracle=_IDLE_RICH_ORACLE)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no order since
+    2000-01-01, summarized per segment. The scalar AVG subquery becomes a
+    broadcast one-row cross join (computed with the exact-decimal mean so
+    the > threshold comparison is bit-identical to the oracle), and NOT
+    EXISTS becomes a LEFT ANTI join against the date-filtered orders —
+    the filter pushes into the orders scan, so the anti join's build side
+    is only the recent slice."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").try_cast(DEC)).cast("string").cast("double")
+            / F.count("c_acctbal")
+        ).alias("v")
+    )
+    return (
+        _attach_scalar(c, thr)
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Value share vs global total (Q11 shape)
+# --------------------------------------------------------------------------
+
+_NATION_SHARE_ORACLE = f"""
+WITH nr AS (
+    SELECT n.n_name AS nation,
+           SUM(TRY_CAST(CAST((l.l_extendedprice * (1 - l.l_discount)) AS VARCHAR) AS {SQL_DEC})) AS rev_dec
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+), tot AS (SELECT SUM(rev_dec) AS tot_dec FROM nr)
+SELECT nation,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(tot_dec AS VARCHAR) AS DOUBLE) AS share
+FROM nr, tot
+WHERE CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(tot_dec AS VARCHAR) AS DOUBLE) > 0.04
+ORDER BY nation
+"""
+
+
+@register("nation_revenue_share", oracle=_NATION_SHARE_ORACLE)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: nations whose revenue share exceeds 4% of the global
+    total. The global total is the exact-decimal sum of the per-nation
+    exact-decimal sums (order-independent at any parallelism, and only
+    |nations| rows ever reach the second agg), broadcast back as a one-row
+    cross join; the share is one IEEE division of two canonical doubles,
+    so the HAVING cut is bit-stable cross-engine."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    geo = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            "c_custkey", "n_name"
+        )
+    )
+    nr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(geo, o.o_custkey == geo.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).try_cast(DEC)
+            ).alias("rev_dec")
+        )
+    )
+    tot = nr.agg(F.sum("rev_dec").alias("tot_dec"))
+    share = F.col("rev_dec").cast("string").cast("double") / F.col("tot_dec").cast(
+        "string"
+    ).cast("double")
+    return (
+        _attach_scalar(nr, tot)
+        .select(
+            "nation",
+            F.col("rev_dec").cast("string").cast("double").alias("revenue"),
+            share.alias("share"),
+        )
+        .filter(F.col("share") > 0.04)
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-share ratio per year (Q8 shape)
+# --------------------------------------------------------------------------
+
+_MARKET_SHARE_ORACLE = f"""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS order_year,
+       {sql_dsum("CASE WHEN n.n_name = 'NATION_7' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 'nation_revenue')},
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'total_revenue')},
+       CAST(CAST(SUM(TRY_CAST(CAST((CASE WHEN n.n_name = 'NATION_7' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END) AS VARCHAR) AS {SQL_DEC})) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(TRY_CAST(CAST((l.l_extendedprice * (1 - l.l_discount)) AS VARCHAR) AS {SQL_DEC})) AS VARCHAR) AS DOUBLE) AS market_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+@register("supplier_market_share_by_year", oracle=_MARKET_SHARE_ORACLE)
+def supplier_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: NATION_7 suppliers' share of total revenue per order year.
+    Supplier→nation resolves as a broadcast pre-join (dim-side), the
+    conditional numerator folds into the same single hash agg as the
+    denominator (no second pass over the fact), and the share is one IEEE
+    division of two exact-decimal sums."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    supp = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", "n_name"
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_rev = F.when(F.col("n_name") == "NATION_7", rev).otherwise(F.lit(0.0))
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.sum(nat_rev.try_cast(DEC)).alias("_num_dec"),
+            F.sum(rev.try_cast(DEC)).alias("_den_dec"),
+        )
+    )
+    num = F.col("_num_dec").cast("string").cast("double")
+    den = F.col("_den_dec").cast("string").cast("double")
+    return agg.select(
+        "order_year",
+        num.alias("nation_revenue"),
+        den.alias("total_revenue"),
+        (num / den).alias("market_share"),
+    ).orderBy("order_year")
+
+
+# --------------------------------------------------------------------------
+# Correlated EXISTS/NOT-EXISTS pair rewritten as aggregation (Q21 shape)
+# --------------------------------------------------------------------------
+
+_SOLE_RETURN_ORACLE = """
+WITH per_supp AS (
+    SELECT l_orderkey, l_suppkey,
+           MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+    FROM lineitem
+    GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+    SELECT l_orderkey,
+           COUNT(*) AS n_supp,
+           SUM(has_r) AS n_ret_supp,
+           MAX(CASE WHEN has_r = 1 THEN l_suppkey END) AS sole_supp
+    FROM per_supp
+    GROUP BY l_orderkey
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_sole_return_orders
+FROM per_order p
+JOIN supplier s ON p.sole_supp = s.s_suppkey
+WHERE p.n_supp >= 2 AND p.n_ret_supp = 1
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY n_sole_return_orders DESC, s.s_suppkey
+"""
+
+
+@register("sole_return_suppliers", oracle=_SOLE_RETURN_ORACLE)
+def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: in multi-supplier orders, the supplier who alone shipped
+    returned ('R') lines — ranked by how often they were the sole returner.
+    TPC-H writes this as EXISTS + NOT EXISTS self-joins on the fact; at
+    scale that's two extra fact shuffles, so the engine rewrites it as a
+    two-level aggregation: per (order, supplier) flags first (map-side
+    combinable), then per-order counts — the fact shuffles ONCE, and when
+    exactly one supplier is flagged, MAX(flagged suppkey) IS that supplier,
+    so no join back to the fact is needed."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_ret_supp"),
+        F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias("sole_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+        .join(F.broadcast(s), F.col("sole_supp") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_sole_return_orders"))
+        .orderBy(F.desc("n_sole_return_orders"), "s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with grouping flags (beyond rollup/cube)
+# --------------------------------------------------------------------------
+
+_GROUPING_SETS_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+@register("revenue_grouping_sets", oracle=_GROUPING_SETS_ORACLE)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — (flag, status), (status), grand total —
+    with GROUPING() disambiguation flags, the piece of the multi-level-agg
+    family rollup/cube can't express (it skips the (l_returnflag) level).
+    One Expand + one hash agg; rows replicate only per matching set."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            dsum(rev, "revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling time-range window over pre-aggregated days
+# --------------------------------------------------------------------------
+
+_ROLLING_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderpriority,
+           CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS day_idx,
+           SUM(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS {SQL_DEC})) AS daily_dec
+    FROM orders
+    GROUP BY o_orderpriority, day_idx
+)
+SELECT o_orderpriority, day_idx,
+       CAST(CAST(daily_dec AS VARCHAR) AS DOUBLE) AS daily_revenue,
+       CAST(CAST(SUM(daily_dec) OVER (
+            PARTITION BY o_orderpriority ORDER BY day_idx
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+         AS rolling_7d_revenue
+FROM daily
+ORDER BY o_orderpriority, day_idx
+"""
+
+
+@register("priority_rolling_7d_revenue", oracle=_ROLLING_ORACLE)
+def priority_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per order priority as a RANGE frame (6
+    PRECEDING on an integer day index — days with no orders correctly
+    widen the gap, which a ROWS frame would get wrong). The window runs
+    over PRE-AGGREGATED daily rows — |priorities|x|days|, not the raw
+    fact — so at 100 TB the fact table is touched once by a partial-agg
+    shuffle and the window state stays tiny. Daily sums are kept as exact
+    decimals INTO the window so the rolling sum is order-independent too."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(F.sum(F.col("o_totalprice").try_cast(DEC)).alias("daily_dec"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day_idx",
+        F.col("daily_dec").cast("string").cast("double").alias("daily_revenue"),
+        F.sum("daily_dec").over(w).cast("string").cast("double").alias(
+            "rolling_7d_revenue"
+        ),
+    ).orderBy("o_orderpriority", "day_idx")

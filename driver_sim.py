@@ -1,0 +1,94 @@
+"""Local mirror of the verification driver's CORRECTNESS gate.
+
+Runs registered queries through ``__spark_entry__`` exactly the way the
+driver does — a plain SparkSession (no test fixtures), the first-50
+registry window, sf0.01 tables, DuckDB oracles compared column-sorted /
+row-sorted / value-exact — and prints one JSON report.
+
+Run under a hostile timezone to catch session-TZ-dependent semantics::
+
+    TZ=America/Anchorage python driver_sim.py             # full 50-window
+    python driver_sim.py --sf /root/testdata/sf0.01 q1 q2 # named subset
+
+Exit code 1 if any checked query mismatches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+WINDOW = 50
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", help="query names (default: 50-window)")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--all", action="store_true", help="every registered query")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    from tests.oracle import _normalize, run_oracle
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    if args.names:
+        names = list(args.names)
+    else:
+        names = list(qs)[: (len(qs) if args.all else WINDOW)]
+
+    report: dict[str, dict] = {}
+    fails = 0
+    for name in names:
+        row: dict = {}
+        try:
+            sdf = qs[name](spark, args.sf)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                row = {"err": "no_oracle", "spark_rows": len(s_rows)}
+            else:
+                o_cols, o_rows = run_oracle(oracles[name], args.sf)
+                sc, sn = _normalize(s_cols, s_rows)
+                oc, on = _normalize(o_cols, o_rows)
+                row = {
+                    "rows_match": len(sn) == len(on),
+                    "schema_match": sc == oc,
+                    "hash_match": sn == on,
+                    "spark_rows": len(sn),
+                    "oracle_rows": len(on),
+                }
+                if not (row["rows_match"] and row["schema_match"] and row["hash_match"]):
+                    fails += 1
+                    bad = next(
+                        ((a, b) for a, b in zip(sn, on) if a != b), None
+                    )
+                    if bad:
+                        row["first_diff"] = [repr(bad[0])[:200], repr(bad[1])[:200]]
+        except Exception as e:  # driver records errors per-row, keeps going
+            fails += 1
+            row = {"err": f"{type(e).__name__}: {e}"[:300]}
+        report[name] = row
+        status = "ok" if row.get("hash_match") else row.get("err", "FAIL")
+        print(f"{name}: {status}", file=sys.stderr)
+
+    print(json.dumps(report, indent=1))
+    print(
+        f"checked={len(names)} fails={fails}",
+        file=sys.stderr,
+    )
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

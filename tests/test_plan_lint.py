@@ -46,6 +46,19 @@ QUADRATIC_ALLOWED = {
     "cosine_pairs_precision",
 }
 
+# Scalar-subquery attaches (suite.classic._attach_scalar): a broadcast
+# cross join whose build side is ONE aggregate row — the canonical plan
+# for "compare every row against a global aggregate". The BNLJ here is
+# linear (1 comparison per probe row), not quadratic; Catalyst folds any
+# constant-equi-key disguise back to BNLJ, so the honest plan is allowed
+# by name instead. A regression that grows the build side past one row
+# would still be caught by the oracle value checks.
+SCALAR_SUBQUERY_ALLOWED = {
+    "idle_rich_customers",
+    "nation_revenue_share",
+}
+QUADRATIC_ALLOWED |= SCALAR_SUBQUERY_ALLOWED
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_has_no_scale_killers(spark, sf_dir, name):
