@@ -1,6 +1,6 @@
-"""Classic decision-support shapes: correlated-subquery families (EXISTS /
+"""Classic warehouse shapes: correlated-subquery families (EXISTS /
 NOT EXISTS / scalar subqueries), value-share HAVING against a global total,
-GROUPING SETS, and time-range rolling windows.
+GROUPING SETS, time-range rolling windows, and CDC snapshot diffing.
 
 The reference's query surface (SURVEY §2.3/§2.4) stops at equi-joins and
 plain group-bys; these are the standard warehouse shapes a user migrating a
@@ -404,3 +404,88 @@ def priority_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_7d_revenue"
         ),
     ).orderBy("o_orderpriority", "day_idx")
+
+
+# --------------------------------------------------------------------------
+# CDC snapshot diff (operators/diff.py)
+# --------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH cls AS (
+    SELECT s.*, substring(md5(CAST(s_suppkey AS VARCHAR)), 1, 1) AS d
+    FROM supplier s
+), new_snap AS (
+    SELECT s_suppkey,
+           CASE WHEN d = '2' THEN s_name || '*' ELSE s_name END AS s_name,
+           s_nationkey,
+           CASE WHEN d IN ('0', '1') THEN s_acctbal + 100.0 ELSE s_acctbal END AS s_acctbal
+    FROM cls WHERE d <> 'f'
+    UNION ALL
+    SELECT s_suppkey + 1000000, 'NEW_' || CAST(s_suppkey AS VARCHAR),
+           s_nationkey, 0.0
+    FROM cls WHERE d = 'e'
+), j AS (
+    SELECT COALESCE(o.s_suppkey, n.s_suppkey) AS s_suppkey,
+           CASE WHEN o.s_suppkey IS NULL THEN 'insert'
+                WHEN n.s_suppkey IS NULL THEN 'delete'
+                WHEN NOT (o.s_name IS NOT DISTINCT FROM n.s_name)
+                  OR NOT (o.s_nationkey IS NOT DISTINCT FROM n.s_nationkey)
+                  OR NOT (o.s_acctbal IS NOT DISTINCT FROM n.s_acctbal)
+                THEN 'update' END AS op,
+           list_filter([
+               CASE WHEN NOT (o.s_name IS NOT DISTINCT FROM n.s_name) THEN 's_name' END,
+               CASE WHEN NOT (o.s_nationkey IS NOT DISTINCT FROM n.s_nationkey) THEN 's_nationkey' END,
+               CASE WHEN NOT (o.s_acctbal IS NOT DISTINCT FROM n.s_acctbal) THEN 's_acctbal' END
+           ], x -> x IS NOT NULL) AS diffs,
+           o.s_name AS old_s_name, o.s_nationkey AS old_s_nationkey,
+           o.s_acctbal AS old_s_acctbal,
+           n.s_name AS new_s_name, n.s_nationkey AS new_s_nationkey,
+           n.s_acctbal AS new_s_acctbal
+    FROM supplier o FULL OUTER JOIN new_snap n ON o.s_suppkey = n.s_suppkey
+)
+SELECT s_suppkey, op,
+       CASE WHEN op = 'update' THEN diffs ELSE CAST([] AS VARCHAR[]) END AS changed_cols,
+       old_s_name, old_s_nationkey, old_s_acctbal,
+       new_s_name, new_s_nationkey, new_s_acctbal
+FROM j
+WHERE op IS NOT NULL
+ORDER BY s_suppkey
+"""
+
+
+@register("supplier_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def supplier_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extraction (operators/diff.py): diff the supplier dim against a
+    deterministically mutated next-day snapshot (md5-class of the key:
+    'f' rows deleted, '0'/'1' balance-updated, '2' renamed, 'e' rows
+    cloned as inserts under shifted keys) and emit the insert / delete /
+    update change set with per-row changed-column lists. One full-outer
+    hash join; unchanged keys never reach the output."""
+    from bbt_etl_dw_spark.operators.diff import snapshot_diff
+
+    s = table(spark, sf_dir, "supplier")
+    d = F.substring(F.md5(F.col("s_suppkey").cast("string")), 1, 1)
+    cls = s.withColumn("d", d)
+    mutated = cls.filter(F.col("d") != "f").select(
+        "s_suppkey",
+        F.when(F.col("d") == "2", F.concat(F.col("s_name"), F.lit("*")))
+        .otherwise(F.col("s_name"))
+        .alias("s_name"),
+        "s_nationkey",
+        F.when(F.col("d").isin("0", "1"), F.col("s_acctbal") + 100.0)
+        .otherwise(F.col("s_acctbal"))
+        .alias("s_acctbal"),
+    )
+    inserted = cls.filter(F.col("d") == "e").select(
+        (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+        F.concat(F.lit("NEW_"), F.col("s_suppkey").cast("string")).alias("s_name"),
+        "s_nationkey",
+        F.lit(0.0).alias("s_acctbal"),
+    )
+    new_snap = mutated.unionByName(inserted)
+    return snapshot_diff(
+        s.drop("d") if "d" in s.columns else s,
+        new_snap,
+        keys=["s_suppkey"],
+        compare_cols=["s_name", "s_nationkey", "s_acctbal"],
+    ).orderBy("s_suppkey")

@@ -5,10 +5,22 @@ driver does — a plain SparkSession (no test fixtures), the first-50
 registry window, sf0.01 tables, DuckDB oracles compared column-sorted /
 row-sorted / value-exact — and prints one JSON report.
 
-Run under a hostile timezone to catch session-TZ-dependent semantics::
+Run with ``--hostile-tz`` to start the session on a non-UTC timezone and
+prove the engine's scan-level normalization (session.tune pins the
+SESSION timezone to UTC on any session it is handed)::
 
-    TZ=America/Anchorage python driver_sim.py             # full 50-window
+    python driver_sim.py --hostile-tz                     # full 50-window
     python driver_sim.py --sf /root/testdata/sf0.01 q1 q2 # named subset
+
+Do NOT run with a non-UTC OS timezone (``TZ=... python driver_sim.py``):
+PySpark's ``collect()`` converts TIMESTAMP values to naive datetimes via
+the PYTHON process's OS zone — a layer outside any query plan, applied
+after the engine's work is done — so every timestamp-emitting query would
+"fail" by exactly the OS offset while the plans and stored values are
+correct. The verification driver runs with a UTC OS zone (every
+timestamp-emitting query is hash-green in the recorded CORRECTNESS
+artifacts); the session timezone is the layer an engine can and must
+defend, and ``--hostile-tz`` tests exactly that.
 
 Exit code 1 if any checked query mismatches.
 """
@@ -27,6 +39,12 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="query names (default: 50-window)")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--all", action="store_true", help="every registered query")
+    ap.add_argument(
+        "--hostile-tz",
+        action="store_true",
+        help="start the session on a non-UTC session timezone "
+        "(session.tune must neutralize it at the scan)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -34,12 +52,14 @@ def main() -> int:
     import __spark_entry__ as entry
     from tests.oracle import _normalize, run_oracle
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[32]")
         .appName("driver-sim")
         .config("spark.sql.shuffle.partitions", "32")
-        .getOrCreate()
     )
+    if args.hostile_tz:
+        builder = builder.config("spark.sql.session.timeZone", "America/Anchorage")
+    spark = builder.getOrCreate()
     qs = entry.queries()
     oracles = entry.oracle_sql()
     if args.names:

@@ -1,0 +1,63 @@
+"""snapshot_diff (operators/diff.py) unit semantics: op classification,
+changed-column lists, and null handling (value→null, null→value, and
+null==null must compare as unchanged)."""
+
+from pyspark.sql import Row
+
+from bbt_etl_dw_spark.operators.diff import snapshot_diff
+
+
+def _rows(df):
+    return {r["k"]: r.asDict() for r in df.collect()}
+
+
+def test_snapshot_diff_ops_and_nulls(spark):
+    old = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=1.0),   # unchanged
+            Row(k=2, a="y", b=2.0),   # update: a changes
+            Row(k=3, a=None, b=3.0),  # update: a null -> value
+            Row(k=4, a="z", b=None),  # unchanged (null == null)
+            Row(k=5, a="w", b=5.0),   # delete
+            Row(k=7, a="v", b=7.0),   # update: b value -> null
+        ],
+        schema="k long, a string, b double",
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=1.0),
+            Row(k=2, a="y2", b=2.0),
+            Row(k=3, a="now", b=3.0),
+            Row(k=4, a="z", b=None),
+            Row(k=6, a="new", b=6.0),  # insert
+            Row(k=7, a="v", b=None),
+        ],
+        schema="k long, a string, b double",
+    )
+    got = _rows(snapshot_diff(old, new, keys=["k"]))
+
+    assert set(got) == {2, 3, 5, 6, 7}  # unchanged keys 1 and 4 dropped
+    assert got[2]["op"] == "update" and got[2]["changed_cols"] == ["a"]
+    assert got[3]["op"] == "update" and got[3]["changed_cols"] == ["a"]
+    assert got[5]["op"] == "delete" and got[5]["changed_cols"] == []
+    assert got[5]["new_a"] is None and got[5]["old_a"] == "w"
+    assert got[6]["op"] == "insert" and got[6]["new_a"] == "new"
+    assert got[6]["old_a"] is None and got[6]["changed_cols"] == []
+    assert got[7]["op"] == "update" and got[7]["changed_cols"] == ["b"]
+
+
+def test_snapshot_diff_multi_key_and_subset_cols(spark):
+    old = spark.createDataFrame(
+        [Row(k1=1, k2="a", v=1.0, ignored="p"), Row(k1=1, k2="b", v=2.0, ignored="q")],
+        schema="k1 long, k2 string, v double, ignored string",
+    )
+    new = spark.createDataFrame(
+        [Row(k1=1, k2="a", v=9.0, ignored="p"), Row(k1=1, k2="b", v=2.0, ignored="Z")],
+        schema="k1 long, k2 string, v double, ignored string",
+    )
+    out = snapshot_diff(old, new, keys=["k1", "k2"], compare_cols=["v"]).collect()
+    # only (1,'a') changed on v; the 'ignored' column is not compared
+    assert len(out) == 1
+    r = out[0]
+    assert (r["k1"], r["k2"], r["op"], r["changed_cols"]) == (1, "a", "update", ["v"])
+    assert r["old_v"] == 1.0 and r["new_v"] == 9.0
