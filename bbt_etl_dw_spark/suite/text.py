@@ -1267,3 +1267,92 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation_pipeline(train, eval_df, min_quality=0.7).disposition.orderBy(
         "doc_id"
     )
+
+
+# --- train-vs-heldout token-distribution drift ----------------------------
+# Distribution-shift monitoring for the split itself: if the hash split is
+# healthy, per-token chi-square contributions stay small; a skewed split
+# (or a corpus whose content drifted between ingests) surfaces as large
+# contributions on specific tokens. Chi-square (not KL/JS) deliberately:
+# it is pure +,-,*,/ arithmetic on integer counts, so the statistic is
+# bit-reproducible cross-engine — log-based divergences differ in the last
+# ulp across libm builds and cannot carry a hash-exact oracle.
+
+_DRIFT_ORACLE = r"""
+WITH toks AS (
+    SELECT CASE WHEN CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INT) < 80
+                THEN 'train' ELSE 'heldout' END AS grp,
+           unnest(CASE WHEN length(trim(lower(text))) = 0
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS token
+    FROM documents
+), counts AS (
+    SELECT token,
+           CAST(COUNT(*) FILTER (grp = 'train') AS BIGINT) AS n_train,
+           CAST(COUNT(*) FILTER (grp <> 'train') AS BIGINT) AS n_heldout
+    FROM toks GROUP BY token
+), kept AS (
+    SELECT * FROM counts WHERE n_train + n_heldout >= 5
+), tot AS (
+    SELECT CAST(SUM(n_train) AS BIGINT) AS t_tr,
+           CAST(SUM(n_heldout) AS BIGINT) AS t_he
+    FROM kept
+)
+SELECT token, n_train, n_heldout,
+       ((CAST(n_train AS DOUBLE)
+         - (CAST(t_tr AS DOUBLE) * CAST(n_train + n_heldout AS DOUBLE)) / CAST(t_tr + t_he AS DOUBLE))
+        * (CAST(n_train AS DOUBLE)
+         - (CAST(t_tr AS DOUBLE) * CAST(n_train + n_heldout AS DOUBLE)) / CAST(t_tr + t_he AS DOUBLE))
+        / ((CAST(t_tr AS DOUBLE) * CAST(n_train + n_heldout AS DOUBLE)) / CAST(t_tr + t_he AS DOUBLE)))
+     + ((CAST(n_heldout AS DOUBLE)
+         - (CAST(t_he AS DOUBLE) * CAST(n_train + n_heldout AS DOUBLE)) / CAST(t_tr + t_he AS DOUBLE))
+        * (CAST(n_heldout AS DOUBLE)
+         - (CAST(t_he AS DOUBLE) * CAST(n_train + n_heldout AS DOUBLE)) / CAST(t_tr + t_he AS DOUBLE))
+        / ((CAST(t_he AS DOUBLE) * CAST(n_train + n_heldout AS DOUBLE)) / CAST(t_tr + t_he AS DOUBLE)))
+       AS chi2_contrib
+FROM kept, tot
+ORDER BY chi2_contrib DESC, token
+LIMIT 50
+"""
+
+
+@register("doc_token_drift_chisq", oracle=_DRIFT_ORACLE)
+def doc_token_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 drifting tokens between the train split and the held-out
+    splits, by per-token chi-square contribution. One explode + ONE hash
+    agg on the token (both split counters fold into the same pass via
+    conditional sums — the fact never shuffles twice), a >=5-total cut
+    (the classic expected-count validity rule, which also bounds the
+    vocabulary reaching the scalar attach), marginals as a one-row
+    broadcast, and a TakeOrdered top-k — never a global sort."""
+    from bbt_etl_dw_spark.operators.textstats import split_bucket, words
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    grp = F.when(split_bucket("doc_id") < 80, "train").otherwise("heldout")
+    t = docs.select(grp.alias("grp"), F.explode(words("text")).alias("token"))
+    counts = t.groupBy("token").agg(
+        F.sum(F.when(F.col("grp") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("grp") != "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_heldout"),
+    )
+    kept = counts.filter(F.col("n_train") + F.col("n_heldout") >= 5)
+    tot = kept.agg(
+        F.sum("n_train").cast("long").alias("t_tr"),
+        F.sum("n_heldout").cast("long").alias("t_he"),
+    )
+    n_t = (F.col("n_train") + F.col("n_heldout")).cast("double")
+    n_all = (F.col("t_tr") + F.col("t_he")).cast("double")
+    e_tr = (F.col("t_tr").cast("double") * n_t) / n_all
+    e_he = (F.col("t_he").cast("double") * n_t) / n_all
+    d_tr = F.col("n_train").cast("double") - e_tr
+    d_he = F.col("n_heldout").cast("double") - e_he
+    contrib = (d_tr * d_tr / e_tr) + (d_he * d_he / e_he)
+    return (
+        kept.crossJoin(F.broadcast(tot))
+        .select("token", "n_train", "n_heldout", contrib.alias("chi2_contrib"))
+        .orderBy(F.desc("chi2_contrib"), "token")
+        .limit(50)
+    )

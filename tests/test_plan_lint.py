@@ -56,6 +56,7 @@ QUADRATIC_ALLOWED = {
 SCALAR_SUBQUERY_ALLOWED = {
     "idle_rich_customers",
     "nation_revenue_share",
+    "doc_token_drift_chisq",
 }
 QUADRATIC_ALLOWED |= SCALAR_SUBQUERY_ALLOWED
 
