@@ -489,3 +489,81 @@ def supplier_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["s_suppkey"],
         compare_cols=["s_name", "s_nationkey", "s_acctbal"],
     ).orderBy("s_suppkey")
+
+
+# --------------------------------------------------------------------------
+# Count-distribution histogram incl. zero groups (TPC-H Q13 shape)
+# --------------------------------------------------------------------------
+
+_ORDER_HISTOGRAM_ORACLE = """
+WITH per_cust AS (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'F'
+    GROUP BY c.c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+
+@register("customer_order_count_histogram", oracle=_ORDER_HISTOGRAM_ORACLE)
+def customer_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of per-customer order counts, INCLUDING
+    zero-order customers — the left join + COUNT(right-side key) idiom
+    (COUNT(*) would wrongly count the unmatched row). The status filter
+    lives in the JOIN condition, not a WHERE (a WHERE would silently turn
+    the left join inner). Two hash aggs, the second over |customers| rows."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey) & (o.o_orderstatus != "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Rank-family windows: ntile / percent_rank / cume_dist
+# --------------------------------------------------------------------------
+
+_DECILES_ORACLE = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(ntile(10) OVER w AS INTEGER) AS decile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_mktsegment, c_acctbal, c_custkey
+"""
+
+
+@register("customer_balance_deciles", oracle=_DECILES_ORACLE)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows per segment: ntile(10) deciles, percent_rank,
+    cume_dist over account balance with the key as deterministic
+    tie-break (without it ntile boundaries are run-dependent). Partitioned
+    window — the per-segment sort distributes; both rank ratios are one
+    integer division, so values are bit-identical cross-engine."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("c_mktsegment", "c_acctbal", "c_custkey")
