@@ -386,3 +386,43 @@ def exact_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dims: int = 8,
+    seed: int = 99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimensionality reduction: project each
+    embedding onto ``out_dims`` md5-derived ±1 hyperplanes (the same
+    cross-engine-reproducible family as hyperplane_signature, full-valued
+    instead of sign-only), scaled by 1/sqrt(out_dims) so expected pairwise
+    distances are preserved. A ±1 (Achlioptas) matrix matches dense
+    Gaussian JL quality for distance preservation while keeping every
+    coefficient a plan literal — zero per-row hashing, one narrow map
+    stage, no shuffle, and any engine with md5 re-derives the identical
+    matrix (the suite oracle replays it in SQL).
+
+    Each projection folds SEQUENTIALLY over the array in element order, so
+    outputs are bit-identical at any parallelism and in the SQL oracle
+    (cross-row float sums would not be)."""
+    coeffs = _hyperplane_coeffs(out_dims, dims, seed)
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.sqrt(F.lit(float(out_dims)))
+
+    def proj(p: int) -> Column:
+        fold = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(c) for c in coeffs[p]]),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (fold / scale).alias(f"proj_{p}")
+
+    return df.select(F.col(id_col), *[proj(p) for p in range(out_dims)])

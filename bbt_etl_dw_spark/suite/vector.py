@@ -700,3 +700,36 @@ def embedding_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --- random-projection dimensionality reduction ---------------------------
+
+def _rp_proj_sql(p: int, out_dims: int) -> str:
+    return (
+        "(list_reduce(list_transform(range(1, len(embedding)+1), "
+        f"i -> CASE WHEN CAST(('0x'||substring(md5('99_{p}_'||(i-1)),1,1)) AS INT) % 2 = 1 "
+        "THEN embedding[i]::DOUBLE ELSE -(embedding[i]::DOUBLE) END), "
+        f"(a, b) -> a + b) / sqrt({float(out_dims)})) AS proj_{p}"
+    )
+
+
+_RP_ORACLE = (
+    "SELECT vec_id,\n       "
+    + ",\n       ".join(_rp_proj_sql(p, 8) for p in range(8))
+    + "\nFROM embeddings ORDER BY vec_id"
+)
+
+
+@register("embedding_random_projection", oracle=_RP_ORACLE)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-dim embeddings reduced to 8 dims by an Achlioptas ±1 random
+    projection (operators/similarity.random_projection): coefficients are
+    md5-derived plan LITERALS (zero per-row hashing), projections fold
+    sequentially in-row (bit-identical at any parallelism), the whole
+    query is one narrow map stage with no shuffle — the preprocessing
+    step that makes downstream ANN / clustering 8x cheaper per vector.
+    The oracle re-derives the identical matrix and folds in SQL."""
+    from bbt_etl_dw_spark.operators.similarity import random_projection
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    return random_projection(emb, out_dims=8, seed=99).orderBy("vec_id")
