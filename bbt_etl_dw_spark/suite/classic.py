@@ -281,7 +281,7 @@ ORDER BY n_sole_return_orders DESC, s.s_suppkey
 """
 
 
-@register("sole_return_suppliers", oracle=_SOLE_RETURN_ORACLE)
+@register("sole_return_suppliers", oracle=_SOLE_RETURN_ORACLE, bench=True)
 def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape: in multi-supplier orders, the supplier who alone shipped
     returned ('R') lines — ranked by how often they were the sole returner.

@@ -1316,7 +1316,7 @@ LIMIT 50
 """
 
 
-@register("doc_token_drift_chisq", oracle=_DRIFT_ORACLE)
+@register("doc_token_drift_chisq", oracle=_DRIFT_ORACLE, bench=True)
 def doc_token_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 drifting tokens between the train split and the held-out
     splits, by per-token chi-square contribution. One explode + ONE hash
