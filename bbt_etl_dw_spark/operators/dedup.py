@@ -835,11 +835,14 @@ def cosine_near_dups(
     threshold: float = 0.95,
     planes: int = 16,
     tables: int = 4,
+    dims: int | None = None,
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH buckets -> exact cosine verify on
-    candidates. Hyperplane signs are derived from xxhash64(seed, plane, dim)
-    — deterministic, no stored model; each of ``tables`` seeds yields an
-    independent hyperplane family (same machinery as similarity.lsh_topk).
+    candidates. Hyperplane signs come from the md5-derived ±1 coefficient
+    literals in similarity.hyperplane_signature — deterministic, no stored
+    model, SQL-replayable (the suite oracle re-derives the same family);
+    each of ``tables`` seeds yields an independent hyperplane family (same
+    machinery as similarity.lsh_topk).
 
     Recall for a pair at angle θ is 1-(1-p^planes)^tables with
     p = 1-θ/π: ``tables`` drives recall up, ``planes`` drives candidate
@@ -857,17 +860,20 @@ def cosine_near_dups(
     runs only on pairs the screen keeps — the same double-prescreen +
     exact-finish discipline as similarity.exact_cosine_pairs."""
     from bbt_etl_dw_spark.operators.similarity import (
+        _infer_dims,
         dot_expr,
         hyperplane_signature,
         norm_expr,
     )
 
+    if dims is None:
+        dims = _infer_dims(df, vec_col)
     v = F.col(vec_col).cast("array<double>")
     fams = F.array(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                hyperplane_signature(v, planes, seed=t).alias("bucket"),
+                hyperplane_signature(v, planes, seed=t, dims=dims).alias("bucket"),
             )
             for t in range(tables)
         ]

@@ -115,6 +115,13 @@ def _hyperplane_coeffs(planes: int, dims: int, seed: int) -> list[list[float]]:
     ]
 
 
+def _infer_dims(df: DataFrame, vec_col: str, default: int = 64) -> int:
+    """Vector dimensionality from one bounded 1-row job (the same cost
+    class as the 1-row samples in sources/csv.py). ``default`` if empty."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    return int(row["n"]) if row is not None and row["n"] is not None else default
+
+
 def hyperplane_signature(
     vec: Column, planes: int = 16, seed: int = 0, dims: int = 64
 ) -> Column:
@@ -122,6 +129,14 @@ def hyperplane_signature(
     Plane p's coefficient for dimension d is ±1 from md5 hex parity —
     deterministic, no stored model, reproducible cross-engine. ``seed``
     yields an independent hyperplane family per LSH table.
+
+    ``dims`` MUST equal the vectors' length: the coefficient matrix is
+    inlined as a ``dims``-element literal, and a shorter/longer vector
+    would zip-pad with nulls, turn every projection NULL, and silently
+    collapse all vectors into bucket 0 (LSH degenerates to a full cross
+    product). A runtime guard raises on the first mismatched row instead;
+    callers (lsh_topk, cosine_near_dups, random_projection) infer dims
+    from the data by default.
 
     Projections fold in native doubles SEQUENTIALLY over the array — a
     per-row fold has a fixed order on every engine (unlike cross-row
@@ -147,7 +162,17 @@ def hyperplane_signature(
     out = plane_bit(0)
     for p in range(1, planes):
         out = out.bitwiseOR(plane_bit(p))
-    return out
+    return F.when(F.size(vec) == dims, out).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"hyperplane_signature: expected {dims}-dim vectors, got "
+                ),
+                F.size(vec).cast("string"),
+                F.lit(" — pass the correct dims="),
+            )
+        ).cast("long")
+    )
 
 
 def lsh_topk(
@@ -159,6 +184,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dims: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH with exact re-rank.
 
@@ -169,13 +195,16 @@ def lsh_topk(
     one explode (tables× row fan-out), one shuffle on (table, bucket), a
     pair-dedup, and a per-query top-k window over candidates only — never
     the O(N·Q) full cross product."""
+    if dims is None:
+        dims = _infer_dims(corpus, vec_col)
+
     def with_buckets(df: DataFrame, in_id: str, out_id: str, vec_alias: str) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
         sigs = F.array(
             *[
                 F.struct(
                     F.lit(t).alias("tbl"),
-                    hyperplane_signature(v, planes, seed=t).alias("bucket"),
+                    hyperplane_signature(v, planes, seed=t, dims=dims).alias("bucket"),
                 )
                 for t in range(tables)
             ]
@@ -226,8 +255,11 @@ def _l2sq(vec: Column, cvec: Column) -> Column:
 
 
 def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
-    """array<double> of exact-decimal L2² distances to each centroid.
-    ONE fold expression mapped over a literal centroid MATRIX — not
+    """array<double> of L2² distances to each centroid, via the
+    native-double per-row fold (_l2sq — see its comment for why decimal is
+    deliberately NOT used here; sequential in-row folds are already
+    bit-reproducible). ONE fold expression mapped over a literal centroid
+    MATRIX — not
     ``nlist`` separate fold subtrees, which made Catalyst analysis +
     codegen scale O(nlist · dims) per Lloyd step (measured 2-4x the whole
     job's wall at nlist=16). Values are identical: same products, same
@@ -394,7 +426,7 @@ def random_projection(
     seed: int = 99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dims: int = 64,
+    dims: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss-style dimensionality reduction: project each
     embedding onto ``out_dims`` md5-derived ±1 hyperplanes (the same
@@ -409,6 +441,8 @@ def random_projection(
     Each projection folds SEQUENTIALLY over the array in element order, so
     outputs are bit-identical at any parallelism and in the SQL oracle
     (cross-row float sums would not be)."""
+    if dims is None:
+        dims = _infer_dims(df, vec_col)
     coeffs = _hyperplane_coeffs(out_dims, dims, seed)
     v = F.col(vec_col).cast("array<double>")
     scale = F.sqrt(F.lit(float(out_dims)))

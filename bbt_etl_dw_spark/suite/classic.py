@@ -18,7 +18,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bbt_etl_dw_spark.catalog import table
-from bbt_etl_dw_spark.functions.numeric import DEC, SQL_DEC, dsum, sql_dsum
+from bbt_etl_dw_spark.functions.numeric import (
+    DEC,
+    SQL_DEC,
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
 from bbt_etl_dw_spark.suite import register
 
 def _attach_scalar(df: DataFrame, scalar: DataFrame) -> DataFrame:
@@ -80,8 +87,7 @@ def order_priority_exists_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IDLE_RICH_ORACLE = f"""
 WITH thr AS (
-    SELECT CAST(CAST(SUM(TRY_CAST(CAST(c_acctbal AS VARCHAR) AS {SQL_DEC})) AS VARCHAR) AS DOUBLE)
-           / COUNT(c_acctbal) AS v
+    SELECT {sql_davg('c_acctbal', 'v')}
     FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c.c_mktsegment,
@@ -111,12 +117,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
-    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
-        (
-            F.sum(F.col("c_acctbal").try_cast(DEC)).cast("string").cast("double")
-            / F.count("c_acctbal")
-        ).alias("v")
-    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal", "v"))
     return (
         _attach_scalar(c, thr)
         .filter(F.col("c_acctbal") > F.col("v"))
@@ -484,7 +485,7 @@ def supplier_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_snap = mutated.unionByName(inserted)
     return snapshot_diff(
-        s.drop("d") if "d" in s.columns else s,
+        s,
         new_snap,
         keys=["s_suppkey"],
         compare_cols=["s_name", "s_nationkey", "s_acctbal"],

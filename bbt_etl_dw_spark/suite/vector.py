@@ -572,9 +572,11 @@ def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings", spread=True)
     cents = ivf_centroids(emb, nlist=16, iters=2)
     v = F.col("embedding").cast("array<double>")
-    lists_path = os.path.join(
-        tempfile.gettempdir(),
-        f"bbt_ivf_lists_{os.path.basename(os.path.normpath(sf_dir))}",
+    # Per-run directory: a fixed path shared across sessions would let a
+    # concurrent run's mode("overwrite") delete files under this session's
+    # still-lazy scan (pytest alongside bench/driver_sim).
+    lists_path = tempfile.mkdtemp(
+        prefix=f"bbt_ivf_lists_{os.path.basename(os.path.normpath(sf_dir))}_"
     )
     emb.select(
         F.col("vec_id").alias("corpus_id"),

@@ -99,7 +99,12 @@ def main() -> int:
             fails += 1
             row = {"err": f"{type(e).__name__}: {e}"[:300]}
         report[name] = row
-        status = "ok" if row.get("hash_match") else row.get("err", "FAIL")
+        good = (
+            row.get("hash_match") is True
+            and row.get("rows_match") is True
+            and row.get("schema_match") is True
+        )
+        status = "ok" if good else row.get("err", "FAIL")
         print(f"{name}: {status}", file=sys.stderr)
 
     print(json.dumps(report, indent=1))
