@@ -61,3 +61,65 @@ def test_snapshot_diff_multi_key_and_subset_cols(spark):
     r = out[0]
     assert (r["k1"], r["k2"], r["op"], r["changed_cols"]) == (1, "a", "update", ["v"])
     assert r["old_v"] == 1.0 and r["new_v"] == 9.0
+
+
+def _part_files(path):
+    import glob
+    import os
+
+    out = {}
+    for d in glob.glob(os.path.join(path, "*=*")):
+        out[os.path.basename(d)] = sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+        )
+    return out
+
+
+def test_apply_changes_partition_scoped_upsert(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.diff import apply_changes, snapshot_diff
+
+    target = str(tmp_path / "dim")
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "p1"),
+            (2, "b", 20.0, "p1"),
+            (3, "c", 30.0, "p2"),
+            (4, "d", 40.0, "p3"),  # untouched partition
+            (5, "e", 50.0, "p4"),  # partition that empties out
+        ],
+        "k long, name string, v double, part string",
+    )
+    old.write.partitionBy("part").parquet(target)
+    before = _part_files(target)
+
+    new = spark.createDataFrame(
+        [
+            (1, "a", 11.0, "p1"),   # update in place
+            (2, "b", 20.0, "p1"),   # unchanged
+            (3, "c", 30.0, "p1"),   # moved p2 -> p1
+            (4, "d", 40.0, "p3"),   # unchanged
+            (6, "f", 60.0, "p2"),   # insert into p2
+        ],
+        "k long, name string, v double, part string",
+    )  # k=5 deleted -> p4 empties
+    changes = snapshot_diff(old, new, keys=["k"])
+    apply_changes(spark, target, changes, keys=["k"], part_col="part")
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(target)
+        .select("k", "name", "v", F.col("part").cast("string"))
+        .collect()
+    }
+    want = {tuple(r) for r in new.collect()}
+    assert got == want
+
+    after = _part_files(target)
+    # untouched partition p3: exact same files, untouched mtimes
+    assert after["part=p3"] == before["part=p3"]
+    # emptied partition p4 is gone entirely
+    assert "part=p4" not in after
