@@ -568,3 +568,132 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     ).orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Time-series: calendar-spine resample with LOCF gap fill
+# --------------------------------------------------------------------------
+
+_RESAMPLE_ORACLE = f"""
+WITH b AS (
+    SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+           CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+    FROM events
+), hours AS (
+    SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour FROM b
+), grid AS (
+    SELECT hours.hour, t.event_type
+    FROM hours, (SELECT DISTINCT event_type FROM events) AS t
+), hourly AS (
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+           COUNT(*) AS n,
+           SUM(TRY_CAST(CAST(value AS VARCHAR) AS {SQL_DEC})) AS vdec
+    FROM events
+    GROUP BY hour, event_type
+)
+SELECT grid.hour, grid.event_type,
+       COALESCE(h.n, 0) AS n_events,
+       CAST(CAST(h.vdec AS VARCHAR) AS DOUBLE) AS hourly_value,
+       CAST(CAST(last_value(h.vdec IGNORE NULLS) OVER (
+            PARTITION BY grid.event_type ORDER BY grid.hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+         AS value_filled
+FROM grid LEFT JOIN hourly h USING (hour, event_type)
+ORDER BY event_type, hour
+"""
+
+
+@register("events_hourly_resampled", oracle=_RESAMPLE_ORACLE)
+def events_hourly_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events onto a dense hourly grid per event type: hours with
+    no events appear with n_events=0 and carry the last known hourly value
+    forward (LOCF). The spine is GENERATED (§2.1 S6 sequence generator)
+    from one bounded min/max/collect_set agg — explode(sequence) then
+    explode(types), two Generate nodes, NO cross join — so the grid costs
+    |hours|x|types| rows regardless of fact size; hourly sums stay exact
+    decimals INTO the gap-fill window so filled values are bit-stable. At
+    100 TB the same plan partitions by (type, day-range); the window state
+    is one decimal per type."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        "types",
+    ).select("hour", F.explode("types").alias("event_type"))
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").try_cast(DEC)).alias("vdec"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("vdec").cast("string").cast("double").alias("hourly_value"),
+            F.last("vdec", ignorenulls=True)
+            .over(w)
+            .cast("string")
+            .cast("double")
+            .alias("value_filled"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# --------------------------------------------------------------------------
+# Year-over-year growth (lag window over pre-aggregated years)
+# --------------------------------------------------------------------------
+
+_YOY_ORACLE = f"""
+WITH yearly AS (
+    SELECT o_orderpriority,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           SUM(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS {SQL_DEC})) AS rev_dec
+    FROM orders
+    GROUP BY o_orderpriority, order_year
+)
+SELECT o_orderpriority, order_year,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(lag(rev_dec) OVER w AS VARCHAR) AS DOUBLE) AS prev_revenue,
+       (CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+        - CAST(CAST(lag(rev_dec) OVER w AS VARCHAR) AS DOUBLE))
+         / CAST(CAST(lag(rev_dec) OVER w AS VARCHAR) AS DOUBLE) AS yoy_growth
+FROM yearly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY order_year)
+ORDER BY o_orderpriority, order_year
+"""
+
+
+@register("orders_yoy_growth", oracle=_YOY_ORACLE)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per order priority: lag window over
+    PRE-AGGREGATED (priority, year) decimal sums — |priorities|x|years|
+    rows of window state, one fact shuffle; the growth ratio is arithmetic
+    on canonical doubles, so the whole result is hash-exact."""
+    o = table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    ).agg(F.sum(F.col("o_totalprice").try_cast(DEC)).alias("rev_dec"))
+    w = Window.partitionBy("o_orderpriority").orderBy("order_year")
+    rev = F.col("rev_dec").cast("string").cast("double")
+    prev = F.lag("rev_dec").over(w).cast("string").cast("double")
+    return yearly.select(
+        "o_orderpriority",
+        "order_year",
+        rev.alias("revenue"),
+        prev.alias("prev_revenue"),
+        ((rev - prev) / prev).alias("yoy_growth"),
+    ).orderBy("o_orderpriority", "order_year")
