@@ -633,3 +633,88 @@ def test_streaming_span_ingest_equals_sequential_batches(spark, tmp_path):
     # index stayed distinct despite append-only writes
     idx_rows = spark.read.parquet(index_path)
     assert idx_rows.count() == idx_rows.distinct().count()
+
+
+def test_streaming_cdc_apply_equals_sequential(spark, tmp_path):
+    """A 3-batch CDC change feed applied through streaming_cdc_apply must
+    leave the target exactly where sequential apply_changes calls leave a
+    twin target: upserts land, deletes disappear, later batches see
+    earlier batches' state (an insert updated in a later batch, a row
+    deleted after being updated)."""
+    from bbt_etl_dw_spark.operators.diff import apply_changes
+    from bbt_etl_dw_spark.streaming.ops import streaming_cdc_apply
+
+    schema = (
+        "k long, op string, changed_cols array<string>, "
+        "old_name string, old_v double, new_name string, new_v double, "
+        "old_part string, new_part string"
+    )
+    initial = spark.createDataFrame(
+        [(1, "a", 1.0, "p1"), (2, "b", 2.0, "p2")],
+        "k long, name string, v double, part string",
+    )
+    batches = [
+        # b0: insert k=3 into p1, update k=1's value
+        [
+            (3, "insert", [], None, None, "c", 3.0, None, "p1"),
+            (1, "update", ["v"], "a", 1.0, "a", 1.5, "p1", "p1"),
+        ],
+        # b1: update the b0 insert (proves batch order), move k=2 p2->p1
+        [
+            (3, "update", ["v"], "c", 3.0, "c", 3.5, "p1", "p1"),
+            (2, "update", ["part"], "b", 2.0, "b", 2.0, "p2", "p1"),
+        ],
+        # b2: delete the row updated in b1
+        [(3, "delete", [], "c", 3.5, None, None, "p1", None)],
+    ]
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        chunk = tmp_path / f"chunk{i}"
+        df.coalesce(1).write.parquet(str(chunk))
+        for f_ in sorted(chunk.glob("*.parquet")):
+            f_.rename(feed / f"part-{i:03d}.parquet")
+
+    stream_target = str(tmp_path / "t_stream")
+    batch_target = str(tmp_path / "t_batch")
+    initial.write.partitionBy("part").parquet(stream_target)
+    initial.write.partitionBy("part").parquet(batch_target)
+
+    changes_stream = (
+        spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = streaming_cdc_apply(
+        changes_stream, stream_target, keys=["k"], part_col="part"
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    for rows in batches:
+        apply_changes(
+            spark,
+            batch_target,
+            spark.createDataFrame(rows, schema),
+            keys=["k"],
+            part_col="part",
+        )
+
+    def snap(path):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .selectExpr("k", "name", "v", "CAST(part AS STRING) part")
+            .collect()
+        )
+
+    assert snap(stream_target) == snap(batch_target)
+    assert snap(stream_target) == [
+        (1, "a", 1.5, "p1"),
+        (2, "b", 2.0, "p1"),
+    ]
