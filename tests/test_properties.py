@@ -268,3 +268,58 @@ def test_funnel_matches_bruteforce(spark, events):
             want[step] += 1
     # empty stage rows: stack always emits all 3 stages (counts 0)
     assert got == want or (not events and set(got.values()) == {0})
+
+
+# --- CDC round-trip law ---------------------------------------------------
+# For any two snapshots: applying snapshot_diff(old, new) onto a target
+# holding old must reconstruct new EXACTLY — inserts, deletes, in-place
+# updates, cross-partition moves, value->null and null->value transitions
+# all compose through the partition-scoped writer.
+
+snap_names = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+snap_parts = st.sampled_from(["p1", "p2"])
+snapshots = st.dictionaries(
+    st.integers(min_value=0, max_value=5),
+    st.tuples(snap_names, snap_parts),
+    max_size=6,
+)
+
+
+@given(old=snapshots, new=snapshots)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_cdc_roundtrip_reconstructs_new_snapshot(spark, old, new):
+    import shutil
+    import tempfile
+
+    from hypothesis import assume
+
+    from bbt_etl_dw_spark.operators.diff import apply_changes, snapshot_diff
+
+    # empty-side bootstrap is outside the operator contract (a schema-less
+    # parquet dir cannot be read back)
+    assume(old and new)
+
+    def df_of(d):
+        return spark.createDataFrame(
+            [(k, n, p) for k, (n, p) in sorted(d.items())],
+            "k long, name string, part string",
+        )
+
+    target = tempfile.mkdtemp(prefix="cdc_prop_")
+    try:
+        old_df, new_df = df_of(old), df_of(new)
+        old_df.write.mode("overwrite").partitionBy("part").parquet(target)
+        changes = snapshot_diff(old_df, new_df, keys=["k"])
+        apply_changes(spark, target, changes, keys=["k"], part_col="part")
+        got = sorted(
+            (r["k"], r["name"], r["part"])
+            for r in spark.read.parquet(target)
+            .selectExpr("k", "name", "CAST(part AS STRING) part")
+            .collect()
+        )
+        want = sorted((k, n, p) for k, (n, p) in new.items())
+        assert got == want
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
