@@ -26,6 +26,12 @@ NESTED_LOOP_OK = {
     "cosine_pairs_precision",
 }
 
+# One-row scalar-subquery attaches are linear, not quadratic — shared
+# allow-list (with rationale) in tests/test_plan_lint.py.
+from tests.test_plan_lint import SCALAR_SUBQUERY_ALLOWED  # noqa: E402
+
+NESTED_LOOP_OK |= SCALAR_SUBQUERY_ALLOWED
+
 
 def _plan(df) -> str:
     # formatted explain keeps full scan detail (PushedFilters/ReadSchema);
