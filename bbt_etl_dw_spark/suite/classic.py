@@ -1,6 +1,7 @@
 """Classic warehouse shapes: correlated-subquery families (EXISTS /
 NOT EXISTS / scalar subqueries), value-share HAVING against a global total,
-GROUPING SETS, time-range rolling windows, and CDC snapshot diffing.
+GROUPING SETS, rank-family windows, time-range rolling windows, CDC
+snapshot diffing, and time-series resample / year-over-year growth.
 
 The reference's query surface (SURVEY §2.3/§2.4) stops at equi-joins and
 plain group-bys; these are the standard warehouse shapes a user migrating a
