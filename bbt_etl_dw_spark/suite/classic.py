@@ -698,3 +698,66 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((rev - prev) / prev).alias("yoy_growth"),
     ).orderBy("o_orderpriority", "order_year")
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning, gated in-plan
+# --------------------------------------------------------------------------
+
+_DPP_ORACLE = f"""
+WITH yrs AS (
+    SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1999-07-01'
+)
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN yrs ON CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) = yrs.y
+GROUP BY ship_year
+ORDER BY ship_year
+"""
+
+
+@register("lineitem_dpp_revenue", oracle=_DPP_ORACLE)
+def lineitem_dpp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, proven in-plan: the fact is written
+    partitioned by ship year (per-run dir), then joined to a RUNTIME-only
+    dimension (distinct years of recent orders — unknowable at plan time);
+    the builder RAISES unless Spark injects a dynamicpruning subquery into
+    the fact scan's PartitionFilters, so a DPP regression is a red driver
+    row, not a silent full scan. At 100 TB this is the difference between
+    scanning 3 year-partitions and scanning the whole fact when the
+    pruning values only exist at runtime."""
+    import tempfile
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    fact_path = tempfile.mkdtemp(prefix="bbt_dpp_fact_")
+    li.select(
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    ).write.mode("overwrite").partitionBy("ship_year").parquet(fact_path)
+
+    fact = spark.read.parquet(fact_path)
+    yrs = F.broadcast(
+        o.filter(F.col("o_orderdate") >= F.lit("1999-07-01").cast("timestamp"))
+        .select(F.year("o_orderdate").cast("int").alias("y"))
+        .distinct()
+    )
+    out = (
+        fact.join(yrs, fact.ship_year == yrs.y)
+        .groupBy("ship_year")
+        .agg(
+            dsum("rev", "revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("ship_year")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "dynamicpruning" not in plan.lower():
+        raise AssertionError(
+            "no dynamicpruning filter reached the partitioned fact scan — "
+            "dynamic partition pruning regressed:\n" + plan
+        )
+    return out
