@@ -231,3 +231,56 @@ def assign_split(
         .when(b < train + valid, "valid")
         .otherwise("test")
     )
+
+
+def hashed_tf_vector(text_col: str, dim: int = 256) -> Column:
+    """Feature-hashed term-frequency vector: each word hashes (md5, so any
+    engine can re-derive the bucketing) to one of ``dim`` buckets with a
+    ±1 sign from a second hash digit (the Weinberger feature-hashing trick
+    — signs make colliding words cancel in expectation instead of piling
+    up), producing a dense ``array<double>`` ready for the similarity
+    family (cosine_near_dups, lsh_topk, random_projection) with NO
+    embedding model and NO vocabulary state.
+
+    Entirely expression-level: words → (bucket, sign) pairs →
+    map-aggregated counts → densified by one sequence transform. A narrow
+    map stage per document; the vocabulary never materializes anywhere.
+    At 100 TB this is the "similarity search over raw text" bootstrap:
+    hash-vectorize, then hand off to the ANN operators."""
+
+    def build(ws: Column) -> Column:
+        pairs = F.transform(
+            ws,
+            lambda w: F.struct(
+                (
+                    F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+                    % dim
+                ).cast("int").alias("b"),
+                F.when(
+                    F.conv(F.substring(F.md5(w), 9, 1), 16, 10).cast("int") % 2 == 0,
+                    F.lit(1.0),
+                )
+                .otherwise(F.lit(-1.0))
+                .alias("s"),
+            ),
+        )
+        # bucket -> signed count, via aggregate into a map
+        m = F.aggregate(
+            pairs,
+            F.create_map().cast("map<int,double>"),
+            lambda acc, p: F.map_zip_with(
+                acc,
+                F.create_map(p["b"], p["s"]),
+                lambda k, v1, v2: F.coalesce(v1, F.lit(0.0))
+                + F.coalesce(v2, F.lit(0.0)),
+            ),
+        )
+        return bind_once(
+            m,
+            lambda mm: F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(mm[i], F.lit(0.0)),
+            ),
+        )
+
+    return bind_once(words(text_col), build)
