@@ -26,6 +26,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def snapshot_diff(
@@ -98,7 +99,6 @@ def apply_changes(
     changes: DataFrame,
     keys: Sequence[str],
     part_col: str,
-    new_prefix: str = "new_",
 ) -> None:
     """Apply a :func:`snapshot_diff`-style change set to a partitioned
     parquet target — the write half of the CDC loop.
@@ -111,24 +111,39 @@ def apply_changes(
       PartitionFilter, so the job scans |affected partitions| — at 100 TB
       with daily churn touching 1% of partitions, 1% of the table moves.
     - The rewrite = surviving old rows (left-anti on changed keys) union
-      upserted rows, written with dynamic partition overwrite
-      (``partitionOverwriteMode=dynamic``) so untouched partitions' files
-      are never replaced.
-    - The union is localCheckpoint-ed before the write: Spark (correctly)
-      refuses to overwrite a path it is lazily reading from. On a real
-      lake, a reliable checkpoint dir or a staging-location swap replaces
-      this — same plan, different durability.
+      upserted rows, written with dynamic partition overwrite — requested
+      as a PER-WRITE option, never by toggling the session conf (a
+      concurrent writer in the same session could race a conf toggle into
+      a static overwrite that truncates every untouched partition).
+    - The target is read with an EXPLICIT schema whose partition-column
+      type comes from the change set: partition directory names otherwise
+      re-infer their type ('part=01' would come back as int 1 and
+      fragment the partition into 1 and 01 on rewrite).
+    - ``changes`` is localCheckpoint-ed up front: it is consulted three
+      times (affected values, anti-join keys, upserts) and is typically an
+      expensive full-outer diff — and Spark (correctly) refuses to
+      overwrite a path a plan is still lazily reading from, so the output
+      is materialized the same way. On a real lake, a reliable checkpoint
+      dir or staging-location swap replaces this — same plan, different
+      durability.
 
-    ``changes`` must carry the key columns, ``op``, and ``new_<col>``
-    columns as produced by snapshot_diff; the partition column must be one
-    of the preserved columns (key or compared)."""
-    target = spark.read.parquet(target_path)
-    data_cols = [c for c in target.columns]
+    ``changes`` must carry the key columns, ``op``, and ``new_<col>`` /
+    ``old_<col>`` columns as produced by snapshot_diff; the partition
+    column must be one of the preserved columns (key or compared)."""
+    changes = changes.localCheckpoint()
 
-    def new_col(c: str) -> F.Column:
-        if c in set(keys):
-            return F.col(c)
-        return F.col(f"{new_prefix}{c}")
+    def change_side(c: str, prefix: str) -> str:
+        return c if c in set(keys) else f"{prefix}{c}"
+
+    # Names from a cheap schema-only read; TYPES from the change set (the
+    # original snapshot types) so partition-directory type re-inference
+    # can never corrupt values.
+    names = spark.read.parquet(target_path).columns
+    ch_types = {f.name: f.dataType for f in changes.schema.fields}
+    explicit = T.StructType(
+        [T.StructField(c, ch_types[change_side(c, "new_")]) for c in names]
+    )
+    target = spark.read.schema(explicit).parquet(target_path)
 
     # Both sides of every change touch a partition: the NEW value places
     # inserts/updates, the OLD value locates deletes and the source
@@ -136,9 +151,9 @@ def apply_changes(
     if part_col in set(keys):
         sides = changes.select(F.col(part_col).alias("p"))
     else:
-        sides = changes.select(F.col(f"{new_prefix}{part_col}").alias("p")).union(
-            changes.select(F.col(f"old_{part_col}").alias("p"))
-        )
+        sides = changes.select(
+            F.col(change_side(part_col, "new_")).alias("p")
+        ).union(changes.select(F.col(change_side(part_col, "old_")).alias("p")))
     affected = [
         r[0] for r in sides.filter(F.col("p").isNotNull()).distinct().collect()
     ]
@@ -147,32 +162,38 @@ def apply_changes(
 
     touched_keys = changes.filter(F.col("op").isin("delete", "update")).select(*keys)
     upserts = changes.filter(F.col("op").isin("insert", "update")).select(
-        *[new_col(c).alias(c) for c in data_cols]
+        *[F.col(change_side(c, "new_")).alias(c) for c in names]
     )
     survivors = target.filter(F.col(part_col).isin(affected)).join(
         F.broadcast(touched_keys), on=list(keys), how="left_anti"
     )
     out = survivors.unionByName(upserts).localCheckpoint()
 
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out.write.mode("overwrite").partitionBy(part_col).parquet(target_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(target_path)
+    )
 
     # Dynamic overwrite only replaces partitions PRESENT in the output: an
     # affected partition whose rows all deleted writes nothing and its
     # stale files would survive. Drop those directories explicitly via the
-    # Hadoop FS API (scheme-resolved — file://, hdfs://, s3a://).
+    # Hadoop FS API (scheme-resolved — file://, hdfs://, s3a://), building
+    # each directory name with Spark's own partition-path escaping so
+    # values containing ':' '/' '%' etc. resolve to the real directory.
     remaining = {r[0] for r in out.select(part_col).distinct().collect()}
     emptied = [p for p in affected if p not in remaining]
     if emptied:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
+        esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         for p in emptied:
+            dirname = esc.getPartitionPathString(
+                part_col, "__HIVE_DEFAULT_PARTITION__" if p is None else str(p)
+            )
             jpath = jvm.org.apache.hadoop.fs.Path(
-                f"{target_path.rstrip('/')}/{part_col}={p}"
+                f"{target_path.rstrip('/')}/{dirname}"
             )
             fs = jpath.getFileSystem(conf)
             if fs.exists(jpath):

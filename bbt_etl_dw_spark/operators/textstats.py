@@ -249,15 +249,17 @@ def hashed_tf_vector(text_col: str, dim: int = 256) -> Column:
     hash-vectorize, then hand off to the ANN operators."""
 
     def build(ws: Column) -> Column:
+        # hash each word ONCE, then derive bucket and sign from the digest
+        # (two transforms: Catalyst does not CSE the md5 across struct
+        # fields within one lambda)
         pairs = F.transform(
-            ws,
-            lambda w: F.struct(
+            F.transform(ws, lambda w: F.md5(w)),
+            lambda d: F.struct(
                 (
-                    F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
-                    % dim
+                    F.conv(F.substring(d, 1, 8), 16, 10).cast("long") % dim
                 ).cast("int").alias("b"),
                 F.when(
-                    F.conv(F.substring(F.md5(w), 9, 1), 16, 10).cast("int") % 2 == 0,
+                    F.conv(F.substring(d, 9, 1), 16, 10).cast("int") % 2 == 0,
                     F.lit(1.0),
                 )
                 .otherwise(F.lit(-1.0))

@@ -330,8 +330,8 @@ def streaming_cdc_apply(
     from bbt_etl_dw_spark.operators.diff import apply_changes
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() pre-check: apply_changes checkpoints the batch once
+        # and returns before writing when it touches no partition
         apply_changes(
             batch_df.sparkSession,
             target_path,

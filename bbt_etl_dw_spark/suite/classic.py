@@ -704,6 +704,31 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dynamic partition pruning, gated in-plan
 # --------------------------------------------------------------------------
 
+# Per-process cache for the partitioned fact the DPP query probes: one
+# mkdtemp + one write per (process, sf_dir) instead of per invocation —
+# suite enumerations (driver sim, plan lint, invariants) reuse it — and an
+# atexit rmtree so repeated runs don't accumulate fact copies in /tmp.
+# Per-process (not a fixed shared path) keeps concurrent sessions from
+# overwriting a directory another session is still lazily scanning.
+_DPP_FACT_CACHE: dict[str, str] = {}
+
+
+def _dpp_fact_path(spark: SparkSession, sf_dir: str, li: DataFrame) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if sf_dir in _DPP_FACT_CACHE:
+        return _DPP_FACT_CACHE[sf_dir]
+    path = tempfile.mkdtemp(prefix="bbt_dpp_fact_")
+    li.select(
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    ).write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    _DPP_FACT_CACHE[sf_dir] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
 _DPP_ORACLE = f"""
 WITH yrs AS (
     SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y
@@ -729,15 +754,9 @@ def lineitem_dpp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, not a silent full scan. At 100 TB this is the difference between
     scanning 3 year-partitions and scanning the whole fact when the
     pruning values only exist at runtime."""
-    import tempfile
-
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
-    fact_path = tempfile.mkdtemp(prefix="bbt_dpp_fact_")
-    li.select(
-        F.year("l_shipdate").cast("int").alias("ship_year"),
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
-    ).write.mode("overwrite").partitionBy("ship_year").parquet(fact_path)
+    fact_path = _dpp_fact_path(spark, sf_dir, li)
 
     fact = spark.read.parquet(fact_path)
     yrs = F.broadcast(

@@ -123,3 +123,64 @@ def test_apply_changes_partition_scoped_upsert(spark, tmp_path):
     assert after["part=p3"] == before["part=p3"]
     # emptied partition p4 is gone entirely
     assert "part=p4" not in after
+
+
+def test_apply_changes_escaped_partition_value_cleanup(spark, tmp_path):
+    """Partition values Spark escapes in directory names (space, colon)
+    must still be deletable when they empty out — the cleanup builds the
+    dir name with Spark's own partition-path escaping, not raw f-strings."""
+    from bbt_etl_dw_spark.operators.diff import apply_changes, snapshot_diff
+
+    target = str(tmp_path / "dim")
+    old = spark.createDataFrame(
+        [(1, "x", "a b:c"), (2, "y", "plain")],
+        "k long, name string, part string",
+    )
+    old.write.partitionBy("part").parquet(target)
+    import glob
+    import os
+
+    assert any("a b" in os.path.basename(d) for d in glob.glob(f"{target}/part=*"))
+
+    new = spark.createDataFrame([(2, "y", "plain")], "k long, name string, part string")
+    apply_changes(
+        spark, target, snapshot_diff(old, new, keys=["k"]), keys=["k"], part_col="part"
+    )
+    # the escaped-name partition emptied out and its directory is gone
+    assert not any("a b" in os.path.basename(d) for d in glob.glob(f"{target}/part=*"))
+    got = [tuple(r) for r in spark.read.parquet(target).selectExpr("k", "name", "CAST(part AS STRING)").collect()]
+    assert got == [(2, "y", "plain")]
+
+
+def test_apply_changes_numeric_looking_string_partition(spark, tmp_path):
+    """String partition value '01' must survive a rewrite intact: the
+    target is read with an explicit schema from the change set, so
+    directory-name type inference can never turn it into int 1 and
+    fragment the partition."""
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.diff import apply_changes, snapshot_diff
+
+    target = str(tmp_path / "dim")
+    old = spark.createDataFrame(
+        [(1, "x", "01"), (2, "y", "01")], "k long, name string, part string"
+    )
+    old.write.partitionBy("part").parquet(target)
+    new = spark.createDataFrame(
+        [(1, "x2", "01"), (2, "y", "01")], "k long, name string, part string"
+    )
+    apply_changes(
+        spark, target, snapshot_diff(old, new, keys=["k"]), keys=["k"], part_col="part"
+    )
+    import glob
+    import os
+
+    parts = sorted(os.path.basename(d) for d in glob.glob(f"{target}/part=*"))
+    assert parts == ["part=01"]  # no part=1 sibling
+    got = sorted(
+        tuple(r)
+        for r in spark.read.schema("k long, name string, part string")
+        .parquet(target)
+        .collect()
+    )
+    assert got == [(1, "x2", "01"), (2, "y", "01")]
