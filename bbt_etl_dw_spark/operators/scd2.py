@@ -112,3 +112,78 @@ def scd2_merge(
         .unionByName(expired.select(out_cols))
         .unionByName(inserts.select(out_cols))
     )
+
+
+def scd2_apply_changes(
+    history: DataFrame,
+    changes: DataFrame,
+    natural_key: Sequence[str],
+    tracked_cols: Sequence[str],
+    asof: datetime.date,
+) -> DataFrame:
+    """Maintain an SCD2 dimension from a CDC change feed
+    (operators/diff.snapshot_diff output) instead of a full snapshot.
+
+    :func:`scd2_merge` compares the ENTIRE incoming snapshot against the
+    entire live dimension — the right shape when all you have is a new
+    extract. With a change feed the work should be O(churn): this variant
+    touches only the keys present in ``changes``, so a 100 TB dimension
+    with 0.1% daily churn joins against a broadcast-sized key set instead
+    of re-hashing every row.
+
+    Version semantics match scd2_merge: an ``update`` creates a new
+    version only when its ``changed_cols`` intersect ``tracked_cols``
+    (untracked-attribute drift does NOT spawn versions — the live row,
+    including its old untracked values, stays current, exactly as the
+    hash-compare in scd2_merge would decide); ``delete`` expires without a
+    successor; ``insert`` opens a first version. History rows of
+    untouched keys pass through untouched.
+    """
+    key = list(natural_key)
+    data_cols = [c for c in history.columns if c not in (IS_CURRENT, START, END)]
+
+    versioning = changes.filter(
+        (F.col("op") == "insert")
+        | (F.col("op") == "delete")
+        | (
+            (F.col("op") == "update")
+            & F.arrays_overlap(
+                F.col("changed_cols"),
+                F.array(*[F.lit(c) for c in tracked_cols]),
+            )
+        )
+    ).localCheckpoint()
+
+    # keys whose LIVE row must close (tracked update or delete)
+    closing = versioning.filter(F.col("op").isin("update", "delete")).select(*key)
+    marked = history.join(
+        F.broadcast(closing.withColumn("__close", F.lit(1))), on=key, how="left"
+    )
+    pass_through = marked.filter(
+        ~(F.col(IS_CURRENT) & F.col("__close").isNotNull())
+    ).drop("__close")
+    expired = (
+        marked.filter(F.col(IS_CURRENT) & F.col("__close").isNotNull())
+        .drop("__close")
+        .withColumns({IS_CURRENT: F.lit(False), END: F.lit(asof)})
+    )
+
+    opening = versioning.filter(F.col("op").isin("insert", "update")).select(
+        *[
+            (F.col(c) if c in set(key) else F.col(f"new_{c}")).alias(c)
+            for c in data_cols
+        ]
+    ).withColumns(
+        {
+            IS_CURRENT: F.lit(True),
+            START: F.lit(asof),
+            END: F.lit(None).cast("date"),
+        }
+    )
+
+    out_cols = history.columns
+    return (
+        pass_through.select(out_cols)
+        .unionByName(expired.select(out_cols))
+        .unionByName(opening.select(out_cols))
+    )

@@ -1,0 +1,104 @@
+"""scd2_apply_changes (CDC feed) must be semantically equivalent to
+scd2_merge (full snapshot) on the same evolution — including the
+untracked-only-change case, pre-existing closed history, deletes, and
+brand-new keys — while touching only churned keys."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.operators.diff import snapshot_diff
+from bbt_etl_dw_spark.operators.scd2 import (
+    scd2_apply_changes,
+    scd2_init,
+    scd2_merge,
+)
+
+D0 = datetime.date(2024, 1, 1)
+D1 = datetime.date(2024, 6, 1)
+D2 = datetime.date(2024, 9, 1)
+
+SCHEMA = "k long, tracked string, untracked string"
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_cdc_scd2_equals_full_snapshot_merge(spark):
+    v0 = _snap(
+        spark,
+        [
+            (1, "a", "x"),
+            (2, "b", "x"),
+            (3, "c", "x"),
+            (4, "d", "x"),
+            (5, "e", "x"),
+        ],
+    )
+    # an intermediate era so real CLOSED history exists before the test step
+    v1 = _snap(
+        spark,
+        [
+            (1, "a2", "x"),  # tracked change at D1 -> closed row for k=1
+            (2, "b", "x"),
+            (3, "c", "x"),
+            (4, "d", "x"),
+            (5, "e", "x"),
+        ],
+    )
+    history = scd2_merge(
+        scd2_init(v0, D0), v1, ["k"], tracked_cols=["tracked"], asof=D1
+    ).localCheckpoint()
+
+    v2 = _snap(
+        spark,
+        [
+            (1, "a3", "x"),   # tracked update -> new version
+            (2, "b", "y"),    # untracked-only update -> NO new version
+            (3, "c", "x"),    # unchanged
+            # 4 deleted -> expire without successor
+            (5, "e", "x"),    # unchanged
+            (6, "f", "x"),    # insert -> first version
+        ],
+    )
+
+    want = scd2_merge(history, v2, ["k"], tracked_cols=["tracked"], asof=D2)
+    changes = snapshot_diff(v1, v2, keys=["k"])
+    got = scd2_apply_changes(
+        history, changes, ["k"], tracked_cols=["tracked"], asof=D2
+    )
+
+    def norm(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert norm(got) == norm(want)
+
+    # spot-check the semantics directly
+    out = {
+        (r["k"], r["tracked"], r["is_current"]): r for r in got.collect()
+    }
+    assert out[(1, "a3", True)]["effective_start_date"] == D2
+    assert out[(1, "a2", False)]["effective_end_date"] == D2
+    assert out[(1, "a", False)]["effective_end_date"] == D1
+    assert (2, "b", True) in out          # untracked drift: still v0 row
+    assert out[(2, "b", True)]["untracked"] == "x"  # old untracked value kept
+    assert out[(4, "d", False)]["effective_end_date"] == D2
+    assert (4, "d", True) not in out      # no successor after delete
+    assert out[(6, "f", True)]["effective_start_date"] == D2
+
+
+def test_cdc_scd2_touches_only_churned_keys(spark):
+    """Untouched keys' rows pass through by identity — the pass-through
+    side carries no per-row version logic, only the broadcast anti-mark."""
+    v0 = _snap(spark, [(i, f"t{i}", "u") for i in range(1, 8)])
+    history = scd2_init(v0, D0)
+    v1 = _snap(
+        spark,
+        [(i, f"t{i}" if i != 3 else "CHANGED", "u") for i in range(1, 8)],
+    )
+    changes = snapshot_diff(v0, v1, keys=["k"])
+    assert changes.count() == 1  # only k=3 churned
+    got = scd2_apply_changes(history, changes, ["k"], ["tracked"], asof=D1)
+    assert got.count() == 8  # 7 originals + 1 new version
+    assert got.filter(~F.col("is_current")).count() == 1
