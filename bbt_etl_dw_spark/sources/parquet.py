@@ -49,3 +49,36 @@ def read_snapshot(
     if snapshot_date is not None:
         df = df.filter(F.col("snapshot_date") == snapshot_date)
     return df
+
+
+def read_resilient(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    report: dict | None = None,
+):
+    """Parquet scan that survives corrupt and vanishing files — at 100 TB
+    a scan touches millions of objects and one truncated upload or
+    compaction-deleted file must not kill the job (the default behavior:
+    one bad footer fails the whole stage after 4 task retries).
+
+    Sets ``ignoreCorruptFiles`` / ``ignoreMissingFiles`` as PER-READ
+    options (never the session-wide conf — other readers in the session
+    should keep fail-fast semantics, and silently tolerating corruption
+    everywhere is how quality regressions hide). Pass ``schema`` when the
+    FIRST file could be the corrupt one — schema inference reads footers
+    before the options can protect the scan.
+
+    When ``report`` is given, it is filled with {'files': <count of files
+    the index sees>} so callers can alert on unexpected shrinkage — the
+    tolerant read's blind spot is that skipped files are silent."""
+    reader = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .option("ignoreMissingFiles", "true")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    if report is not None:
+        report["files"] = len(df.inputFiles())
+    return df

@@ -424,3 +424,35 @@ def test_writable_session_catalog_partition_pruning(spark, sf_dir):
         assert pruned.collect()[0]["n"] == want
     finally:
         spark.sql("DROP TABLE IF EXISTS li_by_flag")
+
+
+def test_read_resilient_survives_corrupt_file(spark, tmp_path):
+    """A truncated parquet file must not kill the scan: read_resilient
+    skips it (per-read options, not session conf) and returns the intact
+    rows; a plain read of the same directory fails."""
+    import glob
+
+    import pytest as _pytest
+
+    from bbt_etl_dw_spark.sources.parquet import read_resilient
+
+    path = str(tmp_path / "t")
+    spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(4).write.parquet(
+        path
+    )
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) == 4
+    # corrupt one file: keep the magic header, destroy the footer
+    with open(files[1], "r+b") as f:
+        f.truncate(16)
+
+    plain = spark.read.schema("id long, v long").parquet(path)
+    with _pytest.raises(Exception):
+        plain.count()
+
+    report = {}
+    df = read_resilient(spark, path, schema="id long, v long", report=report)
+    got = df.count()
+    assert 0 < got < 1000          # the corrupt file's rows are gone...
+    assert report["files"] == 4    # ...and the shrinkage is observable
+    assert df.selectExpr("max(v - 2*id)").first()[0] == 0  # intact rows correct
