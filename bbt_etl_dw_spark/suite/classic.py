@@ -780,3 +780,81 @@ def lineitem_dpp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dynamic partition pruning regressed:\n" + plan
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join, gated in-plan (completes the layout trilogy:
+# static partition pruning = ann_ivf_partitioned_topk, dynamic = 
+# lineitem_dpp_revenue, shuffle-free co-location = here)
+# --------------------------------------------------------------------------
+
+_BUCKETED_CACHE: dict[str, bool] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write lineitem/orders bucketed by the join key once per (process,
+    sf_dir) into a mkdtemp-backed external table (in-memory catalog — no
+    metastore files land in the driver's cwd); atexit cleanup."""
+    import atexit
+    import shutil
+    import tempfile
+
+    suffix = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    li_name, o_name = f"li_bkt_{suffix}", f"o_bkt_{suffix}"
+    if not _BUCKETED_CACHE.get(sf_dir):
+        wh = tempfile.mkdtemp(prefix="bbt_bucketed_")
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        for df, name, key in ((li, li_name, "l_orderkey"), (o, o_name, "o_orderkey")):
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{wh}/{name}")
+                .saveAsTable(name)
+            )
+        _BUCKETED_CACHE[sf_dir] = True
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    return li_name, o_name
+
+
+_BUCKETED_ORACLE = f"""
+SELECT o.o_orderpriority,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register("bucketed_priority_revenue", oracle=_BUCKETED_ORACLE)
+def bucketed_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketing: both tables pre-bucketed
+    (8 buckets) and sorted on the join key, so the sort-merge join reads
+    bucket-aligned files with ZERO exchanges before the join — the
+    'co-locate joins via bucketing' scale path for repeated big joins. The
+    builder RAISES unless the joined plan is an SMJ with no Exchange
+    upstream of it, so a layout/planner regression is a red driver row.
+    (The merge hint mirrors real scale, where neither fact broadcasts.)"""
+    li_name, o_name = _bucketed_tables(spark, sf_dir)
+    li_b = spark.table(li_name).hint("merge")
+    o_b = spark.table(o_name).hint("merge")
+    joined = li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "SortMergeJoin" not in plan or "Exchange" in plan:
+        raise AssertionError(
+            "bucketed join did not plan as exchange-free SortMergeJoin — "
+            "co-location regressed:\n" + plan
+        )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("o_orderpriority")
+    )
