@@ -830,7 +830,7 @@ ORDER BY o.o_orderpriority
 """
 
 
-@register("bucketed_priority_revenue", oracle=_BUCKETED_ORACLE)
+@register("bucketed_priority_revenue", oracle=_BUCKETED_ORACLE, bench=True)
 def bucketed_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free fact⋈fact join via bucketing: both tables pre-bucketed
     (8 buckets) and sorted on the join key, so the sort-merge join reads
