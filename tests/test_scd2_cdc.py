@@ -102,3 +102,55 @@ def test_cdc_scd2_touches_only_churned_keys(spark):
     got = scd2_apply_changes(history, changes, ["k"], ["tracked"], asof=D1)
     assert got.count() == 8  # 7 originals + 1 new version
     assert got.filter(~F.col("is_current")).count() == 1
+
+
+def test_cdc_scd2_equals_merge_on_random_evolutions(spark):
+    """Randomized two-step evolutions (hypothesis): maintaining the
+    dimension from CDC feeds must land bit-identical to full-snapshot
+    merges at every step — whatever mix of inserts, deletes, tracked and
+    untracked updates the generator produces."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    snap = st.dictionaries(
+        st.integers(min_value=0, max_value=4),
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),      # tracked
+            st.sampled_from(["u", "v"]),           # untracked
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+    @given(v0=snap, v1=snap, v2=snap)
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(v0, v1, v2):
+        def df_of(d):
+            return spark.createDataFrame(
+                [(k, t, u) for k, (t, u) in sorted(d.items())], SCHEMA_R
+            )
+
+        hist_merge = scd2_init(df_of(v0), D0)
+        hist_cdc = hist_merge
+        prev = v0
+        for asof, v in ((D1, v1), (D2, v2)):
+            hist_merge = scd2_merge(
+                hist_merge, df_of(v), ["k"], ["tracked"], asof
+            ).localCheckpoint()
+            changes = snapshot_diff(df_of(prev), df_of(v), keys=["k"])
+            hist_cdc = scd2_apply_changes(
+                hist_cdc, changes, ["k"], ["tracked"], asof
+            ).localCheckpoint()
+            prev = v
+        got = sorted(tuple(r) for r in hist_cdc.collect())
+        want = sorted(tuple(r) for r in hist_merge.collect())
+        assert got == want
+
+    run()
+
+
+SCHEMA_R = "k long, tracked string, untracked string"
