@@ -174,3 +174,69 @@ def media_stats(df: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.IntegerType(), False),
+    ]
+)
+
+
+def audio_window_features(
+    df: DataFrame,
+    window_samples: int = 1024,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Windowed audio features over raw PCM16-LE mono payloads: per
+    window, RMS energy (normalized to [-1, 1] full scale) and
+    zero-crossing count — the classic cheap speech/music/silence
+    discriminators a corpus filter runs before any model.
+
+    Unlike image/video decode this needs NO codec: PCM interpretation of
+    the payload bytes is pure arithmetic (numpy int16 view), so this is a
+    REAL computation, not a stub — encoded formats (mp3/ogg) would insert
+    the stubbed decode step first. Same scale shape as decode_media: the
+    payload never shuffles (features project it away inside the UDF), the
+    per-row window fan-out happens after the payload is worker-local, and
+    Arrow batch memory is bounded by maxRecordsPerBatch."""
+    import numpy as np
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, nsamp, rms, zc = [], [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                samples = np.frombuffer(
+                    raw[: len(raw) - (len(raw) % 2)], dtype="<i2"
+                ).astype(np.float64) / 32768.0
+                for w in range(0, max(len(samples), 1), window_samples):
+                    chunk = samples[w : w + window_samples]
+                    ids.append(media_id)
+                    widx.append(w // window_samples)
+                    nsamp.append(len(chunk))
+                    if len(chunk):
+                        rms.append(float(np.sqrt(np.mean(chunk * chunk))))
+                        zc.append(int(np.sum(np.signbit(chunk[1:]) != np.signbit(chunk[:-1]))))
+                    else:
+                        rms.append(None)
+                        zc.append(0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(widx, dtype="int32"),
+                    "n_samples": pd.Series(nsamp, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                    "zero_crossings": pd.Series(zc, dtype="int32"),
+                }
+            )
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return df.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        feature_batches, schema=AUDIO_FEATURES_SCHEMA
+    )

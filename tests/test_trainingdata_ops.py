@@ -917,3 +917,49 @@ def test_curation_pipeline_precedence_and_stages(spark):
     assert d[4] == (False, "exact_dup", None)   # precedence over contaminated
     assert d[5][0]
     assert {r["doc_id"] for r in res.kept.collect()} == {0, 5}
+
+
+def test_audio_window_features_pcm_ground_truth(spark):
+    """Windowed PCM16 features against analytically known signals: a
+    full-scale sine's RMS is amplitude/sqrt(2) with 2 crossings per
+    cycle; silence has zero RMS and zero crossings; a short tail window
+    reports its true sample count."""
+    import math
+    import struct
+
+    from bbt_etl_dw_spark.operators.multimodal import audio_window_features
+
+    sr = 8000
+    freq = 100.0  # 100 Hz -> 12.8 cycles per 1024-sample window
+    n = 1024 + 512  # one full window + a tail window
+    amp = 0.5
+    sine = b"".join(
+        struct.pack("<h", int(amp * 32767 * math.sin(2 * math.pi * freq * i / sr)))
+        for i in range(n)
+    )
+    silence = b"\x00\x00" * 1024
+    rows = [
+        (1, "audio", sine, "audio/pcm", None),
+        (2, "audio", silence, "audio/pcm", None),
+        (3, "image", b"\x01\x02", "image/png", None),  # filtered out
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string, source_uri string"
+    )
+    out = {
+        (r["media_id"], r["window_idx"]): r
+        for r in audio_window_features(df, window_samples=1024).collect()
+    }
+    assert set(out) == {(1, 0), (1, 1), (2, 0)}
+
+    full = out[(1, 0)]
+    assert full["n_samples"] == 1024
+    assert abs(full["rms"] - amp / math.sqrt(2)) < 0.01
+    # 100 Hz at 8 kHz: 2 crossings/cycle * (1024/80) cycles = ~25.6
+    assert 24 <= full["zero_crossings"] <= 27
+
+    tail = out[(1, 1)]
+    assert tail["n_samples"] == 512
+
+    quiet = out[(2, 0)]
+    assert quiet["rms"] == 0.0 and quiet["zero_crossings"] == 0
