@@ -184,3 +184,20 @@ def test_apply_changes_numeric_looking_string_partition(spark, tmp_path):
         .collect()
     )
     assert got == [(1, "x2", "01"), (2, "y", "01")]
+
+
+def test_apply_changes_empty_feed_is_noop(spark, tmp_path):
+    """An empty change set (e.g. an idle CDC micro-batch) must leave the
+    target byte-identical — the early return fires before any write."""
+    from bbt_etl_dw_spark.operators.diff import apply_changes, snapshot_diff
+
+    target = str(tmp_path / "dim")
+    snap = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2")], "k long, name string, part string"
+    )
+    snap.write.partitionBy("part").parquet(target)
+    before = _part_files(target)
+    apply_changes(
+        spark, target, snapshot_diff(snap, snap, keys=["k"]), keys=["k"], part_col="part"
+    )
+    assert _part_files(target) == before
