@@ -286,3 +286,64 @@ def hashed_tf_vector(text_col: str, dim: int = 256) -> Column:
         )
 
     return bind_once(words(text_col), build)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks with
+    provenance — the retrieval/embedding preprocessing step (each chunk
+    small enough to embed, overlap so no span falls on a boundary).
+
+    Pure expressions: words -> stride sequence -> per-chunk slice/join —
+    one Generate per document, a narrow map stage, no shuffle, no UDF.
+    Chunk start positions stride by ``chunk_tokens - overlap``; the final
+    chunk is the one that first reaches the end of the document (no
+    degenerate all-tail chunks). Empty/blank docs produce no chunks.
+
+    Output: ``id_col, chunk_idx (0-based), start_token, n_tokens,
+    chunk_text`` — enough provenance to map any downstream hit (ANN
+    match, dedup span, eval contamination) back to its source offset."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    ws = words(text_col)
+    n = F.size(ws)
+    # starts: 0, stride, 2*stride, ... while start + chunk covers new tokens;
+    # i.e. last start is the smallest multiple of stride with
+    # start + chunk_tokens >= n  ->  ceil((n - chunk_tokens)/stride) capped >= 0
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(1),
+            (F.ceil((n - F.lit(chunk_tokens)).cast("double") / stride) + 1).cast(
+                "int"
+            ),
+        )
+    )
+    starts = F.when(
+        n_chunks > 0, F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride)
+    ).otherwise(F.array().cast("array<int>"))
+
+    chunk = F.explode(
+        F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                s.cast("long").alias("start_token"),
+                F.least(F.lit(chunk_tokens), n - s).cast("int").alias("n_tokens"),
+                F.concat_ws(" ", F.slice(ws, s + 1, chunk_tokens)).alias("chunk_text"),
+            ),
+        )
+    )
+    return df.select(F.col(id_col), chunk.alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_token").alias("start_token"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

@@ -963,3 +963,57 @@ def test_audio_window_features_pcm_ground_truth(spark):
 
     quiet = out[(2, 0)]
     assert quiet["rms"] == 0.0 and quiet["zero_crossings"] == 0
+
+
+def test_chunk_documents_matches_reference(spark):
+    """Sliding-window chunking vs a brute-force Python reference, plus the
+    coverage laws: every token lands in some chunk, consecutive chunks
+    overlap by exactly `overlap` tokens, and concatenating each chunk's
+    non-overlapping tail reconstructs the document."""
+    from bbt_etl_dw_spark.operators.textstats import chunk_documents
+
+    chunk_tokens, overlap = 8, 3
+    stride = chunk_tokens - overlap
+    docs = {
+        1: [f"t{i}" for i in range(25)],   # several chunks + partial tail
+        2: [f"t{i}" for i in range(8)],    # exactly one chunk
+        3: [f"t{i}" for i in range(9)],    # one full + tiny tail
+        4: ["solo"],                       # shorter than a chunk
+        5: [],                             # empty -> no chunks
+    }
+
+    def reference(tokens):
+        if not tokens:
+            return []
+        out, s, i = [], 0, 0
+        while True:
+            piece = tokens[s : s + chunk_tokens]
+            out.append((i, s, len(piece), " ".join(piece)))
+            if s + chunk_tokens >= len(tokens):
+                return out
+            s += stride
+            i += 1
+
+    df = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], "doc_id long, text string"
+    )
+    got = {}
+    for r in chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_token"], r["n_tokens"], r["chunk_text"])
+        )
+    for k, tokens in docs.items():
+        assert sorted(got.get(k, [])) == reference(tokens), k
+
+    # laws on the longest doc
+    chunks = sorted(got[1])
+    covered = set()
+    for _, s, n, _ in chunks:
+        covered |= set(range(s, s + n))
+    assert covered == set(range(25))
+    for (_, s0, n0, _), (_, s1, _, _) in zip(chunks, chunks[1:]):
+        assert s0 + n0 - s1 == overlap  # exact overlap between neighbours
+    rebuilt = chunks[0][3].split()
+    for _, s, _, text in chunks[1:]:
+        rebuilt += text.split()[overlap:]
+    assert rebuilt == docs[1]
