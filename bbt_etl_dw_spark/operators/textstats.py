@@ -347,3 +347,91 @@ def chunk_documents(
         F.col("c.n_tokens").alias("n_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def hash_uniform(id_col: str, salt: str = "") -> Column:
+    """Deterministic U[0,1) per id: md5-derived 48-bit fraction. The
+    repartition/rerun-stable replacement for rand() in any sampling
+    decision (same contract as split_bucket, continuous-valued)."""
+    hex12 = F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 12)
+    return F.conv(hex12, 16, 10).cast("double") / float(16**12)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    rate: float = 1.0,
+    salt: str = "ws",
+) -> DataFrame:
+    """Probability-proportional-to-weight sampling, deterministically:
+    keep a row iff hash_uniform(id) < rate * weight (weights in [0, 1] —
+    e.g. a quality score). The same corpus always yields the same sample
+    at any parallelism, across reruns, and after appends (new rows decide
+    independently; old decisions never flip) — the properties rand()-based
+    sampling lacks and a reproducible training run needs. One narrow
+    filter, no shuffle."""
+    return df.filter(hash_uniform(id_col, salt) < F.lit(rate) * weight)
+
+
+def token_mix_rates(
+    docs: DataFrame,
+    target_shares: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source keep-rates that steer the corpus toward a target TOKEN
+    mixture (the 'data mixing' step of a pre-training pipeline: e.g. 30%
+    web, 40% code, 30% books — by tokens, not documents).
+
+    For each source: available_i = its token count; the achievable total
+    is limited by the scarcest source relative to its target share
+    (T = min_i available_i / share_i); keep_rate_i = share_i * T /
+    available_i <= 1 — i.e. the scarcest source keeps everything and
+    over-represented sources downsample. One aggregation over the corpus
+    (token counting is a narrow map); the returned frame is dim-sized.
+    Feed the rates to :func:`weighted_sample`-style hash filtering via
+    :func:`apply_token_mix`."""
+    counts = docs.groupBy(source_col).agg(
+        F.sum(whitespace_token_count(text_col)).alias("available_tokens")
+    )
+    shares = F.create_map(
+        *[x for k, v in target_shares.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    withs = counts.withColumn("share", shares[F.col(source_col)]).filter(
+        F.col("share").isNotNull()
+    )
+    # achievable total T = min(available_i / share_i): one tiny agg
+    t = withs.agg(
+        F.min(F.col("available_tokens") / F.col("share")).alias("t")
+    )
+    return (
+        withs.crossJoin(F.broadcast(t))
+        .select(
+            source_col,
+            "available_tokens",
+            "share",
+            F.least(
+                F.lit(1.0),
+                (F.col("share") * F.col("t")) / F.col("available_tokens"),
+            ).alias("keep_rate"),
+        )
+    )
+
+
+def apply_token_mix(
+    docs: DataFrame,
+    rates: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample each source at its :func:`token_mix_rates` keep-rate via
+    the deterministic hash filter. rates is dim-sized → broadcast join;
+    the corpus passes through one narrow filter stage."""
+    r = F.broadcast(rates.select(source_col, "keep_rate"))
+    return (
+        docs.join(r, source_col)
+        .filter(hash_uniform(id_col, salt) < F.col("keep_rate"))
+        .drop("keep_rate")
+    )

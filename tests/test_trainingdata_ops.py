@@ -1017,3 +1017,74 @@ def test_chunk_documents_matches_reference(spark):
     for _, s, _, text in chunks[1:]:
         rebuilt += text.split()[overlap:]
     assert rebuilt == docs[1]
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    """Hash-based weighted sampling: reruns identical, append-stable (old
+    decisions never flip), zero weight drops everything, weight 1 at
+    rate 1 keeps everything, higher weight keeps a superset... of itself."""
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.textstats import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, 0.3 if i % 2 else 0.9) for i in range(500)], "doc_id long, w double"
+    )
+    a = {r.doc_id for r in weighted_sample(docs, F.col("w")).collect()}
+    b = {r.doc_id for r in weighted_sample(docs, F.col("w")).collect()}
+    assert a == b  # deterministic
+    # appending rows never flips earlier decisions
+    more = docs.union(
+        spark.createDataFrame([(i, 0.5) for i in range(500, 600)], "doc_id long, w double")
+    )
+    c = {r.doc_id for r in weighted_sample(more, F.col("w")).collect()}
+    assert {d for d in c if d < 500} == a
+    # weight monotonicity: keeping probability scales with weight
+    lo = {r.doc_id for r in weighted_sample(docs, F.lit(0.2)).collect()}
+    hi = {r.doc_id for r in weighted_sample(docs, F.lit(0.8)).collect()}
+    assert lo <= hi and len(lo) < len(hi)
+    assert weighted_sample(docs, F.lit(0.0)).count() == 0
+    assert weighted_sample(docs, F.lit(1.0)).count() == 500
+    # rough calibration: E[keep] = mean weight = 0.6 over 500 docs
+    assert 0.45 < len(a) / 500 < 0.75
+
+
+def test_token_mix_hits_target_shares(spark):
+    """Token-budget mixing: the scarce source keeps everything; after
+    hash-downsampling, realized token shares land near the targets."""
+    from bbt_etl_dw_spark.operators.textstats import (
+        apply_token_mix,
+        token_mix_rates,
+        whitespace_token_count,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    did = 0
+    for src, n_docs, tokens_per_doc in (("web", 600, 20), ("code", 150, 20), ("books", 300, 20)):
+        for _ in range(n_docs):
+            rows.append((did, src, " ".join(f"t{i}" for i in range(tokens_per_doc))))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = {"web": 0.3, "code": 0.4, "books": 0.3}
+
+    rates = {r["source"]: r for r in token_mix_rates(docs, target).collect()}
+    # code is the scarcest relative to its 40% share -> keeps everything
+    assert abs(rates["code"]["keep_rate"] - 1.0) < 1e-12
+    # exact rate math: T = 150*20/0.4 = 7500; web keeps 0.3*7500/12000
+    assert abs(rates["web"]["keep_rate"] - 0.3 * 7500 / 12000) < 1e-12
+    assert abs(rates["books"]["keep_rate"] - 0.3 * 7500 / 6000) < 1e-12
+
+    mixed = apply_token_mix(docs, token_mix_rates(docs, target))
+    got = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source")
+        .agg(F.sum(whitespace_token_count("text")).alias("n"))
+        .collect()
+    }
+    total = sum(got.values())
+    for src, share in target.items():
+        assert abs(got[src] / total - share) < 0.08, (src, got)
+    # deterministic: second application identical
+    again = apply_token_mix(docs, token_mix_rates(docs, target))
+    assert {r.doc_id for r in mixed.collect()} == {r.doc_id for r in again.collect()}
