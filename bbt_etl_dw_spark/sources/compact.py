@@ -204,3 +204,46 @@ def compact_zorder(
     )
     out.write.mode("overwrite").parquet(path)
     return n_files
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    part_col: str,
+    values: list,
+    target_file_mb: int = 128,
+) -> None:
+    """Rewrite the NAMED partitions of a partitioned parquet table into
+    size-targeted files — the maintenance pass a CDC-updated table needs:
+    every operators/diff.apply_changes touch appends at least one file per
+    churned partition, so hot partitions fragment over time while cold
+    ones stay compact. Compacting only the churned values keeps the
+    maintenance cost O(churn), the same contract as the writer.
+
+    Reads prune to the named partitions (PartitionFilter via isin), the
+    rewrite is coalesced to ceil(bytes / target) files per the sampled row
+    width, and the write uses per-write dynamic partition overwrite so
+    every other partition's files are untouched. The rewrite is
+    localCheckpoint-ed first (Spark refuses to overwrite a path it is
+    lazily reading)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    sel = df.filter(F.col(part_col).isin(values))
+    n_rows = sel.count()
+    if n_rows == 0:
+        return
+    row_bytes = estimate_row_bytes(sel)
+    per_part = max(
+        1,
+        math.ceil((n_rows * row_bytes) / (len(values) * target_file_mb * 1024 * 1024)),
+    )
+    out = sel.repartition(len(values) * per_part, part_col).localCheckpoint()
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(path)
+    )

@@ -201,3 +201,62 @@ def test_apply_changes_empty_feed_is_noop(spark, tmp_path):
         spark, target, snapshot_diff(snap, snap, keys=["k"]), keys=["k"], part_col="part"
     )
     assert _part_files(target) == before
+
+
+def test_compact_partitions_after_cdc_churn(spark, tmp_path):
+    """Repeated apply_changes fragments the churned partition; compacting
+    only that partition collapses it to few files, preserves the data
+    exactly, and leaves cold partitions' files byte-untouched."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.diff import apply_changes, snapshot_diff
+    from bbt_etl_dw_spark.sources.compact import compact_partitions
+
+    target = str(tmp_path / "dim")
+
+    def snap(version):
+        # p_hot churns every version; p_cold never changes
+        return spark.createDataFrame(
+            [(k, f"v{version}" if k % 2 else "stable", "p_hot") for k in range(20)]
+            + [(100 + k, "cold", "p_cold") for k in range(5)],
+            "k long, name string, part string",
+        )
+
+    prev = snap(0)
+    prev.write.partitionBy("part").parquet(target)
+    for v in range(1, 4):
+        cur = snap(v)
+        apply_changes(
+            spark, target, snapshot_diff(prev, cur, keys=["k"]), keys=["k"], part_col="part"
+        )
+        prev = cur
+
+    def files(part):
+        return sorted(
+            (os.path.basename(f), os.path.getmtime(f))
+            for f in glob.glob(f"{target}/part={part}/*.parquet")
+        )
+
+    cold_before = files("p_cold")
+    hot_files_before = len(files("p_hot"))
+    assert hot_files_before >= 2  # churn fragmented the hot partition
+
+    before_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(target)
+        .select("k", "name", F.col("part").cast("string"))
+        .collect()
+    )
+    compact_partitions(spark, target, "part", ["p_hot"])
+    after_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(target)
+        .select("k", "name", F.col("part").cast("string"))
+        .collect()
+    )
+    assert after_rows == before_rows           # lossless
+    assert len(files("p_hot")) < hot_files_before  # actually compacted
+    assert files("p_cold") == cold_before      # cold partition untouched
