@@ -180,3 +180,41 @@ def strip_duplicate_suffix(name: str) -> str:
     """OrderID0 -> OrderID (reference data_cleaning.py:130-134)."""
     m = re.match(r"^([A-Za-z]+?)\d+$", name)
     return m.group(1) if m else name
+
+
+def winsorize(
+    df: DataFrame,
+    cols: Sequence[str],
+    lower_pct: float = 0.01,
+    upper_pct: float = 0.99,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Cap numeric outliers at their percentile bounds (winsorization) —
+    the standard pre-aggregation defense against fat-fingered magnitudes
+    that survive type cleaning (a 10^6x price typo still parses as a
+    valid double and would dominate every mean/sum downstream).
+
+    Bounds come from ONE percentile_approx pass over all columns at once
+    (a mergeable sketch — partial aggregation, no sort, no second scan of
+    the raw data per column), collected as a single tiny row and inlined
+    as literals into one clip projection. Two narrow passes total at any
+    scale. Rows are never dropped — capping preserves row counts and
+    join keys, unlike filter-based outlier removal."""
+    pcts = F.array(F.lit(float(lower_pct)), F.lit(float(upper_pct)))
+    bounds_row = df.agg(
+        *[
+            F.percentile_approx(c, pcts, accuracy).alias(c)
+            for c in cols
+        ]
+    ).first()
+    clips = {}
+    for c in cols:
+        b = bounds_row[c]
+        if b is None or b[0] is None:  # all-null column: leave untouched
+            continue
+        lo, hi = float(b[0]), float(b[1])
+        # least/greatest SKIP nulls (a null would come back as the bound);
+        # guard so missing stays missing
+        clip = F.least(F.greatest(F.col(c), F.lit(lo)), F.lit(hi))
+        clips[c] = F.when(F.col(c).isNotNull(), clip)
+    return df.withColumns(clips) if clips else df

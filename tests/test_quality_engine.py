@@ -210,3 +210,26 @@ def test_scd2_full_cycle(spark):
     merged3 = scd2_merge(merged2, inc3, ["id"], ["name", "tier"], day3)
     assert merged3.count() == merged2.count()
     assert merged3.filter(F.col("is_current")).count() == 2
+
+
+def test_winsorize_caps_outliers_preserves_rows(spark):
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.clean import winsorize
+
+    rows = [(i, float(i), 10.0) for i in range(1, 100)]
+    rows.append((100, 1_000_000.0, 10.0))   # magnitude typo
+    rows.append((101, -999_999.0, None))    # negative blowup + a null
+    df = spark.createDataFrame(rows, "k long, v double, w double")
+
+    out = winsorize(df, ["v", "w"], lower_pct=0.02, upper_pct=0.98)
+    assert out.count() == df.count()  # capping, not dropping
+    stats = out.agg(
+        F.min("v"), F.max("v"), F.min("w"), F.max("w"), F.sum(F.col("w").isNull().cast("int"))
+    ).first()
+    assert stats[0] >= 1.0 and stats[1] <= 100.0   # blowups capped into range
+    assert stats[2] == 10.0 and stats[3] == 10.0   # constant column unchanged
+    assert stats[4] == 1                           # nulls pass through
+    # inliers untouched
+    mid = out.filter("k = 50").first()
+    assert mid["v"] == 50.0
