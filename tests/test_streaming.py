@@ -718,3 +718,56 @@ def test_streaming_cdc_apply_equals_sequential(spark, tmp_path):
         (1, "a", 1.5, "p1"),
         (2, "b", 2.0, "p1"),
     ]
+
+
+def test_watermark_drop_is_observable(spark, tmp_path):
+    """A row arriving behind the watermark is silently dropped by design;
+    streaming/monitor.py must make that loss visible in the progress
+    metrics (the alertable counter a 100TB pipeline watches)."""
+    import datetime
+
+    from bbt_etl_dw_spark.streaming.monitor import (
+        cumulative_dropped,
+        progress_metrics,
+    )
+    from bbt_etl_dw_spark.streaming.ops import tumbling_event_stats
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def write_batch(i, rows):
+        df = spark.createDataFrame(rows, schema)
+        chunk = tmp_path / f"chunk{i}"
+        df.coalesce(1).write.parquet(str(chunk))
+        for f_ in sorted(chunk.glob("*.parquet")):
+            f_.rename(feed / f"part-{i:03d}.parquet")
+
+    # batch 0: events up to t+10h -> watermark advances to ~t+9h (1h delay)
+    write_batch(0, [(i, base + datetime.timedelta(hours=h), 1, "click", 1.0)
+                    for i, h in enumerate([0, 1, 2, 10])])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = (
+        tumbling_event_stats(stream, window="1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("wm_drop_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1: an event 9 hours late — behind the t+9h watermark
+        write_batch(1, [(100, base + datetime.timedelta(hours=1, minutes=30), 1, "click", 1.0)])
+        q.processAllAvailable()
+        m = progress_metrics(q)
+        assert m["batch_id"] >= 1
+        assert m["watermark"] is not None
+        assert cumulative_dropped(q) >= 1  # the late row's loss is VISIBLE
+    finally:
+        q.stop()
