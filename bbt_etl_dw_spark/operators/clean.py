@@ -200,6 +200,8 @@ def winsorize(
     as literals into one clip projection. Two narrow passes total at any
     scale. Rows are never dropped — capping preserves row counts and
     join keys, unlike filter-based outlier removal."""
+    from pyspark.sql import types as T
+
     pcts = F.array(F.lit(float(lower_pct)), F.lit(float(upper_pct)))
     bounds_row = df.agg(
         *[
@@ -207,14 +209,23 @@ def winsorize(
             for c in cols
         ]
     ).first()
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     clips = {}
     for c in cols:
         b = bounds_row[c]
         if b is None or b[0] is None:  # all-null column: leave untouched
             continue
         lo, hi = float(b[0]), float(b[1])
-        # least/greatest SKIP nulls (a null would come back as the bound);
-        # guard so missing stays missing
+        dt = dtypes[c]
+        # least/greatest SKIP nulls AND sort NaN above everything (a null
+        # would come back as the bound, a NaN would be rewritten into a
+        # plausible upper-bound inlier) — both invalid-value encodings
+        # must pass through untouched.
+        invalid = F.col(c).isNull()
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            invalid = invalid | F.isnan(c)
         clip = F.least(F.greatest(F.col(c), F.lit(lo)), F.lit(hi))
-        clips[c] = F.when(F.col(c).isNotNull(), clip)
+        # cast back: the float bound literals would silently promote
+        # integer columns to double (schema fork on append)
+        clips[c] = F.when(~invalid, clip.cast(dt)).otherwise(F.col(c))
     return df.withColumns(clips) if clips else df

@@ -235,8 +235,12 @@ def audio_window_features(
                 }
             )
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    try:  # batch-sizing hint only — a conf-restricted session still works
+        df.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
+    except Exception:
+        pass
     return df.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
         feature_batches, schema=AUDIO_FEATURES_SCHEMA
     )

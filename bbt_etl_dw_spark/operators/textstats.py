@@ -299,11 +299,16 @@ def chunk_documents(
     provenance — the retrieval/embedding preprocessing step (each chunk
     small enough to embed, overlap so no span falls on a boundary).
 
-    Pure expressions: words -> stride sequence -> per-chunk slice/join —
+    Pure expressions: tokens -> stride sequence -> per-chunk slice/join —
     one Generate per document, a narrow map stage, no shuffle, no UDF.
     Chunk start positions stride by ``chunk_tokens - overlap``; the final
     chunk is the one that first reaches the end of the document (no
-    degenerate all-tail chunks). Empty/blank docs produce no chunks.
+    degenerate all-tail chunks). Empty/blank/NULL docs produce no chunks.
+
+    Tokens are the raw whitespace split, CASE-PRESERVING (unlike
+    :func:`words`): chunk_text feeds an embedder, and lower-casing would
+    silently destroy proper nouns / acronyms / code identifiers in every
+    chunk while breaking span-level provenance against the source text.
 
     Output: ``id_col, chunk_idx (0-based), start_token, n_tokens,
     chunk_text`` — enough provenance to map any downstream hit (ANN
@@ -312,25 +317,31 @@ def chunk_documents(
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
 
-    ws = words(text_col)
-    n = F.size(ws)
-    # starts: 0, stride, 2*stride, ... while start + chunk covers new tokens;
-    # i.e. last start is the smallest multiple of stride with
-    # start + chunk_tokens >= n  ->  ceil((n - chunk_tokens)/stride) capped >= 0
-    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
-        F.greatest(
-            F.lit(1),
-            (F.ceil((n - F.lit(chunk_tokens)).cast("double") / stride) + 1).cast(
-                "int"
-            ),
-        )
-    )
-    starts = F.when(
-        n_chunks > 0, F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride)
-    ).otherwise(F.array().cast("array<int>"))
+    t = F.trim(F.col(text_col))
+    raw_ws = F.when(
+        t.isNull() | (F.length(t) == 0), F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
 
-    chunk = F.explode(
-        F.transform(
+    def build(ws: Column) -> Column:
+        # NULL text => size() is null; coalesce so the no-chunk branch
+        # fires instead of greatest(1, null) fabricating a phantom chunk
+        n = F.coalesce(F.size(ws), F.lit(0))
+        # starts: 0, stride, 2*stride, ... while start + chunk covers new
+        # tokens; last start is the smallest multiple of stride with
+        # start + chunk_tokens >= n
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(1),
+                (
+                    F.ceil((n - F.lit(chunk_tokens)).cast("double") / stride) + 1
+                ).cast("int"),
+            )
+        )
+        starts = F.when(
+            n_chunks > 0,
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
             starts,
             lambda s, i: F.struct(
                 i.cast("int").alias("chunk_idx"),
@@ -339,7 +350,10 @@ def chunk_documents(
                 F.concat_ws(" ", F.slice(ws, s + 1, chunk_tokens)).alias("chunk_text"),
             ),
         )
-    )
+
+    # bind the split ONCE; referencing it directly inside the per-chunk
+    # lambda would re-run the split for every chunk
+    chunk = F.explode(bind_once(raw_ws, build))
     return df.select(F.col(id_col), chunk.alias("c")).select(
         id_col,
         F.col("c.chunk_idx").alias("chunk_idx"),
@@ -395,6 +409,18 @@ def token_mix_rates(
     counts = docs.groupBy(source_col).agg(
         F.sum(whitespace_token_count(text_col)).alias("available_tokens")
     )
+    # Fail LOUDLY on target sources absent from the corpus: silently
+    # renormalizing over the remaining sources would train the wrong
+    # mixture (e.g. the 40%-code target quietly becoming 0% because an
+    # upstream filter broke) and only surface at training time. The check
+    # collects the dim-sized per-source counts — one tiny job.
+    present = {r[0] for r in counts.select(source_col).collect()}
+    missing = sorted(set(target_shares) - present)
+    if missing:
+        raise ValueError(
+            f"target_shares name sources with zero corpus tokens: {missing} "
+            f"(present: {sorted(present)})"
+        )
     shares = F.create_map(
         *[x for k, v in target_shares.items() for x in (F.lit(k), F.lit(float(v)))]
     )

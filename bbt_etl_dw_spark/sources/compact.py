@@ -229,9 +229,24 @@ def compact_partitions(
     import math
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    df = spark.read.parquet(path)
-    sel = df.filter(F.col(part_col).isin(values))
+    # Explicit schema with the partition column as STRING: directory-name
+    # type re-inference would read 'part=01' back as int 1 and rewrite it
+    # into a NEW part=1 directory, duplicating the partition (the same
+    # hazard operators/diff.apply_changes defends against). Data-column
+    # types come from the parquet footers via a names/types probe; the
+    # string partition value round-trips to the identical directory name.
+    probe = spark.read.parquet(path)
+    explicit = T.StructType(
+        [
+            T.StructField(f.name, T.StringType() if f.name == part_col else f.dataType)
+            for f in probe.schema.fields
+        ]
+    )
+    df = spark.read.schema(explicit).parquet(path)
+    str_values = [str(v) for v in values]
+    sel = df.filter(F.col(part_col).isin(str_values))
     n_rows = sel.count()
     if n_rows == 0:
         return
@@ -240,7 +255,15 @@ def compact_partitions(
         1,
         math.ceil((n_rows * row_bytes) / (len(values) * target_file_mb * 1024 * 1024)),
     )
-    out = sel.repartition(len(values) * per_part, part_col).localCheckpoint()
+    # repartition by part_col ALONE would hash each partition value into a
+    # single task -> one giant file per partition and a single-task write;
+    # a deterministic row-hash salt spreads each partition over per_part
+    # tasks so the size target actually holds (xxhash64, never rand()).
+    data_cols = [c for c in df.columns if c != part_col]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.lit(per_part))
+    out = sel.repartition(
+        len(values) * per_part, F.col(part_col), salt
+    ).localCheckpoint()
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

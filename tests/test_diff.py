@@ -260,3 +260,32 @@ def test_compact_partitions_after_cdc_churn(spark, tmp_path):
     assert after_rows == before_rows           # lossless
     assert len(files("p_hot")) < hot_files_before  # actually compacted
     assert files("p_cold") == cold_before      # cold partition untouched
+
+
+def test_compact_partitions_string_partition_and_file_split(spark, tmp_path):
+    """compact_partitions must not re-infer numeric-looking string
+    partitions (no duplicated part=1 beside part=01), and must split a
+    large partition into multiple files per the size target instead of
+    collapsing it into one giant single-task file."""
+    import glob
+    import os
+
+    from bbt_etl_dw_spark.sources.compact import compact_partitions
+
+    target = str(tmp_path / "t")
+    pad = "x" * 100
+    big = spark.range(20000).selectExpr(
+        "id AS k", f"repeat('{pad}', 1) AS payload", "'01' AS part"
+    )
+    small = spark.range(5).selectExpr("id + 100000 AS k", "'s' AS payload", "'02' AS part")
+    big.unionByName(small).write.partitionBy("part").parquet(target)
+
+    compact_partitions(spark, target, "part", ["01"], target_file_mb=1)
+
+    parts = sorted(os.path.basename(d) for d in glob.glob(f"{target}/part=*"))
+    assert parts == ["part=01", "part=02"]  # no part=1 duplicate
+    n_files = len(glob.glob(f"{target}/part=01/*.parquet"))
+    assert n_files >= 2, n_files  # size target produced multiple files
+    got = spark.read.schema("k long, payload string, part string").parquet(target)
+    assert got.count() == 20005
+    assert got.filter("part = '01'").count() == 20000

@@ -1088,3 +1088,52 @@ def test_token_mix_hits_target_shares(spark):
     # deterministic: second application identical
     again = apply_token_mix(docs, token_mix_rates(docs, target))
     assert {r.doc_id for r in mixed.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_chunk_documents_null_text_and_case(spark):
+    """NULL-text docs must produce NO chunks (not a phantom full-size
+    chunk), and chunk_text must preserve the source casing — chunks feed
+    embedders and provenance checks, not the normalized-token pipeline."""
+    from bbt_etl_dw_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "The US GDP Grew")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=8, overlap=3).collect()
+    assert {r["doc_id"] for r in out} == {3}
+    assert out[0]["chunk_text"] == "The US GDP Grew"  # casing intact
+    assert out[0]["n_tokens"] == 4
+
+
+def test_winsorize_nan_and_integer_columns(spark):
+    """NaN is an invalid value, not a big one: it must pass through, not
+    be rewritten into the upper bound. Integer columns keep their type."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.clean import winsorize
+
+    rows = [(i, float(i), i) for i in range(1, 100)]
+    rows.append((100, float("nan"), 10_000_000))
+    df = spark.createDataFrame(rows, "k long, v double, q long")
+    out = winsorize(df, ["v", "q"], lower_pct=0.02, upper_pct=0.98)
+    assert dict(out.dtypes)["q"] == "bigint"  # no silent double promotion
+    nan_row = out.filter("k = 100").first()
+    assert math.isnan(nan_row["v"])           # NaN passes through
+    assert nan_row["q"] <= 99                 # the int outlier IS capped
+    assert out.filter(F.col("q") > 99).count() == 0
+
+
+def test_token_mix_raises_on_absent_target_source(spark):
+    import pytest as _pytest
+
+    from bbt_etl_dw_spark.operators.textstats import token_mix_rates
+
+    docs = spark.createDataFrame(
+        [(1, "web", "a b c"), (2, "books", "d e f")],
+        "doc_id long, source string, text string",
+    )
+    with _pytest.raises(ValueError, match="code"):
+        token_mix_rates(docs, {"web": 0.3, "code": 0.4, "books": 0.3})
