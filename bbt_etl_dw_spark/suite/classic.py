@@ -801,7 +801,13 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     suffix = "".join(c if c.isalnum() else "_" for c in sf_dir)
     li_name, o_name = f"li_bkt_{suffix}", f"o_bkt_{suffix}"
-    if not _BUCKETED_CACHE.get(sf_dir):
+    # trust the SESSION catalog, not only the process cache: a caller that
+    # rebuilt its SparkSession (fresh in-memory catalog) must re-register
+    if not (
+        _BUCKETED_CACHE.get(sf_dir)
+        and spark.catalog.tableExists(li_name)
+        and spark.catalog.tableExists(o_name)
+    ):
         wh = tempfile.mkdtemp(prefix="bbt_bucketed_")
         li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
         o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
