@@ -36,6 +36,22 @@ RUNTIME_CONF = {
 }
 
 
+def _scratch_warehouse_dir() -> str:
+    """Per-process scratch dir for ``spark.sql.warehouse.dir``, cleaned at
+    exit. Overridable via SPARK_GRAFT_WAREHOUSE_DIR for callers that want a
+    persistent warehouse."""
+    override = os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR")
+    if override:
+        return override
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="bbt_spark_wh_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def get_spark(
     app_name: str = "bbt-etl-dw-spark",
     master: str | None = None,
@@ -54,6 +70,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Keep saveAsTable by-products out of the launch cwd: the default
+        # warehouse dir is ./spark-warehouse, which litters whatever repo
+        # the process starts in. Static conf — only effective when WE build
+        # the session (a pre-existing session keeps its own warehouse).
+        .config("spark.sql.warehouse.dir", _scratch_warehouse_dir())
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
@@ -68,4 +89,16 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass
+    # Embedded Derby (JDBC source/sink tests) writes derby.log into the
+    # JVM's user.dir unless derby.system.home is set BEFORE the engine
+    # boots. Point it at the JVM temp dir; a no-op if the caller already
+    # set it or Derby is never loaded.
+    try:
+        jvm = spark._jvm
+        if jvm.System.getProperty("derby.system.home") is None:
+            jvm.System.setProperty(
+                "derby.system.home", jvm.System.getProperty("java.io.tmpdir")
+            )
+    except Exception:
+        pass
     return spark

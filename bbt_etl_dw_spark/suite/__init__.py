@@ -114,25 +114,10 @@ def _last_verified_round() -> dict[str, int]:
 # alone would defer them with stale evidence, so they sort as never-verified
 # until the next artifact re-evidences them (then remove from this set).
 _FORCE_RECHECK = frozenset(
-    {
-        # r04: orphan-detecting left-join rework (ADVICE r03)
-        "simhash_pairs_check",
-        # r04: dedup_clusters gained the star fallback path
-        "doc_dedup_clusters",
-        # r04: md5-derived hash families (KM minhash, simhash words,
-        # hyperplane coeffs, kmeans seeds) + full-pipeline oracles
-        "minhash_near_dup_pairs",
-        "minhash_pairs_precision",
-        "simhash_near_dup_pairs",
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "ann_lsh_precision",
-        "ann_ivf_precision",
-        "embedding_cosine_near_dups",
-        "cosine_pairs_precision",
-        "embedding_cosine_exact_pairs",
-        "embedding_kmeans_clusters",
-    }
+    # r04 cleared all 13 members (each hash-green in CORRECTNESS_r04);
+    # repopulate whenever an already-evidenced query's implementation
+    # changes, and empty again once the next artifact re-evidences it.
+    set()
 )
 
 

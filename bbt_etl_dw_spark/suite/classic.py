@@ -446,7 +446,9 @@ WITH cls AS (
     FROM supplier o FULL OUTER JOIN new_snap n ON o.s_suppkey = n.s_suppkey
 )
 SELECT s_suppkey, op,
-       CASE WHEN op = 'update' THEN diffs ELSE CAST([] AS VARCHAR[]) END AS changed_cols,
+       COALESCE(array_to_string(
+           CASE WHEN op = 'update' THEN diffs ELSE CAST([] AS VARCHAR[]) END,
+           ','), '') AS changed_cols,
        old_s_name, old_s_nationkey, old_s_acctbal,
        new_s_name, new_s_nationkey, new_s_acctbal
 FROM j
@@ -485,11 +487,19 @@ def supplier_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("s_acctbal"),
     )
     new_snap = mutated.unionByName(inserted)
-    return snapshot_diff(
+    diff = snapshot_diff(
         s,
         new_snap,
         keys=["s_suppkey"],
         compare_cols=["s_name", "s_nationkey", "s_acctbal"],
+    )
+    # The operator returns changed_cols as array<string> (callers want it
+    # structured); flatten to a comma-joined string at the suite boundary so
+    # the driver's pandas canonicalizer can sort/hash the column. The array
+    # order is deterministic (compare_cols registration order), so no sort
+    # is needed before joining.
+    return diff.withColumn(
+        "changed_cols", F.array_join(F.col("changed_cols"), ",")
     ).orderBy("s_suppkey")
 
 
