@@ -203,13 +203,24 @@ def winsorize(
     from pyspark.sql import types as T
 
     pcts = F.array(F.lit(float(lower_pct)), F.lit(float(upper_pct)))
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+    def _bounds_input(c: str):
+        # NaN sorts ABOVE every real value, so a NaN fraction exceeding
+        # 1-upper_pct would make the upper bound itself NaN; least(x, NaN)
+        # then leaves x unchanged — silently disabling upper capping for
+        # the column. Exclude NaN from the bounds pass (it is already
+        # excluded from clipping below).
+        if isinstance(dtypes[c], (T.DoubleType, T.FloatType)):
+            return F.when(~F.isnan(c), F.col(c))
+        return F.col(c)
+
     bounds_row = df.agg(
         *[
-            F.percentile_approx(c, pcts, accuracy).alias(c)
+            F.percentile_approx(_bounds_input(c), pcts, accuracy).alias(c)
             for c in cols
         ]
     ).first()
-    dtypes = {f.name: f.dataType for f in df.schema.fields}
     clips = {}
     for c in cols:
         b = bounds_row[c]

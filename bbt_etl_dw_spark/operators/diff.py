@@ -154,9 +154,19 @@ def apply_changes(
         sides = changes.select(
             F.col(change_side(part_col, "new_")).alias("p")
         ).union(changes.select(F.col(change_side(part_col, "old_")).alias("p")))
-    affected = [
-        r[0] for r in sides.filter(F.col("p").isNotNull()).distinct().collect()
-    ]
+    # Collect each affected value TWICE: raw (for the .isin pruning filter)
+    # and Catalyst's own string rendering (for partition-path cleanup below
+    # — Python str() diverges from Spark's rendering for timestamp/float
+    # partition columns, e.g. 1e-7 → '1e-07' vs '1.0E-7', so a stale
+    # directory would survive).
+    affected_rows = (
+        sides.filter(F.col("p").isNotNull())
+        .distinct()
+        .select("p", F.col("p").cast("string").alias("ps"))
+        .collect()
+    )
+    affected = [r["p"] for r in affected_rows]
+    affected_str = {r["ps"] for r in affected_rows}
     if not affected:
         return
 
@@ -182,15 +192,18 @@ def apply_changes(
     # Hadoop FS API (scheme-resolved — file://, hdfs://, s3a://), building
     # each directory name with Spark's own partition-path escaping so
     # values containing ':' '/' '%' etc. resolve to the real directory.
-    remaining = {r[0] for r in out.select(part_col).distinct().collect()}
-    emptied = [p for p in affected if p not in remaining]
+    remaining = {
+        r[0]
+        for r in out.select(F.col(part_col).cast("string")).distinct().collect()
+    }
+    emptied = [p for p in affected_str if p not in remaining]
     if emptied:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         for p in emptied:
             dirname = esc.getPartitionPathString(
-                part_col, "__HIVE_DEFAULT_PARTITION__" if p is None else str(p)
+                part_col, "__HIVE_DEFAULT_PARTITION__" if p is None else p
             )
             jpath = jvm.org.apache.hadoop.fs.Path(
                 f"{target_path.rstrip('/')}/{dirname}"

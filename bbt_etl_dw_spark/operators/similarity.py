@@ -118,7 +118,14 @@ def _hyperplane_coeffs(planes: int, dims: int, seed: int) -> list[list[float]]:
 def _infer_dims(df: DataFrame, vec_col: str, default: int = 64) -> int:
     """Vector dimensionality from one bounded 1-row job (the same cost
     class as the 1-row samples in sources/csv.py). ``default`` if empty."""
-    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    # Infer from the first NON-NULL vector: an arbitrary first row with a
+    # NULL vector would silently fall back to the default, and the dims
+    # guard would then raise on every valid row of a non-default-dim corpus.
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("n"))
+        .first()
+    )
     return int(row["n"]) if row is not None and row["n"] is not None else default
 
 

@@ -414,12 +414,18 @@ def token_mix_rates(
     # mixture (e.g. the 40%-code target quietly becoming 0% because an
     # upstream filter broke) and only surface at training time. The check
     # collects the dim-sized per-source counts — one tiny job.
-    present = {r[0] for r in counts.select(source_col).collect()}
-    missing = sorted(set(target_shares) - present)
+    avail = {r[0]: r[1] for r in counts.collect()}
+    # A source PRESENT with zero total tokens (e.g. all-blank docs after an
+    # upstream filter) is the same failure as an absent one — and worse if
+    # let through: T = min(available/share) becomes 0, silently emptying
+    # the entire mixed corpus (its own rate would be 0/0 = NaN).
+    missing = sorted(
+        s for s in target_shares if avail.get(s) is None or avail[s] == 0
+    )
     if missing:
         raise ValueError(
             f"target_shares name sources with zero corpus tokens: {missing} "
-            f"(present: {sorted(present)})"
+            f"(present: {sorted(k for k, v in avail.items() if v)})"
         )
     shares = F.create_map(
         *[x for k, v in target_shares.items() for x in (F.lit(k), F.lit(float(v)))]

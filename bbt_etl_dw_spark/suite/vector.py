@@ -548,6 +548,11 @@ def ann_ivf_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_result_check(ivf_topk(emb, queries, k=10, nlist=16, nprobe=4), emb)
 
 
+# Per-(process, sf_dir) cache for the IVF inverted-list directory written
+# by ann_ivf_partitioned_topk (see _DPP_FACT_CACHE in suite/classic.py).
+_IVF_LISTS_CACHE: dict[str, str] = {}
+
+
 @register("ann_ivf_partitioned_topk", oracle=_IVF_TOPK_ORACLE)
 def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 THROUGH the partitioned on-disk layout: the corpus is
@@ -572,17 +577,26 @@ def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings", spread=True)
     cents = ivf_centroids(emb, nlist=16, iters=2)
     v = F.col("embedding").cast("array<double>")
-    # Per-run directory: a fixed path shared across sessions would let a
-    # concurrent run's mode("overwrite") delete files under this session's
-    # still-lazy scan (pytest alongside bench/driver_sim).
-    lists_path = tempfile.mkdtemp(
-        prefix=f"bbt_ivf_lists_{os.path.basename(os.path.normpath(sf_dir))}_"
-    )
-    emb.select(
-        F.col("vec_id").alias("corpus_id"),
-        v.alias("cvec"),
-        assign_centroid(v, cents).alias("cid"),
-    ).write.mode("overwrite").partitionBy("cid").parquet(lists_path)
+    # Per-PROCESS directory, cached per sf_dir with atexit cleanup (the
+    # _DPP_FACT_CACHE pattern): per-process isolation still keeps a
+    # concurrent run's overwrite away from this session's lazy scans,
+    # while repeated suite enumerations reuse one write instead of
+    # accumulating full embedding copies in /tmp.
+    lists_path = _IVF_LISTS_CACHE.get(sf_dir)
+    if lists_path is None:
+        import atexit
+        import shutil
+
+        lists_path = tempfile.mkdtemp(
+            prefix=f"bbt_ivf_lists_{os.path.basename(os.path.normpath(sf_dir))}_"
+        )
+        emb.select(
+            F.col("vec_id").alias("corpus_id"),
+            v.alias("cvec"),
+            assign_centroid(v, cents).alias("cid"),
+        ).write.mode("overwrite").partitionBy("cid").parquet(lists_path)
+        _IVF_LISTS_CACHE[sf_dir] = lists_path
+        atexit.register(shutil.rmtree, lists_path, ignore_errors=True)
 
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),

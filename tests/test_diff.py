@@ -289,3 +289,31 @@ def test_compact_partitions_string_partition_and_file_split(spark, tmp_path):
     got = spark.read.schema("k long, payload string, part string").parquet(target)
     assert got.count() == 20005
     assert got.filter("part = '01'").count() == 20000
+
+
+def test_apply_changes_float_partition_value_cleanup(spark, tmp_path):
+    """Float partition values whose Python str() differs from Catalyst's
+    rendering (1e-07 vs 1.0E-7) must still clean up when emptied — the
+    cleanup renders values through a Spark cast-to-string, not str()."""
+    from bbt_etl_dw_spark.operators.diff import apply_changes, snapshot_diff
+
+    target = str(tmp_path / "dim")
+    old = spark.createDataFrame(
+        [(1, "x", 1e-07), (2, "y", 0.5)],
+        "k long, name string, part double",
+    )
+    old.write.partitionBy("part").parquet(target)
+    import glob
+    import os
+
+    dirs = {os.path.basename(d) for d in glob.glob(f"{target}/part=*")}
+    assert "part=1.0E-7" in dirs, dirs  # Catalyst rendering, not str(1e-07)
+
+    new = spark.createDataFrame([(2, "y", 0.5)], "k long, name string, part double")
+    apply_changes(
+        spark, target, snapshot_diff(old, new, keys=["k"]), keys=["k"], part_col="part"
+    )
+    dirs = {os.path.basename(d) for d in glob.glob(f"{target}/part=*")}
+    assert "part=1.0E-7" not in dirs, dirs
+    got = [tuple(r) for r in spark.read.parquet(target).selectExpr("k", "name", "part").collect()]
+    assert got == [(2, "y", 0.5)]

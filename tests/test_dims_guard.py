@@ -42,3 +42,16 @@ def test_wrappers_infer_dims(spark, four_dim):
     assert lsh_topk(four_dim, q, k=2).count() > 0
     row = random_projection(four_dim, out_dims=4).collect()[0]
     assert all(row[f"proj_{p}"] is not None for p in range(4))
+
+
+def test_infer_dims_skips_leading_null_vector(spark):
+    """A NULL vector in the arbitrary first row must not poison dims
+    inference (default fallback would then raise on every valid row of a
+    non-default-dim corpus)."""
+    from bbt_etl_dw_spark.operators.similarity import _infer_dims
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [0.1, 0.2, 0.3, 0.4])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    assert _infer_dims(df, "embedding") == 4

@@ -1137,3 +1137,40 @@ def test_token_mix_raises_on_absent_target_source(spark):
     )
     with _pytest.raises(ValueError, match="code"):
         token_mix_rates(docs, {"web": 0.3, "code": 0.4, "books": 0.3})
+
+
+def test_token_mix_raises_on_zero_token_source(spark):
+    """A source PRESENT but with zero total tokens (all-blank docs after
+    an upstream filter) is the same failure as an absent one: letting it
+    through makes T = min(available/share) = 0 and silently empties the
+    whole mixed corpus."""
+    import pytest as _pytest
+
+    from bbt_etl_dw_spark.operators.textstats import token_mix_rates
+
+    docs = spark.createDataFrame(
+        [(1, "web", "a b c"), (2, "code", "   "), (3, "books", "d e f")],
+        "doc_id long, source string, text string",
+    )
+    with _pytest.raises(ValueError, match="code"):
+        token_mix_rates(docs, {"web": 0.3, "code": 0.4, "books": 0.3})
+
+
+def test_winsorize_nan_heavy_column_still_caps(spark):
+    """When the NaN fraction exceeds 1-upper_pct, the bounds pass must not
+    return NaN as the upper bound (least(x, NaN) leaves x unchanged and
+    silently disables capping). NaN is excluded from the bounds pass."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.clean import winsorize
+
+    rows = [(i, float(i)) for i in range(1, 11)]          # 1..10
+    rows += [(100 + i, float("nan")) for i in range(10)]  # 50% NaN
+    rows.append((200, 10_000.0))                          # the outlier
+    df = spark.createDataFrame(rows, "k long, v double")
+    out = winsorize(df, ["v"], lower_pct=0.05, upper_pct=0.60)
+    capped = out.filter("k = 200").first()["v"]
+    assert not math.isnan(capped) and capped <= 10.0  # upper cap ACTIVE
+    assert out.filter(F.isnan("v")).count() == 10     # NaN untouched
