@@ -106,18 +106,66 @@ def _make_real_decode():
     return real_decode
 
 
-def decode_media(df: DataFrame, fake: bool = False, batch_size: int = 64) -> DataFrame:
+def _make_header_decode():
+    """Stdlib-only container-header parse: true dimensions from PNG IHDR,
+    GIF logical-screen, or JPEG SOF markers — no codec library, no pixel
+    decode, feature always []. The dimensions-only contract (corpus
+    filtering by resolution, aspect-ratio stats) therefore has standing
+    evidence even where Pillow is absent; full pixel features still
+    require the real codec path.
+
+    Nested def for the same cloudpickle-by-value reason as the fake."""
+
+    def header_decode(payload: bytes, kind: str):
+        if kind != "image" or not payload:
+            return None, None, []
+        import struct as _struct
+
+        b = bytes(payload)
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+            w, h = _struct.unpack(">II", b[16:24])
+            return int(w), int(h), []
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = _struct.unpack("<HH", b[6:10])
+            return int(w), int(h), []
+        if b[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOFn
+            sof = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+            i = 2
+            while i + 9 < len(b) and b[i] == 0xFF:
+                marker = b[i + 1]
+                if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                if marker in sof:
+                    h, w = _struct.unpack(">HH", b[i + 5 : i + 9])
+                    return int(w), int(h), []
+                i += 2 + _struct.unpack(">H", b[i + 2 : i + 4])[0]
+        return None, None, []
+
+    return header_decode
+
+
+def decode_media(
+    df: DataFrame,
+    fake: bool = False,
+    batch_size: int = 64,
+    headers_only: bool = False,
+) -> DataFrame:
     """Decode/feature-extract media rows via Arrow-batched mapInPandas.
 
     ``fake=True`` uses the deterministic fake codec (tests, this
-    environment); otherwise Pillow decodes image rows for real (audio and
-    video rows pass through metadata-only — see :func:`_make_real_decode`)
-    and the call raises if Pillow is unavailable.
+    environment); ``headers_only=True`` parses REAL dimensions from the
+    container headers with the stdlib only (PNG/GIF/JPEG — feature stays
+    empty; see :func:`_make_header_decode`); otherwise Pillow decodes
+    image rows for real (audio and video rows pass through metadata-only
+    — see :func:`_make_real_decode`) and the call raises if Pillow is
+    unavailable.
     """
-    if not fake and not _HAS_CODECS:
+    if not fake and not headers_only and not _HAS_CODECS:
         raise NotImplementedError(
             "media codecs (Pillow) not available in this environment; "
-            "pass fake=True for the deterministic stub decoder"
+            "pass headers_only=True for stdlib dimension parsing or "
+            "fake=True for the deterministic stub decoder"
         )
 
     spark = df.sparkSession
@@ -127,7 +175,12 @@ def decode_media(df: DataFrame, fake: bool = False, batch_size: int = 64) -> Dat
         pass
 
     # nested defs => pickled by value into the UDF closure
-    decode = _make_fake_decode() if fake else _make_real_decode()
+    if fake:
+        decode = _make_fake_decode()
+    elif headers_only:
+        decode = _make_header_decode()
+    else:
+        decode = _make_real_decode()
     use_fake = fake
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

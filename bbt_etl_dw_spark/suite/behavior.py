@@ -215,3 +215,53 @@ def events_frequency_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         rows, "user_id long, n_rows long, within_bound boolean"
     ).orderBy(F.col("n_rows").desc(), "user_id")
+
+
+# --- z-order (Morton) layout keys ----------------------------------------
+
+def _zbits_sql(su: str, sv: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({su} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({sv} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH b AS (
+    SELECT CAST(MIN(user_id) AS DOUBLE) AS lo_u, CAST(MAX(user_id) AS DOUBLE) AS hi_u,
+           MIN(value) AS lo_v, MAX(value) AS hi_v
+    FROM events
+), s AS (
+    SELECT e.event_id, e.user_id, e.value,
+           CAST(FLOOR((CAST(e.user_id AS DOUBLE) - b.lo_u) * 255.0 / (b.hi_u - b.lo_u)) AS BIGINT) AS su,
+           CAST(FLOOR((e.value - b.lo_v) * 255.0 / (b.hi_v - b.lo_v)) AS BIGINT) AS sv
+    FROM events e, b
+)
+SELECT event_id,
+       CASE WHEN user_id IS NULL OR value IS NULL THEN CAST(-1 AS BIGINT)
+            ELSE {_zbits_sql('su', 'sv', 8)} END AS zkey
+FROM s
+ORDER BY event_id
+"""
+
+
+@register("events_zorder_keys", oracle=_ZORDER_ORACLE)
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) layout keys over (user_id, value) —
+    operators/zorder.py, the multi-dimensional clustering key behind
+    write_zordered: rows close in BOTH dimensions get close keys, so a
+    range-sorted write gives every parquet row group a small min/max box
+    in both columns and a rectangle predicate prunes row groups on both
+    at once (single-column sort prunes only one). The key is pure
+    bit-arithmetic in whole-stage codegen — the oracle replays the
+    min-max scaling and the full bit interleave in SQL, value-exact.
+    NULL in either dimension keys to -1 (nulls cluster, never widen a
+    real box). Layout evidence (row-group boxes from written footers,
+    z-order vs single-sort) is pytest: tests/test_zorder.py."""
+    from bbt_etl_dw_spark.operators.zorder import zorder_key
+
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", zorder_key(ev, ["user_id", "value"], bits=8).alias("zkey")
+    ).orderBy("event_id")

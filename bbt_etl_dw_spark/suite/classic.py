@@ -874,3 +874,85 @@ def bucketed_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Runtime bloom-filter join pruning, gated in-plan (the row-level member of
+# the pruning family: static partition = ann_ivf_partitioned_topk, dynamic
+# partition = lineitem_dpp_revenue, row-level semi-join reduction = here)
+# --------------------------------------------------------------------------
+
+_BLOOM_ORACLE = f"""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS order_year,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+@register("bloom_pruned_join", oracle=_BLOOM_ORACLE)
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction, proven in-plan: a
+    selective dimension-side filter (urgent orders) injects a
+    bloom_filter_might_contain predicate into the FACT scan stage, so
+    non-matching lineitems drop BEFORE the shuffle instead of after the
+    join — at 100 TB this is the difference between shuffling the whole
+    fact and shuffling the ~20% that can match (Spark's
+    InjectRuntimeFilter, the row-level sibling of dynamic partition
+    pruning). The builder RAISES unless the bloom filter reached the
+    plan. The plan executes eagerly inside the builder (localCheckpoint)
+    while the enabling thresholds are set, and every touched conf is
+    restored before returning — session state leaks to no other query.
+    (Broadcast must be off for the join: with a broadcast dim the fact
+    never shuffles and a bloom filter would be pure overhead — Spark
+    correctly only injects into shuffle joins, which is exactly the
+    non-broadcastable-dim regime this query models.)"""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # the sf0.01 fact is far below the default 10GB application-side
+        # threshold; lower it so injection triggers at test scale
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey", "o_orderdate")
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+            .agg(
+                dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+                ),
+                F.count(F.lit(1)).alias("n_lineitems"),
+            )
+            .orderBy("order_year")
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "bloom_filter" not in plan.lower():
+            raise AssertionError(
+                "no bloom_filter_might_contain reached the fact side — "
+                "runtime filter injection regressed:\n" + plan
+            )
+        # execute NOW, while the enabling confs hold (the driver's later
+        # action would otherwise re-plan under restored confs)
+        return out.localCheckpoint()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

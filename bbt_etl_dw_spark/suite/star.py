@@ -284,3 +284,110 @@ def scd2_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("is_current")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 maintained from the CDC change feed (operators/scd2.scd2_apply_changes
+# + operators/diff.snapshot_diff) — the O(churn) history-maintenance path
+# (VERDICT r04 #8). Day-2 evolution exercises every op class AND the
+# tracked/untracked distinction:
+#   %11 keys  -> deleted            (expire, no successor)
+#   %7 keys   -> segment := PROMO   (tracked update: expire + new version)
+#   %5 keys   -> name := name||'X'  (UNtracked update: must NOT version —
+#                the live row, old name included, stays current)
+#   %13 keys  -> cloned as inserts under key+1000000, segment 'FRESH'
+# --------------------------------------------------------------------------
+
+_SCD2_FEED_ORACLE = """
+WITH kept AS (
+    SELECT * FROM customer WHERE c_custkey % 11 <> 0
+), new_vals AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 5 = 0 THEN c_name || 'X' ELSE c_name END AS c_name,
+           c_nationkey, c_acctbal,
+           CASE WHEN c_custkey % 7 = 0 THEN 'PROMO' ELSE c_mktsegment END AS c_mktsegment
+    FROM kept
+), tracked_upd AS (
+    SELECT k.c_custkey
+    FROM kept k JOIN new_vals n USING (c_custkey)
+    WHERE k.c_mktsegment <> n.c_mktsegment OR k.c_acctbal <> n.c_acctbal
+)
+SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+       TRUE AS is_current,
+       DATE '2024-01-01' AS effective_start_date,
+       CAST(NULL AS DATE) AS effective_end_date
+FROM customer c
+WHERE c.c_custkey % 11 <> 0
+  AND c.c_custkey NOT IN (SELECT c_custkey FROM tracked_upd)
+UNION ALL
+SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+       FALSE, DATE '2024-01-01', DATE '2024-06-01'
+FROM customer c
+WHERE c.c_custkey % 11 = 0
+   OR c.c_custkey IN (SELECT c_custkey FROM tracked_upd)
+UNION ALL
+SELECT n.c_custkey, n.c_name, n.c_nationkey, n.c_acctbal, n.c_mktsegment,
+       TRUE, DATE '2024-06-01', CAST(NULL AS DATE)
+FROM new_vals n
+WHERE n.c_custkey IN (SELECT c_custkey FROM tracked_upd)
+UNION ALL
+SELECT c.c_custkey + 1000000, c.c_name, c.c_nationkey, c.c_acctbal, 'FRESH',
+       TRUE, DATE '2024-06-01', CAST(NULL AS DATE)
+FROM customer c
+WHERE c.c_custkey % 13 = 0
+ORDER BY c_custkey, effective_start_date
+"""
+
+
+@register("scd2_from_change_feed", oracle=_SCD2_FEED_ORACLE)
+def scd2_from_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history maintained directly from a snapshot_diff change feed
+    (operators/scd2.py scd2_apply_changes): only churned keys close/open
+    versions, so a 100 TB dimension with 0.1% daily churn joins against a
+    broadcast-sized key set instead of re-hashing every row (the
+    scd2_merge full-snapshot path is the fallback when no feed exists).
+    Value-level check over all four op classes, including the
+    tracked/untracked rule: an update touching only an UNtracked column
+    (here c_name) must NOT spawn a version — the live row keeps its old
+    payload and stays current."""
+    from bbt_etl_dw_spark.operators.diff import snapshot_diff
+    from bbt_etl_dw_spark.operators.scd2 import scd2_apply_changes
+
+    c = table(spark, sf_dir, "customer")
+    history = scd2_init(c, datetime.date(2024, 1, 1))
+
+    kept = c.filter(F.col("c_custkey") % 11 != 0)
+    mutated = kept.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.concat(F.col("c_name"), F.lit("X"))
+        )
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("PROMO"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        F.lit("FRESH").alias("c_mktsegment"),
+    )
+    incoming = mutated.unionByName(inserts)
+    feed = snapshot_diff(
+        c,
+        incoming,
+        keys=["c_custkey"],
+        compare_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    return scd2_apply_changes(
+        history,
+        feed,
+        natural_key=["c_custkey"],
+        tracked_cols=["c_mktsegment", "c_acctbal"],
+        asof=datetime.date(2024, 6, 1),
+    ).orderBy("c_custkey", "effective_start_date")

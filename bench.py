@@ -58,6 +58,7 @@ def main() -> None:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
         runs = []
         for _ in range(n_runs):
@@ -66,6 +67,11 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 4)
+        # max-min across the n runs: the ambient-load noise band. A future
+        # "regression" whose delta sits inside the recorded spread is
+        # machine load, triageable from the artifact alone (VERDICT r04 #6
+        # — this box swings ±3s under concurrent runs).
+        spreads[name] = round(max(runs) - min(runs), 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -76,6 +82,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

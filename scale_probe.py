@@ -95,6 +95,107 @@ def generate() -> None:
         print(f"{t}: x{COPIES} -> {n} rows")
 
 
+def _dedup_cluster_scale() -> dict:
+    """Edge/round counters for doc_dedup_clusters at sf0.1 and synthetic
+    sf1 (VERDICT r04 #4). The clustering wall is output-driven: the sf1
+    generator keeps text byte-identical across replicas, so every doc
+    gains 9 exact duplicates and the pair/edge set grows ~100x while rows
+    grow 10x. wall/edges (computable from this artifact + the bench JSON)
+    is the honest scale ratio; wall alone reads as superlinear."""
+    import time
+
+    from bbt_etl_dw_spark.operators import dedup
+    from bbt_etl_dw_spark.session import get_spark
+    from bbt_etl_dw_spark.suite import load_all
+
+    spark = get_spark(app_name="scale-probe-dedup-stats")
+    spark.sparkContext.setLogLevel("ERROR")
+    builder = load_all()["doc_dedup_clusters"].builder
+    out = {}
+    for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+        t0 = time.perf_counter()
+        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 2)
+        stats = dict(dedup.LAST_CLUSTER_STATS)
+        stats["wall_s"] = wall
+        stats["wall_us_per_edge"] = round(1e6 * wall / max(stats["n_edges"], 1), 2)
+        out[label] = stats
+    return out
+
+
+def _skew_probe() -> dict:
+    """Salted vs unsalted wall on a genuinely skewed join at sf1 (VERDICT
+    r04 #5). Shape: 6M-row fact with 60% of rows on ONE key (~130-byte
+    payload per row), joined to a 10k-row dim that is NOT broadcastable
+    (threshold -1 emulates the 100 GB dim this operator exists for),
+    followed by an aggregation on the SAME key — the case where AQE's
+    skew-join split does not rescue the plan, because the join output's
+    hash partitioning is reused by the downstream agg. Both variants run
+    under identical session confs (AQE on); reported walls are min-of-2
+    (warm)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.skew import salted_join
+    from bbt_etl_dw_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{DST}/lineitem.parquet")
+        fact = li.select(
+            F.when(
+                F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) < 6,
+                F.lit(0),
+            )
+            .otherwise(F.col("l_suppkey"))
+            .alias("suppkey"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            F.repeat(F.md5(F.col("l_orderkey").cast("string")), 4).alias("payload"),
+        ).persist()
+        n_rows = fact.count()
+        hot_rows = fact.filter(F.col("suppkey") == 0).count()
+        dim = (
+            fact.select("suppkey")
+            .distinct()
+            .withColumn("w", (F.col("suppkey") % 97) / 97.0)
+            .persist()
+        )
+        dim.count()
+
+        def agg(j):
+            return j.groupBy("suppkey").agg(
+                F.sum(F.col("rev") * F.col("w")).alias("x"),
+                F.sum(F.length("payload")).alias("pl"),
+            )
+
+        walls = {}
+        for name, join in (
+            ("unsalted", lambda: fact.join(dim, "suppkey")),
+            ("salted", lambda: salted_join(fact, dim, ["suppkey"], salt=32)),
+        ):
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                agg(join()).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            walls[name] = round(min(runs), 2)
+        fact.unpersist()
+        dim.unpersist()
+        return {
+            "fact_rows": n_rows,
+            "hot_key_rows": hot_rows,
+            "unsalted_wall_s": walls["unsalted"],
+            "salted_wall_s": walls["salted"],
+            "speedup_salted": round(walls["unsalted"] / walls["salted"], 2),
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def bench_sf1(tag: str) -> None:
     """Run bench.py at sf0.1 AND at the synthetic sf1 back-to-back (same
     machine state, so the per-query ratios isolate data-scale cost from
@@ -141,6 +242,14 @@ def bench_sf1(tag: str) -> None:
         "sf01_baseline": p01,
         "parsed": p1,
         "ratio_sf1_vs_sf01": ratios,
+        # VERDICT r04 #4: the dedup-clustering wall is OUTPUT-driven (the
+        # synthetic sf1 corpus gives every doc 9 byte-identical replicas,
+        # ~100x the edge set), so the ratio-to-watch is wall/edges, not
+        # wall alone. Record edges + rounds at both scales so that claim
+        # is auditable from this artifact.
+        "dedup_cluster_scale": _dedup_cluster_scale(),
+        # VERDICT r04 #5: paired skewed-join probe, salted vs unsalted.
+        "skew_probe": _skew_probe(),
     }
     dst = os.path.join(repo, f"BENCH_sf1_{tag}.json")
     with open(dst, "w") as f:

@@ -1,0 +1,129 @@
+"""Z-order layout (operators/zorder.py): Morton-key correctness laws and
+the actual pruning claim — row-group min/max boxes from a z-ordered write
+let a rectangle predicate skip most row groups, where a single-column sort
+cannot. Evidence comes from the written parquet footers themselves
+(pyarrow), not from timing."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.operators.zorder import (
+    interleave_bits,
+    write_zordered,
+    zorder_key,
+)
+
+
+def _morton2(x: int, y: int, bits: int) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_interleave_matches_reference_morton(spark):
+    rows = [(x, y) for x in range(0, 64, 7) for y in range(0, 64, 5)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y", interleave_bits([F.col("x"), F.col("y")], bits=6).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == _morton2(r["x"], r["y"], 6), (r["x"], r["y"])
+
+
+def test_morton_locality_beats_concatenation(spark):
+    """The defining curve property: for points close in BOTH dims, morton
+    keys are close; a lexicographic (concatenated) key puts (0,63) next to
+    (0,0) but (1,0) a full stripe away."""
+    df = spark.createDataFrame([(0, 0), (1, 1), (0, 63)], "x long, y long")
+    z = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", interleave_bits([F.col("x"), F.col("y")], bits=6).alias("z")
+        ).collect()
+    }
+    assert abs(z[(1, 1)] - z[(0, 0)]) < abs(z[(0, 63)] - z[(0, 0)])
+
+
+def test_zorder_key_nulls_sort_first(spark):
+    df = spark.createDataFrame(
+        [(None, 5), (3, None), (2, 2), (9, 9)], "a long, b long"
+    )
+    got = df.select("a", "b", zorder_key(df, ["a", "b"], bits=4).alias("z")).collect()
+    by = {(r["a"], r["b"]): r["z"] for r in got}
+    assert by[(None, 5)] == -1 and by[(3, None)] == -1
+    assert by[(2, 2)] >= 0 and by[(9, 9)] >= 0
+
+
+def _rowgroup_boxes(path: str, col_a: str, col_b: str):
+    boxes = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            sa = rg.column(names[col_a]).statistics
+            sb = rg.column(names[col_b]).statistics
+            boxes.append(((sa.min, sa.max), (sb.min, sb.max)))
+    return boxes
+
+
+def _overlapping(boxes, a_lo, a_hi, b_lo, b_hi):
+    return sum(
+        1
+        for (amn, amx), (bmn, bmx) in boxes
+        if amx >= a_lo and amn <= a_hi and bmx >= b_lo and bmn <= b_hi
+    )
+
+
+def test_zorder_rowgroup_pruning_beats_single_sort(spark, tmp_path):
+    """100k points uniform on a 1000x1000 grid, 64 KB row groups. For a
+    ~1% x ~10% rectangle, the z-ordered layout must leave FAR fewer row
+    groups overlapping the predicate box than a layout sorted on x alone
+    (which prunes x but keeps every group's y-range near-full), and the
+    rectangle read-back must return identical rows."""
+    n = 100_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("y"),
+        )
+        .persist()
+    )
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "sorted")
+    write_zordered(df, zpath, ["x", "y"], bits=10, num_files=4, rowgroup_bytes=64 * 1024)
+    (
+        df.repartitionByRange(4, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(spath)
+    )
+
+    a_lo, a_hi, b_lo, b_hi = 100, 110, 500, 600  # 1% of x, 10% of y
+    zb = _rowgroup_boxes(zpath, "x", "y")
+    sb = _rowgroup_boxes(spath, "x", "y")
+    assert len(zb) > 20 and len(sb) > 20  # granularity sanity
+    z_hit = _overlapping(zb, a_lo, a_hi, b_lo, b_hi)
+    s_hit = _overlapping(sb, a_lo, a_hi, b_lo, b_hi)
+    # single-sort: x prunes to ~1% of groups but those groups span all of
+    # y; z-order must beat it and skip >=80% of its own groups
+    assert z_hit <= s_hit, (z_hit, s_hit, len(zb), len(sb))
+    assert z_hit <= len(zb) * 0.2, (z_hit, len(zb))
+
+    pred = (
+        (F.col("x") >= a_lo)
+        & (F.col("x") <= a_hi)
+        & (F.col("y") >= b_lo)
+        & (F.col("y") <= b_hi)
+    )
+    expect = sorted(r["id"] for r in df.filter(pred).collect())
+    got = sorted(r["id"] for r in spark.read.parquet(zpath).filter(pred).collect())
+    assert got == expect and len(got) > 0
+    df.unpersist()
