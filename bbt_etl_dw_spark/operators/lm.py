@@ -1,0 +1,186 @@
+"""Character n-gram language-model quality scoring — the KenLM-style
+perplexity filter of a pre-training pipeline, expressed engine-native.
+
+The classic curation step: train a small LM on a trusted reference corpus
+(Wikipedia-like), score every crawled document by cross-entropy under that
+model, and drop the tail — gibberish, boilerplate soup, wrong-charset text
+all score high. Real pipelines use KenLM over word 5-grams; character
+trigrams with add-k smoothing give the same discriminative signal with a
+BOUNDED vocabulary (|charset|^n), which is what makes this Spark-native
+version scale:
+
+- TRAINING is one explode + hash-agg over the reference corpus (which is
+  small by definition — the trusted set, not the crawl);
+- the model (trigram + bigram-prefix counts) is broadcast to the scorers:
+  the 100 TB crawl NEVER shuffles — each doc's n-grams join the model
+  map-side and reduce to one number per doc in partial aggregation;
+- n-gram extraction is a pure ``transform(sequence(...))`` expression
+  (no UDF); normalization is lower() + whitespace collapse in codegen.
+
+Scores are bits per character (base-2 cross-entropy). No DuckDB oracle on
+purpose: log2 last-ulp behavior differs across libm builds (the same
+reason doc_token_drift_chisq uses chi-square) — evidence is pytest
+ground-truth ordering: English-like text scores below shuffled noise under
+an English-trained model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BOS = "\x02"  # padded document start: first real char gets a context too
+
+
+def _normalized(text_col: str):
+    """lower + collapse runs of whitespace to single spaces + trim, with
+    (n-1) BOS padding handled by the caller."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def _char_ngrams(text_col: str, n: int):
+    """Array of all character n-grams of the normalized, BOS-padded text.
+    Pure expression: sequence + transform + substring."""
+    padded = F.concat(F.lit(BOS * (n - 1)), _normalized(text_col))
+    L = F.length(padded)
+    return F.when(L < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), L - n + 1),
+            lambda i: padded.substr(i, F.lit(n)),
+        )
+    )
+
+
+def train_char_lm(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train on a trusted corpus: returns (ngram_counts, prefix_counts,
+    vocab_size). ``vocab_size`` = distinct characters seen (for add-k
+    smoothing's denominator) — computed from the same pass family."""
+    grams = docs.select(
+        F.explode(_char_ngrams(text_col, n)).alias("ngram")
+    )
+    ngram_counts = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("ngram_count")
+    )
+    prefix_counts = grams.select(
+        F.substring(F.col("ngram"), 1, n - 1).alias("prefix")
+    ).groupBy("prefix").agg(F.count(F.lit(1)).alias("prefix_count"))
+    vocab = (
+        docs.select(
+            F.explode(F.split(_normalized(text_col), "")).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .agg(F.countDistinct("ch").alias("v"))
+        .first()["v"]
+    )
+    return ngram_counts, prefix_counts, int(vocab or 1)
+
+
+def score_char_lm(
+    docs: DataFrame,
+    ngram_counts: DataFrame,
+    prefix_counts: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: float = 0.5,
+) -> DataFrame:
+    """Bits-per-character cross-entropy of each document under the trained
+    model, add-k smoothed: P(gram) = (c(gram)+k) / (c(prefix)+k*V).
+
+    Plan shape: explode doc n-grams (narrow), LEFT join the BROADCAST
+    model tables (unseen grams smooth to k/(k*V) mass), one hash-agg back
+    to per-doc mean. The corpus shuffles once, on the doc id, already
+    reduced to (id, partial sums). Documents EMPTY after normalization
+    have no n-grams (BOS padding gives every non-empty doc at least one)
+    and score NULL — no evidence either way; callers decide their fate.
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(_char_ngrams(text_col, n)).alias("ngram")
+    ).withColumn("prefix", F.substring(F.col("ngram"), 1, n - 1))
+    joined = grams.join(F.broadcast(ngram_counts), "ngram", "left").join(
+        F.broadcast(prefix_counts), "prefix", "left"
+    )
+    kv = float(k) * float(vocab_size)
+    prob = (F.coalesce(F.col("ngram_count"), F.lit(0)).cast("double") + F.lit(float(k))) / (
+        F.coalesce(F.col("prefix_count"), F.lit(0)).cast("double") + F.lit(kv)
+    )
+    scored = joined.groupBy(id_col).agg(
+        (-F.avg(F.log2(prob))).alias("bits_per_char"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    return docs.select(id_col).join(scored, id_col, "left")
+
+
+def lm_quality_filter(
+    docs: DataFrame,
+    ngram_counts: DataFrame,
+    prefix_counts: DataFrame,
+    vocab_size: int,
+    max_bits_per_char: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Keep documents scoring at or below the threshold. Unscorable
+    (empty-after-normalization) documents are DROPPED — an empty document
+    carries no trainable signal anyway, and silent pass-through of
+    unscored rows is the worse failure."""
+    scores = score_char_lm(
+        docs, ngram_counts, prefix_counts, vocab_size, id_col, text_col, n
+    )
+    keep = scores.filter(
+        F.col("bits_per_char") <= max_bits_per_char
+    ).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
+
+
+def oov_rate_vs_reference(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Out-of-vocabulary n-gram rate against a reference corpus: the
+    fraction of each document's character n-grams never seen in
+    ``reference``. The integer-count sibling of :func:`score_char_lm` —
+    same discriminative use (high OOV rate = wrong charset / gibberish /
+    wrong language), but built from counts and ONE IEEE division, so it
+    is bit-reproducible cross-engine (the suite oracle replays it in SQL;
+    log-based cross-entropy cannot be oracled — libm last-ulp drift).
+
+    Plan shape: the reference's distinct n-gram set is broadcast (bounded
+    by |charset|^n); the scored corpus explodes to n-grams, joins
+    map-side, and reduces to (id, total, oov) in partial aggregation —
+    one shuffle on the doc id. Documents with no n-grams (empty text)
+    return n_grams=0 and NULL rate."""
+    model = (
+        reference.select(F.explode(_char_ngrams(text_col, n)).alias("ngram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    grams = docs.select(
+        F.col(id_col), F.explode(_char_ngrams(text_col, n)).alias("ngram")
+    )
+    scored = (
+        grams.join(F.broadcast(model), "ngram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            (
+                F.col("n_oov").cast("double") / F.col("n_grams").cast("double")
+            ).alias("oov_rate"),
+        )
+    )

@@ -25,6 +25,16 @@ in any engine with integer ops (the suite oracle re-derives keys in SQL).
 For heavily skewed columns, pre-transform (e.g. log-bucket) before calling
 — quantile scaling would need a sketch whose bucket boundaries are not
 portable across engines.
+
+Relationship to ``sources/compact.py``: ``compact_zorder`` there is the
+FILE-SIZING entry point (two columns, caller-known bounds, magic-number
+bit spread — fewer expression nodes, target-file-MB sizing) used inside
+lake compaction jobs. This module is the general operator: k columns,
+bounds inferred from the data, explicit NULL policy, row-group-size
+control, and an SQL-replayable key layout (bit i of column j at position
+``i*k + j``) — which is what the ``events_zorder_keys`` oracle checks.
+The two produce equivalently-clustered layouts (different curve
+orientation); pick by entry point, not by curve.
 """
 
 from __future__ import annotations

@@ -124,6 +124,11 @@ def _on_disk_bytes(spark: SparkSession, src: str) -> int:
 
 
 # --- Z-order clustering (multi-column data skipping) ----------------------
+# This is the file-sizing COMPACTION entry point: two columns, bounds from
+# one min/max agg, magic-number bit spread (O(log bits) expression nodes).
+# The general operator — k columns, NULL policy, row-group sizing, and the
+# SQL-replayable key layout the events_zorder_keys oracle verifies — is
+# operators/zorder.py; both produce equivalently-clustered layouts.
 
 
 def _spread_bits_16(x):

@@ -1356,3 +1356,58 @@ def doc_token_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chi2_contrib"), "token")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# LM-based quality: OOV char-trigram rate vs a reference corpus
+# (operators/lm.py — the oracle-able integer-count sibling of the add-k
+# cross-entropy scorer, which stays pytest-only because log2 is not
+# bit-portable cross-engine)
+# --------------------------------------------------------------------------
+
+_OOV_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, source,
+         repeat(chr(2), 2) || trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS padded
+  FROM documents
+), gl AS (
+  SELECT doc_id, source,
+         CASE WHEN length(padded) >= 3
+              THEN [substr(padded, i, 3) FOR i IN generate_series(1, length(padded)-2)]
+              ELSE [] END AS gs
+  FROM norm
+), grams AS (SELECT doc_id, source, unnest(gs) AS ngram FROM gl),
+model AS (
+  SELECT DISTINCT ngram FROM grams WHERE source IN ('src1', 'src2', 'src3')
+), scored AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN m.ngram IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM grams g LEFT JOIN model m ON g.ngram = m.ngram
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+       CAST(s.n_oov AS DOUBLE) / CAST(s.n_grams AS DOUBLE) AS oov_rate
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_lm_oov_rate", oracle=_OOV_ORACLE)
+def doc_lm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-style quality signal, oracle-exact: each document's
+    out-of-vocabulary character-trigram rate against a reference corpus
+    (sources src1-3 as the trusted set). High OOV = wrong charset /
+    gibberish / off-language — the same cut a KenLM perplexity filter
+    makes, built from integer counts and ONE IEEE division so DuckDB
+    replays it bit-for-bit (operators/lm.py:oov_rate_vs_reference; the
+    add-k cross-entropy scorer in the same module is the log-domain
+    variant, pytest-evidenced). Scale: the reference's distinct-trigram
+    set broadcasts (bounded by charset^3); the scored corpus never
+    shuffles raw text — explode, map-side join, partial-agg to one row
+    per doc."""
+    from bbt_etl_dw_spark.operators.lm import oov_rate_vs_reference
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    ref = docs.filter(F.col("source").isin("src1", "src2", "src3"))
+    return oov_rate_vs_reference(docs, ref).orderBy("doc_id")
