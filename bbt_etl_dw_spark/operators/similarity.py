@@ -467,3 +467,69 @@ def random_projection(
         return (fold / scale).alias(f"proj_{p}")
 
     return df.select(F.col(id_col), *[proj(p) for p in range(out_dims)])
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the deterministic
+    k-means trainer (:func:`ivf_centroids`), then prune WITHIN each
+    cluster — a vector is dropped when a SAME-cluster neighbor with a
+    smaller id sits at cosine >= threshold (min-id representative, the
+    same greedy convention as incremental_exact_dedup; for exact
+    connected-component semantics feed the within-cluster pairs to
+    dedup_clusters instead).
+
+    Returns (vec_id, cluster_id, kept): full corpus disposition, one row
+    per vector.
+
+    Scale shape — the whole point of clustering first: the pair join is
+    keyed on cluster id, so candidate generation is sum-of-cluster-size
+    squared, never corpus². Centroids are plan literals (narrow map
+    assignment, no shuffle); norms are computed once per vector BEFORE
+    the pair join; the double prescreen keeps the exact-decimal cosine
+    finish off all but near-threshold pairs. At 100 TB, nlist scales with
+    corpus size to bound cluster cardinality (the SemDeDup paper's k ~
+    sqrt(n) regime) and the per-cluster join stays broadcast-free on the
+    cid-partitioned exchange."""
+    cents = ivf_centroids(df, nlist=nlist, iters=iters)
+    v = F.col(vec_col).cast("array<double>")
+    assigned = df.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        assign_centroid(v, cents).alias("cid"),
+    ).withColumn("nrm", norm_expr(F.col("v")))
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    fast_dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    victims = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(fast_dot / (F.col("a.nrm") * F.col("b.nrm")) >= threshold - 1e-9)
+        .filter(
+            dot_expr(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+            >= threshold
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return assigned.join(victims, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").cast("int").alias("cluster_id"),
+        F.col("_drop").isNull().alias("kept"),
+    )

@@ -749,3 +749,74 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings", spread=True)
     return random_projection(emb, out_dims=8, seed=99).orderBy("vec_id")
+
+
+# --- semantic dedup (SemDeDup: cluster, then prune within clusters) -------
+
+
+def _semantic_dedup_oracle(nlist: int, iters: int, threshold: float) -> str:
+    """Full-pipeline replay: deterministic k-means assignment (the
+    _ivf_ctes chain), within-cluster pair screen (double prescreen with
+    the same 1e-6 safety margin), exact-decimal cosine finish, min-id
+    victim rule, full-corpus disposition."""
+    ctes, dfin = _ivf_ctes(nlist, iters)
+    return f"""
+WITH {ctes},
+afin AS (
+  SELECT vec_id, CAST(cid AS INT) AS cid FROM {dfin}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+), prods AS (
+    SELECT vec_id, UNNEST(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS p
+    FROM embeddings
+), norms AS (
+    SELECT vec_id, sqrt({_DOT_SQL}) AS nrm FROM prods GROUP BY vec_id
+), screened AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    JOIN afin ca ON ca.vec_id = a.vec_id
+    JOIN afin cb ON cb.vec_id = b.vec_id AND cb.cid = ca.cid
+    JOIN norms sna ON sna.vec_id = a.vec_id
+    JOIN norms snb ON snb.vec_id = b.vec_id
+    WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                                     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+                      (x, y) -> x + y) / (sna.nrm * snb.nrm) >= {threshold} - 1e-6
+), pairprods AS (
+    SELECT s.id_a, s.id_b,
+           UNNEST(list_transform(range(1, len(a.embedding) + 1),
+                                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS p
+    FROM screened s
+    JOIN embeddings a ON a.vec_id = s.id_a
+    JOIN embeddings b ON b.vec_id = s.id_b
+), dots AS (
+    SELECT id_a, id_b, {_DOT_SQL} AS dot FROM pairprods GROUP BY id_a, id_b
+), victims AS (
+    SELECT DISTINCT d.id_b AS vec_id
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= {threshold}
+)
+SELECT af.vec_id, af.cid AS cluster_id, v.vec_id IS NULL AS kept
+FROM afin af LEFT JOIN victims v ON af.vec_id = v.vec_id
+ORDER BY af.vec_id
+"""
+
+
+@register(
+    "embedding_semantic_dedup",
+    oracle=_semantic_dedup_oracle(nlist=8, iters=2, threshold=0.25),
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    prune within clusters — a vector is dropped when a same-cluster
+    smaller-id neighbor sits at cosine >= 0.25 (min-id representative).
+    Full corpus disposition (vec_id, cluster_id, kept), oracle-exact: the
+    SQL replays the md5-seeded trainer, the assignment argmin, the
+    prescreen + exact-decimal cosine, and the victim rule. Scale: the
+    pair join is keyed on cluster id — sum of cluster-size² candidates,
+    never corpus²; see operators/similarity.semantic_dedup."""
+    from bbt_etl_dw_spark.operators.similarity import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    return semantic_dedup(emb, nlist=8, iters=2, threshold=0.25).orderBy("vec_id")

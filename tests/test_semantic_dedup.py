@@ -1,0 +1,75 @@
+"""semantic_dedup (operators/similarity.py): SemDeDup-style cluster-then-
+prune behavior laws on constructed geometry."""
+
+import math
+
+from bbt_etl_dw_spark.operators.similarity import semantic_dedup
+
+ROWS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+    (3, [0.998, -0.02, 0.0, 0.0]),  # near-dup of 1 and 2
+    (10, [0.0, 1.0, 0.0, 0.0]),
+    (11, [0.01, 0.999, 0.0, 0.0]),  # near-dup of 10
+    (20, [0.0, 0.0, 1.0, 0.0]),     # isolated
+]
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_semantic_dedup_single_cluster_is_pure_near_dedup(spark):
+    """nlist=1 puts everything in one cluster: exact greedy min-id
+    semantics, no cluster-boundary effects."""
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            _emb(spark, ROWS), nlist=1, iters=1, threshold=0.95
+        ).collect()
+    }
+    assert len(out) == 6
+    kept = {k for k, r in out.items() if r["kept"]}
+    assert kept == {1, 10, 20}  # min-id reps + the isolated vector
+
+
+def test_semantic_dedup_obeys_its_law_under_any_clustering(spark):
+    """Whatever clusters k-means produced, the disposition must satisfy:
+    dropped <=> exists same-cluster smaller-id neighbor with cosine >=
+    threshold (verified against a brute-force reference over the RETURNED
+    assignment)."""
+    thr = 0.95
+    vecs = dict(ROWS)
+    got = semantic_dedup(_emb(spark, ROWS), nlist=4, iters=2, threshold=thr).collect()
+    cluster = {r["vec_id"]: r["cluster_id"] for r in got}
+    for r in got:
+        vid = r["vec_id"]
+        should_drop = any(
+            o < vid and cluster[o] == cluster[vid] and _cos(vecs[o], vecs[vid]) >= thr
+            for o in vecs
+        )
+        assert r["kept"] == (not should_drop), (vid, cluster, r["kept"])
+
+
+def test_semantic_dedup_threshold_monotone(spark):
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(10)]
+    df = _emb(spark, rows)
+    loose = sum(
+        1
+        for r in semantic_dedup(df, nlist=1, iters=1, threshold=0.9).collect()
+        if r["kept"]
+    )
+    tight = sum(
+        1
+        for r in semantic_dedup(df, nlist=1, iters=1, threshold=0.999999).collect()
+        if r["kept"]
+    )
+    assert loose <= tight  # higher threshold drops fewer
+    assert loose == 1      # all near-identical: one representative at 0.9
