@@ -653,7 +653,19 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
     )
     labels = _ckpt(labels, reliable_checkpoint)
-    changed = -1
+
+    # Convergence certificate: per-node labels are MONOTONE NON-INCREASING
+    # (each round's label is the min over a set containing the old label),
+    # so sum(labels) is unchanged iff NO label changed — one exact-decimal
+    # aggregate per round instead of a join + count (half the per-round
+    # driver jobs; the sum is decimal(38,0), overflow-free at any corpus).
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = label_sum(labels)
+    changed = True
     for _round in range(max_iters):
         LAST_CLUSTER_STATS["rounds"] = _round + 1
         nbr = edges.join(
@@ -663,16 +675,13 @@ def dedup_clusters(
             labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label")),
             reliable_checkpoint,
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
+        changed = new_sum != prev_sum
+        prev_sum = new_sum
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
-    if changed != 0:
+    if changed:
         # A component with diameter > max_iters still has a non-minimal
         # label: returning now would split one real duplicate group into
         # several. Degrade to the diameter-independent algorithm (or
@@ -690,7 +699,7 @@ def dedup_clusters(
         edges.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds "
-            f"({changed} labels still changing) — raise max_iters or enable "
+            "(labels still changing) — raise max_iters or enable "
             "star_fallback (large-star/small-star) for high-diameter graphs"
         )
     edges.unpersist()
