@@ -184,3 +184,42 @@ def oov_rate_vs_reference(
             ).alias("oov_rate"),
         )
     )
+
+
+def update_char_lm(
+    model: tuple[DataFrame, DataFrame, int],
+    new_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Incrementally fold a new batch of trusted documents into a trained
+    model — O(batch) work: the batch's counts merge into the existing
+    count tables by key (union + sum), the corpus that trained the model
+    is never re-read. The count tables are the ENTIRE model state, so
+    incremental == retrain-from-scratch exactly (pytest-asserted), unlike
+    smoothed-probability caches which cannot merge."""
+    ngram_counts, prefix_counts, vocab = model
+    d_ng, d_pf, d_v = train_char_lm(new_docs, text_col, n)
+    merged_ng = (
+        ngram_counts.unionByName(d_ng)
+        .groupBy("ngram")
+        .agg(F.sum("ngram_count").alias("ngram_count"))
+    )
+    merged_pf = (
+        prefix_counts.unionByName(d_pf)
+        .groupBy("prefix")
+        .agg(F.sum("prefix_count").alias("prefix_count"))
+    )
+    # vocab = |union of charsets|, which max(old, new) would UNDERCOUNT
+    # ({a,b} ∪ {b,c} has 3). Every corpus character appears in at least
+    # one n-gram (BOS padding guarantees it), so the exact union derives
+    # from the MERGED n-gram table — bounded by |charset|^n, never a
+    # corpus re-read. BOS itself is excluded (train_char_lm counts only
+    # text characters).
+    merged_v = (
+        merged_ng.select(F.explode(F.split(F.col("ngram"), "")).alias("ch"))
+        .filter((F.col("ch") != "") & (F.col("ch") != BOS))
+        .agg(F.countDistinct("ch").alias("v"))
+        .first()["v"]
+    )
+    return merged_ng, merged_pf, int(merged_v or max(vocab, d_v))

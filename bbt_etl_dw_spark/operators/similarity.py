@@ -533,3 +533,80 @@ def semantic_dedup(
         F.col("cid").cast("int").alias("cluster_id"),
         F.col("_drop").isNull().alias("kept"),
     )
+
+
+def semantic_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assigned-corpus index rows for :func:`incremental_semantic_dedup`:
+    (vec_id, cid, v, nrm) under FROZEN centroids. Persist these alongside
+    the corpus (cid-partitioned at scale) so appends never re-read or
+    re-assign the existing corpus."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        assign_centroid(v, centroids).alias("cid"),
+    ).withColumn("nrm", norm_expr(F.col("v")))
+
+
+def incremental_semantic_dedup(
+    index: DataFrame,
+    batch: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append-time semantic dedup against an existing corpus — the
+    :func:`semantic_dedup` twin of incremental_minhash_dedup: a batch
+    vector is dropped when it near-dups (same-cluster cosine >=
+    threshold) an INDEXED vector, or a smaller-id vector within its own
+    batch. Returns the surviving batch rows with their cluster id —
+    append them AND their :func:`semantic_index` rows.
+
+    Centroids stay FROZEN across appends (the standard IVF maintenance
+    regime: retrain + full re-assignment is a scheduled compaction, not a
+    per-append cost). Work is O(batch x touched clusters): the index is
+    probed through the cid-keyed join only in clusters the batch lands
+    in; corpus embeddings outside those clusters are never read."""
+    b = semantic_index(batch, centroids, id_col, vec_col)
+
+    def _near(left, right):
+        fast_dot = F.aggregate(
+            F.zip_with(F.col(f"{left}.v"), F.col(f"{right}.v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nn = F.col(f"{left}.nrm") * F.col(f"{right}.nrm")
+        return (fast_dot / nn >= threshold - 1e-9) & (
+            dot_expr(F.col(f"{left}.v"), F.col(f"{right}.v")) / nn >= threshold
+        )
+
+    vs_index = (
+        b.alias("b")
+        .join(index.alias("i"), F.col("b.cid") == F.col("i.cid"))
+        .filter(_near("b", "i"))
+        .select(F.col("b.vec_id").alias("vec_id"))
+    )
+    within_batch = (
+        b.alias("a")
+        .join(
+            b.alias("z"),
+            (F.col("a.cid") == F.col("z.cid"))
+            & (F.col("a.vec_id") < F.col("z.vec_id")),
+        )
+        .filter(_near("a", "z"))
+        .select(F.col("z.vec_id").alias("vec_id"))
+    )
+    victims = vs_index.unionByName(within_batch).distinct()
+    cids = b.select("vec_id", F.col("cid").cast("int").alias("cluster_id"))
+    return (
+        batch.withColumnRenamed(id_col, "vec_id")
+        .join(victims, "vec_id", "left_anti")
+        .join(cids, "vec_id")
+        .withColumnRenamed("vec_id", id_col)
+    )

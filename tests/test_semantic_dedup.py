@@ -73,3 +73,48 @@ def test_semantic_dedup_threshold_monotone(spark):
     )
     assert loose <= tight  # higher threshold drops fewer
     assert loose == 1      # all near-identical: one representative at 0.9
+
+
+def test_incremental_semantic_dedup_against_index_and_within_batch(spark):
+    from bbt_etl_dw_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        semantic_index,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]  # frozen, hand-chosen: x vs y axis
+    corpus = _emb(spark, [(1, [1.0, 0.0]), (10, [0.0, 1.0])])
+    index = semantic_index(corpus, cents)
+
+    batch = _emb(
+        spark,
+        [
+            (2, [0.999, 0.02]),   # near-dup of indexed 1 -> dropped
+            (20, [0.02, 0.999]),  # near-dup of indexed 10 -> dropped
+            (30, [0.7, 0.7]),     # new direction -> kept (one of the pair)
+            (31, [0.71, 0.7]),    # within-batch near-dup of 30 -> dropped
+        ],
+    )
+    out = incremental_semantic_dedup(index, batch, cents, threshold=0.98)
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert set(got) == {30}
+    assert got[30] in (0, 1)  # assigned under the frozen centroids
+
+    # survivors carry original batch columns (embedding intact)
+    row = out.first()
+    assert row["embedding"] == [0.7, 0.7]
+
+
+def test_incremental_semantic_dedup_cross_cluster_blindness(spark):
+    """By design (same trade as semantic_dedup): an identical vector in a
+    DIFFERENT cluster is not compared — the frozen-centroid assignment is
+    the probe key."""
+    from bbt_etl_dw_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        semantic_index,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    index = semantic_index(_emb(spark, [(1, [0.6, 0.55])]), cents)  # cluster 0
+    batch = _emb(spark, [(2, [0.55, 0.6])])                         # cluster 1
+    out = incremental_semantic_dedup(index, batch, cents, threshold=0.9)
+    assert [r["vec_id"] for r in out.collect()] == [2]  # survives: other cluster

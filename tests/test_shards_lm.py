@@ -149,3 +149,29 @@ def test_oov_rate_counts_and_empty_docs(spark):
     assert 0.0 < got[4]["oov_rate"] < 1.0
     # n_grams: padded 'abcabc' has len 8 -> 6 trigrams
     assert got[1]["n_grams"] == 6
+
+
+def test_update_char_lm_equals_retrain(spark):
+    """Incremental model update must equal retraining on the combined
+    corpus exactly: counts, prefixes, AND vocab (charset union — not
+    max, which undercounts disjoint charsets)."""
+    from bbt_etl_dw_spark.operators.lm import train_char_lm, update_char_lm
+
+    first = spark.createDataFrame(
+        [(1, "abab abab"), (2, "the cat sat")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(3, "xyz xyz qrs"), (4, "the dog ran")], "doc_id long, text string"
+    )
+    both = first.unionByName(batch)
+
+    inc_ng, inc_pf, inc_v = update_char_lm(train_char_lm(first), batch)
+    full_ng, full_pf, full_v = train_char_lm(both)
+
+    assert inc_v == full_v
+    assert {(r["ngram"], r["ngram_count"]) for r in inc_ng.collect()} == {
+        (r["ngram"], r["ngram_count"]) for r in full_ng.collect()
+    }
+    assert {(r["prefix"], r["prefix_count"]) for r in inc_pf.collect()} == {
+        (r["prefix"], r["prefix_count"]) for r in full_pf.collect()
+    }
