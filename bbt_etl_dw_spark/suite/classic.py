@@ -894,7 +894,7 @@ ORDER BY order_year
 """
 
 
-@register("bloom_pruned_join", oracle=_BLOOM_ORACLE)
+@register("bloom_pruned_join", oracle=_BLOOM_ORACLE, bench=True)
 def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime bloom-filter semi-join reduction, proven in-plan: a
     selective dimension-side filter (urgent orders) injects a

@@ -1393,7 +1393,7 @@ ORDER BY d.doc_id
 """
 
 
-@register("doc_lm_oov_rate", oracle=_OOV_ORACLE)
+@register("doc_lm_oov_rate", oracle=_OOV_ORACLE, bench=True)
 def doc_lm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-style quality signal, oracle-exact: each document's
     out-of-vocabulary character-trigram rate against a reference corpus
