@@ -298,6 +298,10 @@ def probe_centroids(vec: Column, centroids: list[list[float]], nprobe: int) -> C
     return F.transform(F.slice(F.array_sort(ds), 1, nprobe), lambda s: s["cid"])
 
 
+# Per-process cache of deterministic training results (see ivf_centroids).
+_CENTROID_CACHE: dict = {}
+
+
 def ivf_centroids(
     corpus: DataFrame,
     nlist: int = 16,
@@ -314,6 +318,25 @@ def ivf_centroids(
     so the centroids are IDENTICAL at any parallelism — k-means on floats
     is normally partitioning-dependent). Per step: one narrow assignment
     pass + one groupBy(cid, dim) shuffle of nlist*dim skinny rows."""
+    # Training is DETERMINISTIC in (corpus, params) — md5 seeds +
+    # exact-decimal Lloyd — so a per-process cache keyed on the corpus
+    # plan's semantic hash returns byte-identical centroids without the
+    # repeated driver jobs (the suite's six IVF-family queries would
+    # otherwise each retrain the same model during one enumeration).
+    # Assumes inputs immutable within a process (the lake contract).
+    try:
+        cache_key = (
+            corpus._jdf.queryExecution().analyzed().semanticHash(),
+            nlist,
+            iters,
+            id_col,
+            vec_col,
+        )
+    except Exception:
+        cache_key = None
+    if cache_key is not None and cache_key in _CENTROID_CACHE:
+        return [row[:] for row in _CENTROID_CACHE[cache_key]]
+
     v = F.col(vec_col).cast("array<double>")
     seeds = (
         corpus.select(F.col(id_col).alias("sid"), v.alias("sv"))
@@ -339,6 +362,8 @@ def ivf_centroids(
             [by_cid[j][p] for p in sorted(by_cid[j])] if j in by_cid else centroids[j]
             for j in range(nlist)
         ]
+    if cache_key is not None:
+        _CENTROID_CACHE[cache_key] = [row[:] for row in centroids]
     return centroids
 
 
