@@ -656,15 +656,30 @@ def dedup_clusters(
 
     # Convergence certificate: per-node labels are MONOTONE NON-INCREASING
     # (each round's label is the min over a set containing the old label),
-    # so sum(labels) is unchanged iff NO label changed — one exact-decimal
-    # aggregate per round instead of a join + count (half the per-round
-    # driver jobs; the sum is decimal(38,0), overflow-free at any corpus).
+    # so for NUMERIC ids sum(labels) is unchanged iff NO label changed —
+    # one exact-decimal aggregate per round instead of a join + count
+    # (half the per-round driver jobs; decimal(38,0) is overflow-free at
+    # any corpus). Non-numeric (e.g. md5-string) ids have no exact sum:
+    # they keep the join+count detector — a hash-sum would be probabilistic
+    # and a failed detection silently SPLITS a cluster.
+    label_type = dict(labels.dtypes)["label"]
+    numeric_ids = label_type in ("tinyint", "smallint", "int", "bigint")
+
     def label_sum(df: DataFrame):
         return df.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
 
-    prev_sum = label_sum(labels)
+    def join_count_changed(new: DataFrame, old: DataFrame) -> bool:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+            > 0
+        )
+
+    prev_sum = label_sum(labels) if numeric_ids else None
     changed = True
     for _round in range(max_iters):
         LAST_CLUSTER_STATS["rounds"] = _round + 1
@@ -675,9 +690,12 @@ def dedup_clusters(
             labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label")),
             reliable_checkpoint,
         )
-        new_sum = label_sum(new_labels)
-        changed = new_sum != prev_sum
-        prev_sum = new_sum
+        if numeric_ids:
+            new_sum = label_sum(new_labels)
+            changed = new_sum != prev_sum
+            prev_sum = new_sum
+        else:
+            changed = join_count_changed(new_labels, labels)
         labels = new_labels
         if not changed:
             break

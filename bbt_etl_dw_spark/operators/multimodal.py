@@ -131,14 +131,22 @@ def _make_header_decode():
         if b[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOFn
             sof = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
             i = 2
-            while i + 9 < len(b) and b[i] == 0xFF:
+            while i + 1 < len(b) and b[i] == 0xFF:
                 marker = b[i + 1]
+                if marker == 0xFF:  # fill bytes: any run of FF may pad a marker
+                    i += 1
+                    continue
                 if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
-                    i += 2
+                    i += 2  # standalone markers carry no length field
                     continue
                 if marker in sof:
+                    # SOF payload: len(2) precision(1) height(2) width(2)
+                    if i + 9 > len(b):  # truncated before the dims
+                        break
                     h, w = _struct.unpack(">HH", b[i + 5 : i + 9])
                     return int(w), int(h), []
+                if i + 4 > len(b):
+                    break
                 i += 2 + _struct.unpack(">H", b[i + 2 : i + 4])[0]
         return None, None, []
 

@@ -36,20 +36,27 @@ RUNTIME_CONF = {
 }
 
 
+_SCRATCH_WAREHOUSE: list[str] = []
+
+
 def _scratch_warehouse_dir() -> str:
     """Per-process scratch dir for ``spark.sql.warehouse.dir``, cleaned at
-    exit. Overridable via SPARK_GRAFT_WAREHOUSE_DIR for callers that want a
-    persistent warehouse."""
+    exit. Memoized: get_spark() is called many times per process (tests,
+    bench, probes) and getOrCreate ignores the config after the first
+    session anyway — one dir and one atexit handler, not one per call.
+    Overridable via SPARK_GRAFT_WAREHOUSE_DIR for a persistent warehouse."""
     override = os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR")
     if override:
         return override
-    import atexit
-    import shutil
-    import tempfile
+    if not _SCRATCH_WAREHOUSE:
+        import atexit
+        import shutil
+        import tempfile
 
-    path = tempfile.mkdtemp(prefix="bbt_spark_wh_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    return path
+        path = tempfile.mkdtemp(prefix="bbt_spark_wh_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _SCRATCH_WAREHOUSE.append(path)
+    return _SCRATCH_WAREHOUSE[0]
 
 
 def get_spark(

@@ -8,29 +8,29 @@ counts for length-based sampling and resumable iteration, and (c) checksums
 so a torn copy between object stores is caught before it poisons a run.
 
 Scale shape:
-- shard assignment is a pure md5-hash expression on the id column — stable
+- shard assignment derives from :func:`~bbt_etl_dw_spark.operators.
+  textstats.hash_uniform` (the repo's ONE md5 sampling primitive) — stable
   under rerun and at any parallelism (never ``rand()``, never
   ``monotonically_increasing_id``), so a re-export after a node failure
   produces byte-identical shard membership;
-- ONE range-free shuffle (``repartition`` on the shard id) places rows;
-  each shard is written as exactly one file via ``partitionBy``;
-- the manifest aggregates in the SAME pass shape (one groupBy over the
-  staged frame): per-shard row count, token count, and an
-  ORDER-INDEPENDENT content checksum (sum of per-row xxhash64 as unsigned
-  128-bit-safe decimal) — verifiable by any engine without re-sorting;
+- the upstream pipeline executes TWICE (the sizing count and the write);
+  the manifest aggregates over the WRITTEN files instead of a third
+  upstream pass — a cheap columnar scan that also validates the write;
+- per-shard stats carry an ORDER-INDEPENDENT content checksum (sum of
+  per-row xxhash64 as decimal) — verifiable by any engine without
+  re-sorting;
+- manifest read/write goes through the Hadoop FileSystem API
+  (scheme-resolved: file://, hdfs://, s3a://), the same pattern as
+  operators/diff.apply_changes — a local ``open()`` would break every
+  remote lake path this module exists for;
 - ``verify_shards`` recomputes counts/checksums from the written files and
   compares against the manifest: a silently truncated or duplicated copy
   fails loudly.
-
-The shard count is derived from a driver-side total count and a target
-rows-per-shard — one metadata-cheap job; pass ``n_shards`` explicitly to
-skip it.
 """
 
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,10 +39,12 @@ MANIFEST_NAME = "_shard_manifest.json"
 
 
 def _shard_expr(id_col: str, n_shards: int):
-    """Deterministic shard id in [0, n_shards): md5-hash bucket of the id
-    (same family as split_bucket in operators/textstats.py)."""
-    hex12 = F.substring(F.md5(F.concat(F.lit("shard"), F.col(id_col).cast("string"))), 1, 12)
-    return F.pmod(F.conv(hex12, 16, 10).cast("long"), F.lit(n_shards)).cast("int")
+    """Deterministic shard id in [0, n_shards): md5-uniform fraction
+    scaled to the shard count (hash_uniform is strictly < 1, so the floor
+    is always <= n_shards - 1)."""
+    from bbt_etl_dw_spark.operators.textstats import hash_uniform
+
+    return F.floor(hash_uniform(id_col, salt="shard") * n_shards).cast("int")
 
 
 def _row_checksum(cols: list[str]):
@@ -53,6 +55,52 @@ def _row_checksum(cols: list[str]):
         F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols
     ]
     return F.sum(F.xxhash64(*encoded).cast("decimal(38,0)")).alias("checksum")
+
+
+def _manifest_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{MANIFEST_NAME}")
+
+
+def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+    jpath = _manifest_path(spark, path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(json.dumps(manifest, indent=1, sort_keys=True).encode())
+    finally:
+        out.close()
+
+
+def _read_manifest(spark: SparkSession, path: str) -> dict:
+    jvm = spark._jvm
+    jpath = _manifest_path(spark, path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # plain-JDK line reader: no extra classpath dependency
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(jpath), "UTF-8")
+    )
+    lines = []
+    try:
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        reader.close()
+    return json.loads("\n".join(lines))
+
+
+def _per_shard_stats(
+    written: DataFrame, data_cols: list[str], text_col: str | None
+):
+    aggs = [F.count(F.lit(1)).alias("n_rows"), _row_checksum(data_cols)]
+    if text_col is not None:
+        from bbt_etl_dw_spark.operators.textstats import whitespace_token_count
+
+        aggs.append(F.sum(whitespace_token_count(text_col)).alias("n_tokens"))
+    return written.groupBy("shard").agg(*aggs).orderBy("shard").collect()
 
 
 def write_training_shards(
@@ -81,16 +129,11 @@ def write_training_shards(
         .parquet(path)
     )
 
+    # Manifest from the WRITTEN files: no third pass over the upstream
+    # pipeline, and the stats describe what actually landed on disk.
+    spark = df.sparkSession
     data_cols = df.columns
-    aggs = [
-        F.count(F.lit(1)).alias("n_rows"),
-        _row_checksum(data_cols),
-    ]
-    if text_col is not None:
-        from bbt_etl_dw_spark.operators.textstats import whitespace_token_count
-
-        aggs.append(F.sum(whitespace_token_count(text_col)).alias("n_tokens"))
-    per_shard = staged.groupBy("shard").agg(*aggs).orderBy("shard").collect()
+    per_shard = _per_shard_stats(spark.read.parquet(path), data_cols, text_col)
 
     shards = []
     for r in per_shard:
@@ -106,12 +149,12 @@ def write_training_shards(
         "format": "parquet",
         "n_shards": n_shards,
         "id_col": id_col,
+        "text_col": text_col,
         "columns": data_cols,
         "total_rows": int(sum(s["n_rows"] for s in shards)),
         "shards": shards,
     }
-    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _write_manifest(spark, path, manifest)
     return manifest
 
 
@@ -119,8 +162,7 @@ def verify_shards(spark: SparkSession, path: str) -> DataFrame:
     """Recompute per-shard counts/checksums from the WRITTEN files and
     diff against the manifest. Returns one row per discrepancy (empty =
     intact); missing shards and extra shards both surface."""
-    with open(os.path.join(path, MANIFEST_NAME)) as f:
-        manifest = json.load(f)
+    manifest = _read_manifest(spark, path)
     data_cols = [c for c in manifest["columns"]]
     actual = (
         spark.read.parquet(path)

