@@ -341,3 +341,67 @@ def streaming_cdc_apply(
         )
 
     return changes_stream.writeStream.foreachBatch(apply_batch).outputMode("update")
+
+
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def embeddings_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Parquet file-source stream of embedding batches — the vector-corpus
+    append feed. One file per trigger = one ingest batch."""
+    return (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_semantic_ingest(
+    emb_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Semantic (embedding) dedup as an ingest stream — the SemDeDup twin
+    of :func:`streaming_dedup_ingest`: per micro-batch, probe the
+    persisted assigned index (operators/similarity.semantic_index) under
+    FROZEN centroids, append surviving vectors to the corpus and their
+    index rows to the index. Returns the DataStreamWriter (caller
+    .start()s it).
+
+    Scale shape: centroids are plan literals (retraining is a scheduled
+    compaction, never a per-batch cost); the index join probes only the
+    clusters the batch lands in; foreachBatch serializes micro-batches so
+    batch N+1 sees batch N's survivors — cross-batch AND in-batch
+    near-dups both resolve, exactly as sequential batch application
+    (pytest-asserted equal)."""
+    from bbt_etl_dw_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        semantic_index,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            idx = sess.read.parquet(index_path)
+        except Exception:  # first batch: no index yet
+            idx = semantic_index(batch_df.limit(0), centroids, id_col, vec_col)
+        survivors = incremental_semantic_dedup(
+            idx, batch_df, centroids, threshold, id_col, vec_col
+        ).localCheckpoint()  # two sinks; materialize once
+        survivors.drop("cluster_id").write.mode("append").parquet(corpus_path)
+        semantic_index(
+            survivors.drop("cluster_id"), centroids, id_col, vec_col
+        ).write.mode("append").parquet(index_path)
+
+    return emb_stream.writeStream.foreachBatch(ingest).outputMode("update")

@@ -771,3 +771,71 @@ def test_watermark_drop_is_observable(spark, tmp_path):
         assert cumulative_dropped(q) >= 1  # the late row's loss is VISIBLE
     finally:
         q.stop()
+
+
+def test_streaming_semantic_ingest_equals_sequential_batches(spark, tmp_path):
+    """The SemDeDup ingest loop run as a real stream (3 embedding files =
+    3 micro-batches) must equal sequential batch application of
+    incremental_semantic_dedup: cross-batch near-dups dropped, in-batch
+    keeps the min id, the index grows only with survivors."""
+    from bbt_etl_dw_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        semantic_index,
+    )
+    from bbt_etl_dw_spark.streaming.ops import (
+        embeddings_file_stream,
+        streaming_semantic_ingest,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    batches = [
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        [(11, [0.999, 0.01]),   # near-dup of 1 (same cluster) -> dropped
+         (12, [0.6, 0.55])],    # cluster 0, far from 1 -> kept
+        [(21, [0.01, 0.999]),   # near-dup of 2 -> dropped
+         (22, [0.58, 0.57]),    # near-dup of 12 (cross-batch) -> dropped
+         (23, [-1.0, 0.2]),     # new direction -> kept
+         (24, [-0.999, 0.21])], # in-batch near-dup of 23 -> dropped
+    ]
+    files_dir = tmp_path / "feed"
+    files_dir.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        chunk = tmp_path / f"chunk{i}"
+        df.coalesce(1).write.parquet(str(chunk))
+        for f_ in sorted(chunk.glob("*.parquet")):
+            f_.rename(files_dir / f"part-{i:03d}.parquet")
+
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+    q = streaming_semantic_ingest(
+        embeddings_file_stream(spark, str(files_dir)),
+        corpus_path,
+        index_path,
+        cents,
+        threshold=0.98,
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(r.vec_id for r in spark.read.parquet(corpus_path).collect())
+
+    # sequential batch-mode application over the same batches
+    idx = None
+    want = []
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        if idx is None:
+            idx = semantic_index(bdf.limit(0), cents)
+        surv = incremental_semantic_dedup(idx, bdf, cents, threshold=0.98)
+        surv = surv.localCheckpoint()
+        want += [r.vec_id for r in surv.collect()]
+        idx = idx.unionByName(semantic_index(surv.drop("cluster_id"), cents))
+    assert got == sorted(want)
+    assert got == [1, 2, 12, 23]
+    # index rows exist exactly for survivors
+    assert sorted(
+        r.vec_id for r in spark.read.parquet(index_path).collect()
+    ) == got
