@@ -956,3 +956,54 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --------------------------------------------------------------------------
+# Rank WITH ties (TPC-H Q15 shape): top revenue supplier(s) per year
+# --------------------------------------------------------------------------
+
+_TOP_SUPPLIER_TIES_ORACLE = f"""
+WITH rev AS (
+    SELECT l.l_suppkey,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS ship_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    GROUP BY l.l_suppkey, ship_year
+), rk AS (
+    SELECT s.s_suppkey, s.s_name, r.ship_year, r.revenue,
+           RANK() OVER (PARTITION BY r.ship_year ORDER BY r.revenue DESC) AS rnk
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+)
+SELECT ship_year, s_suppkey, s_name, revenue
+FROM rk WHERE rnk = 1
+ORDER BY ship_year, s_suppkey
+"""
+
+
+@register("top_supplier_per_year_with_ties", oracle=_TOP_SUPPLIER_TIES_ORACLE)
+def top_supplier_per_year_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: the maximum-revenue supplier of each ship year, keeping
+    ALL suppliers that tie for the maximum — RANK(), not ROW_NUMBER()
+    (the tie-dropping bug a row_number port would silently introduce; the
+    reference's equi-join surface cannot express this at all). Revenue is
+    the exact-decimal sum so the tie comparison itself is bit-exact
+    cross-engine. Plan: one fact shuffle into the per-(supplier, year)
+    agg, dim broadcast after the agg (join the SMALL aggregate, never the
+    fact, to the supplier names), one dim-sized window."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(
+            F.col("l_suppkey"),
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    w = Window.partitionBy("ship_year").orderBy(F.col("revenue").desc())
+    return (
+        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("ship_year", "s_suppkey", "s_name", "revenue")
+        .orderBy("ship_year", "s_suppkey")
+    )
