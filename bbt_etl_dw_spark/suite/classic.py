@@ -1007,3 +1007,71 @@ def top_supplier_per_year_with_ties(spark: SparkSession, sf_dir: str) -> DataFra
         .select("ship_year", "s_suppkey", "s_name", "revenue")
         .orderBy("ship_year", "s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Nation-pair trade flows (TPC-H Q7 shape)
+# --------------------------------------------------------------------------
+
+_TRADE_FLOWS_ORACLE = f"""
+WITH geo_s AS (
+    SELECT s.s_suppkey, n.n_name AS supp_nation
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+), geo_c AS (
+    SELECT c.c_custkey, n.n_name AS cust_nation
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT gs.supp_nation, gc.cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS ship_year,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'volume')},
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN geo_s gs ON l.l_suppkey = gs.s_suppkey
+JOIN geo_c gc ON o.o_custkey = gc.c_custkey
+WHERE gs.supp_nation < gc.cust_nation
+GROUP BY gs.supp_nation, gc.cust_nation, ship_year
+ORDER BY gs.supp_nation, gc.cust_nation, ship_year
+"""
+
+
+@register("nation_pair_trade_flows", oracle=_TRADE_FLOWS_ORACLE)
+def nation_pair_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipped volume between ordered nation PAIRS (supplier
+    nation < customer nation) per ship year — the cross-nation trade-flow
+    matrix. Plan: the only fact⋈fact join (lineitem⋈orders) shuffles
+    once; both geo lookups broadcast (supplier and customer dims joined
+    to nation FIRST, so the fact-side joins attach one string each, not a
+    join chain); the asymmetric pair filter runs pre-aggregation inside
+    codegen. Exact-decimal volume."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    geo_s = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    geo_c = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            "c_custkey", F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(geo_s, li.l_suppkey == geo_s.s_suppkey)
+        .join(geo_c, o.o_custkey == geo_c.c_custkey)
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
