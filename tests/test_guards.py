@@ -1,0 +1,50 @@
+"""Join-cardinality guards (operators/guards.py)."""
+
+import pytest
+
+from bbt_etl_dw_spark.operators.guards import (
+    CardinalityError,
+    assert_row_ratio,
+    assert_unique,
+    checked_dim_join,
+)
+
+
+def test_assert_unique_passes_and_chains(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert assert_unique(df, ["k"]) is df
+
+
+def test_assert_unique_reports_worst_offenders(spark):
+    df = spark.createDataFrame(
+        [(1, "a")] * 3 + [(2, "b")] * 2 + [(3, "c")], "k long, v string"
+    )
+    with pytest.raises(CardinalityError, match=r"k=1.*x3"):
+        assert_unique(df, ["k"], label="dim_product")
+
+
+def test_checked_dim_join_blocks_fanout(spark):
+    fact = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, x double")
+    good_dim = spark.createDataFrame([(1, "A"), (2, "B")], "k long, name string")
+    out = checked_dim_join(fact, good_dim, on="k")
+    assert out.count() == 2
+
+    bad_dim = spark.createDataFrame(
+        [(1, "A"), (1, "A2"), (2, "B")], "k long, name string"
+    )
+    with pytest.raises(CardinalityError, match="not unique"):
+        checked_dim_join(fact, bad_dim, on="k")
+
+
+def test_assert_row_ratio_bounds(spark):
+    inp = spark.range(10)
+    out_ok = spark.range(10)
+    assert assert_row_ratio(inp, out_ok) is out_ok
+    out_fan = spark.range(25)
+    with pytest.raises(CardinalityError, match="fan-out"):
+        assert_row_ratio(inp, out_fan, lo=1.0, hi=2.0)
+    # empty input with non-empty output is infinite fan-out
+    with pytest.raises(CardinalityError):
+        assert_row_ratio(spark.range(0), spark.range(1))
+    # empty -> empty is ratio 0.0: allowed only if lo permits
+    assert_row_ratio(spark.range(0), spark.range(0), lo=0.0, hi=1.0)
