@@ -302,6 +302,13 @@ def probe_centroids(vec: Column, centroids: list[list[float]], nprobe: int) -> C
 _CENTROID_CACHE: dict = {}
 
 
+def clear_centroid_cache() -> None:
+    """Drop all cached centroid models. Call after rewriting a corpus
+    path in-process (the cache otherwise assumes lake immutability and
+    would keep serving centroids trained on the overwritten data)."""
+    _CENTROID_CACHE.clear()
+
+
 def ivf_centroids(
     corpus: DataFrame,
     nlist: int = 16,
@@ -323,10 +330,16 @@ def ivf_centroids(
     # plan's semantic hash returns byte-identical centroids without the
     # repeated driver jobs (the suite's six IVF-family queries would
     # otherwise each retrain the same model during one enumeration).
-    # Assumes inputs immutable within a process (the lake contract).
+    # Assumes inputs immutable within a process (the lake contract; use
+    # clear_centroid_cache() after an in-process path rewrite). Keyed on
+    # the CANONICALIZED plan STRING (expr-ids normalized, so re-reading
+    # the same path hits; relation paths retained, so different corpora
+    # can't collide the way a bare 32-bit semanticHash could — ADVICE r05).
     try:
+        plan = corpus._jdf.queryExecution().analyzed().canonicalized()
         cache_key = (
-            corpus._jdf.queryExecution().analyzed().semanticHash(),
+            plan.semanticHash(),
+            plan.toString(),
             nlist,
             iters,
             id_col,

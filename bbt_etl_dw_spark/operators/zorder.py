@@ -69,9 +69,17 @@ def scaled_ints(
     """Linearly scale each column into [0, 2^bits) using its global
     min/max (one tiny agg, collected once and inlined as literals).
     Returns (scaled-column expressions, collected bounds)."""
+    float_cols = {
+        f.name for f in df.schema.fields if f.dataType.typeName() in ("float", "double")
+    }
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        # Spark sorts NaN ABOVE every real double, so a bare max() over a
+        # column with one NaN row returns NaN -> span=NaN -> every Morton
+        # key NULL (clustering silently disabled). Exclude NaN from the
+        # bounds; zorder_key buckets NaN rows with NULLs at key -1.
+        v = F.when(~F.isnan(c), F.col(c)) if c in float_cols else F.col(c)
+        aggs += [F.min(v).alias(f"_min_{c}"), F.max(v).alias(f"_max_{c}")]
     row = df.agg(*aggs).first()
     n_buckets = (1 << bits) - 1
     exprs: dict[str, Column] = {}
@@ -79,7 +87,7 @@ def scaled_ints(
     for c in cols:
         lo, hi = row[f"_min_{c}"], row[f"_max_{c}"]
         if lo is None:
-            raise ValueError(f"z-order column {c!r} is all NULL")
+            raise ValueError(f"z-order column {c!r} is all NULL/NaN")
         span = float(hi) - float(lo)
         bounds[c] = (float(lo), float(hi))
         if span == 0.0:
@@ -96,12 +104,18 @@ def scaled_ints(
 
 def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 10) -> Column:
     """Morton key expression for ``cols`` over ``df``'s value ranges.
-    NULLs in any key column sort first (key -1, below every real key) so
-    they cluster into their own row groups instead of widening real ones."""
+    NULLs (and, for float/double columns, NaNs) in any key column sort
+    first (key -1, below every real key) so they cluster into their own
+    row groups instead of widening real ones."""
     exprs, _ = scaled_ints(df, cols, bits)
+    float_cols = {
+        f.name for f in df.schema.fields if f.dataType.typeName() in ("float", "double")
+    }
     any_null = None
     for c in cols:
         n = F.col(c).isNull()
+        if c in float_cols:
+            n = n | F.isnan(c)
         any_null = n if any_null is None else (any_null | n)
     return F.when(any_null, F.lit(-1).cast("long")).otherwise(
         interleave_bits([exprs[c] for c in cols], bits)

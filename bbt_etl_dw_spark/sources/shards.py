@@ -116,9 +116,35 @@ def write_training_shards(
     Returns the manifest dict (also written to ``path/_shard_manifest.json``).
     Token counts use the whitespace tokenizer when ``text_col`` is given.
     """
+    spark = df.sparkSession
+    data_cols = df.columns
     if n_shards is None:
         total = df.count()
         n_shards = max(1, -(-total // target_rows_per_shard))
+        empty = total == 0
+    else:
+        empty = df.isEmpty()
+    if empty:
+        # A partitioned write of zero rows creates zero partition
+        # directories, so the manifest pass's read-back would fail with
+        # unable-to-infer-schema (ADVICE r05). Write the empty frame
+        # UNPARTITIONED (footer carries the schema, incl. the shard
+        # column so verify_shards still reads it) and emit an empty
+        # manifest — a curated corpus can legitimately filter to nothing.
+        df.withColumn("shard", F.lit(None).cast("int")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        manifest = {
+            "format": "parquet",
+            "n_shards": 0,
+            "id_col": id_col,
+            "text_col": text_col,
+            "columns": data_cols,
+            "total_rows": 0,
+            "shards": [],
+        }
+        _write_manifest(spark, path, manifest)
+        return manifest
     staged = df.withColumn("shard", _shard_expr(id_col, n_shards))
     # one file per shard: repartition BY the shard column so each write
     # task holds exactly one shard's rows
@@ -131,8 +157,6 @@ def write_training_shards(
 
     # Manifest from the WRITTEN files: no third pass over the upstream
     # pipeline, and the stats describe what actually landed on disk.
-    spark = df.sparkSession
-    data_cols = df.columns
     per_shard = _per_shard_stats(spark.read.parquet(path), data_cols, text_col)
 
     shards = []

@@ -35,6 +35,19 @@ def _with_watermark(df: DataFrame, watermark: str) -> DataFrame:
     return df.withWatermark("ts", watermark) if df.isStreaming else df
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe. The ingest loops below use this instead
+    of try/except around the index read: a bare except treated ANY failure
+    (transient FS error, corrupt footer) as "first batch" and silently
+    deduped against an empty index, admitting duplicates (ADVICE r05).
+    With an explicit probe, only true absence means first-batch; real read
+    errors propagate and fail the micro-batch, which Structured Streaming
+    then retries."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jpath)
+
+
 def events_file_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -197,13 +210,12 @@ def streaming_dedup_ingest(
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
-        empty = minhash_corpus_index(
-            batch_df.limit(0), id_col, text_col, **dedup_kwargs
-        )
-        try:
+        if _fs_exists(sess, index_path):
             idx = sess.read.parquet(index_path)
-        except Exception:  # first batch: no index yet
-            idx = empty
+        else:  # first batch: no index yet (real read errors propagate)
+            idx = minhash_corpus_index(
+                batch_df.limit(0), id_col, text_col, **dedup_kwargs
+            )
         survivors = incremental_minhash_dedup(
             idx, batch_df, id_col, text_col, **dedup_kwargs
         )
@@ -296,9 +308,9 @@ def streaming_span_ingest(
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
-        try:
+        if _fs_exists(sess, index_path):
             idx = sess.read.parquet(index_path)
-        except Exception:  # first batch: no index yet
+        else:  # first batch: no index yet (real read errors propagate)
             idx = span_corpus_index(batch_df.limit(0), n, id_col, text_col)
         spans = incremental_span_dedup(idx, batch_df, n, id_col, text_col)
         spans.write.mode("append").parquet(spans_path)
@@ -384,7 +396,15 @@ def streaming_semantic_ingest(
     clusters the batch lands in; foreachBatch serializes micro-batches so
     batch N+1 sees batch N's survivors — cross-batch AND in-batch
     near-dups both resolve, exactly as sequential batch application
-    (pytest-asserted equal)."""
+    (pytest-asserted equal).
+
+    Retry contract (shared by all three ingest loops): a micro-batch that
+    fails BEFORE its first append is retried cleanly; a crash BETWEEN the
+    corpus append and the index append can re-admit that batch's survivors
+    on retry (append sinks are at-least-once). Recovery is the standing
+    exact-dedup compaction every append-only corpus already schedules
+    (operators/dedup.exact_dedup over vec_id) — not per-batch transactions,
+    which plain parquet cannot provide."""
     from bbt_etl_dw_spark.operators.similarity import (
         incremental_semantic_dedup,
         semantic_index,
@@ -392,9 +412,9 @@ def streaming_semantic_ingest(
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
-        try:
+        if _fs_exists(sess, index_path):
             idx = sess.read.parquet(index_path)
-        except Exception:  # first batch: no index yet
+        else:  # first batch: no index yet (real read errors propagate)
             idx = semantic_index(batch_df.limit(0), centroids, id_col, vec_col)
         survivors = incremental_semantic_dedup(
             idx, batch_df, centroids, threshold, id_col, vec_col

@@ -113,21 +113,11 @@ def _last_verified_round() -> dict[str, int]:
 # Queries whose IMPLEMENTATION changed after their last driver row: recency
 # alone would defer them with stale evidence, so they sort as never-verified
 # until the next artifact re-evidences them (then remove from this set).
-_FORCE_RECHECK = frozenset(
-    # Queries whose IMPLEMENTATION changed in round 5 while carrying r04
-    # evidence (recency alone would defer them to the back of the window):
-    # dedup_clusters' convergence detector was reworked, and the IVF
-    # family gained the per-process centroid + inverted-lists caches.
-    # Empty again once CORRECTNESS_r05 re-evidences them.
-    {
-        "doc_dedup_clusters",
-        "ann_ivf_topk",
-        "ann_ivf_precision",
-        "ann_ivf_partitioned_topk",
-        "embedding_kmeans_clusters",
-        "embedding_kmeans_sampled",
-    }
-)
+_FORCE_RECHECK: frozenset[str] = frozenset()
+# (Emptied for round 6: CORRECTNESS_r05 re-evidenced all six round-5
+# reworked queries — dedup_clusters + the IVF/kmeans family — so plain
+# recency ordering is correct again and the r03-era cohort leads the
+# window.)
 
 
 def _check_order(names: list[str]) -> list[str]:

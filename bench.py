@@ -6,14 +6,17 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Methodology (documented for BENCH_r0N comparisons): each query is forced
 end-to-end with a noop-format write (full compute, no driver-side result
-serialization cost) and run $SPARK_GRAFT_BENCH_RUNS times (default 3);
-the reported time is the MINIMUM (warm) run. Rationale: whole-stage-codegen
-compilation (~1-3s, once per plan shape per JVM) amortizes to zero on a
-long-lived cluster, and single-run times on a shared machine carry ±30%
-ambient-load noise (measured r3: star_fact_assembly 2.14-2.90s across
-back-to-back runs of identical code) — min-of-3 is the stable estimator of
-the plan's actual cost. Cross-round deltas beyond ~±15% on an UNCHANGED
-plan indicate machine load, not regression; see PROGRESS.md r3 notes."""
+serialization cost). Per query: ONE discarded warmup run (absorbs
+whole-stage-codegen compilation, ~1-3s once per plan shape per JVM, plus
+shuffle-file page-cache priming), then $SPARK_GRAFT_BENCH_RUNS timed runs
+(default 3); the reported time is the MINIMUM timed run and ``spread`` is
+max-min over the TIMED runs only. Rationale: codegen amortizes to zero on
+a long-lived cluster, and single-run times on a shared machine carry ±30%
+ambient-load noise — min-of-N post-warmup is the stable estimator of the
+plan's actual cost, and discarding the warmup keeps the recorded spread a
+steady-state noise band instead of a compilation artifact (VERDICT r05 #2:
+spreads 10x the value made regressions untriageable). Cross-round deltas
+inside a query's recorded spread are machine load, not regression."""
 
 from __future__ import annotations
 
@@ -60,6 +63,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in names:
+        # Discarded warmup: first execution of a plan shape pays codegen
+        # compilation and cold page cache; including it in the spread made
+        # the noise band read up to 10x the value (VERDICT r05 #2).
+        queries[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -67,10 +76,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 4)
-        # max-min across the n runs: the ambient-load noise band. A future
-        # "regression" whose delta sits inside the recorded spread is
-        # machine load, triageable from the artifact alone (VERDICT r04 #6
-        # — this box swings ±3s under concurrent runs).
+        # max-min across the TIMED (post-warmup) runs: the steady-state
+        # ambient-load noise band. A future "regression" whose delta sits
+        # inside the recorded spread is machine load, triageable from the
+        # artifact alone.
         spreads[name] = round(max(runs) - min(runs), 4)
 
     total = round(sum(timings.values()), 4)

@@ -175,3 +175,18 @@ def test_update_char_lm_equals_retrain(spark):
     assert {(r["prefix"], r["prefix_count"]) for r in inc_pf.collect()} == {
         (r["prefix"], r["prefix_count"]) for r in full_pf.collect()
     }
+
+
+def test_shard_export_empty_input(spark, tmp_path):
+    """Zero input rows (a curation pipeline can legitimately filter to
+    nothing) still yields a readable dataset, an empty manifest, and a
+    clean verify — not unable-to-infer-schema (ADVICE r05)."""
+    for sub, kwargs in [("a", {}), ("b", {"n_shards": 4})]:
+        path = str(tmp_path / sub)
+        manifest = write_training_shards(
+            _docs(spark).filter(F.lit(False)), path, **kwargs
+        )
+        assert manifest["n_shards"] == 0
+        assert manifest["total_rows"] == 0 and manifest["shards"] == []
+        assert spark.read.parquet(path).count() == 0
+        assert verify_shards(spark, path).count() == 0

@@ -139,3 +139,20 @@ def test_zorder_rowgroup_pruning_beats_single_sort(spark, tmp_path):
     got = sorted(r["id"] for r in spark.read.parquet(zpath).filter(pred).collect())
     assert got == expect and len(got) > 0
     df.unpersist()
+
+
+def test_zorder_key_nan_bounds_and_bucket(spark):
+    """One NaN row must not poison the min/max bounds (Spark sorts NaN
+    above every real double, so a bare max() returns NaN -> span=NaN ->
+    every key NULL); NaN rows bucket at -1 with the NULLs (ADVICE r05)."""
+    df = spark.createDataFrame(
+        [(float("nan"), 1.0), (2.0, 2.0), (8.0, 8.0), (None, 3.0)],
+        "a double, b double",
+    )
+    got = df.select("a", "b", zorder_key(df, ["a", "b"], bits=4).alias("z")).collect()
+    by = {(str(r["a"]), r["b"]): r["z"] for r in got}
+    assert by[("nan", 1.0)] == -1
+    assert by[("None", 3.0)] == -1
+    # real rows keyed from NaN-free bounds: distinct, non-null, ordered
+    assert by[("2.0", 2.0)] is not None and by[("8.0", 8.0)] is not None
+    assert 0 <= by[("2.0", 2.0)] < by[("8.0", 8.0)]
