@@ -1075,3 +1075,145 @@ def nation_pair_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group-min correlated subquery (TPC-H Q2 shape)
+# --------------------------------------------------------------------------
+
+_MIN_COST_SUPPLIER_ORACLE = """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice * (1.0 - l_discount) / l_quantity) AS supply_cost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, ps.supply_cost, s.s_acctbal
+FROM part p
+JOIN ps ON ps.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size <= 10 AND p.p_type = 'SMALL'
+  AND ps.supply_cost = (SELECT MIN(ps2.supply_cost)
+                        FROM ps ps2 WHERE ps2.l_partkey = p.p_partkey)
+ORDER BY p.p_partkey, s.s_name
+"""
+
+
+@register("min_cost_supplier_per_part", oracle=_MIN_COST_SUPPLIER_ORACLE)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each small part, the supplier(s) offering the minimum
+    observed unit cost (the tables have no partsupp, so supply cost is
+    derived: MIN discounted unit price per (part, supplier) over lineitem).
+    The correlated per-group-min subquery is rewritten as a per-part MIN
+    aggregate joined back — keeping ALL suppliers that tie at the minimum,
+    exactly as the correlated form does (the oracle runs the subquery
+    verbatim). Plan: the fact is semi-join-pruned by the broadcast part
+    filter BEFORE its one shuffle into the (part, supplier) agg — the
+    scale win Catalyst cannot infer through the correlated form, since
+    only filtered parts ever need costing; the per-part min and the
+    join-back operate on the already-aggregated (dim-sized) rows; all dim
+    attachments broadcast. Unit cost uses MIN over identical per-row IEEE
+    expressions — exact cross-engine without the decimal machinery (MIN,
+    unlike SUM, is order-independent)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey", "p_name")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    unit_cost = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        / F.col("l_quantity")
+    )
+    ps = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_cost).alias("supply_cost"))
+    )
+    min_pp = ps.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
+    winners = ps.join(min_pp, "l_partkey").filter(
+        F.col("supply_cost") == F.col("min_cost")
+    )
+    return (
+        winners.join(F.broadcast(p), winners.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), winners.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "supply_cost", "s_acctbal")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Nested semi-join chain with correlated HAVING (TPC-H Q20 shape)
+# --------------------------------------------------------------------------
+
+_DOMINANT_SUPPLIER_ORACLE = f"""
+SELECT s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_partkey, l.l_suppkey
+    HAVING SUM(TRY_CAST(CAST(l.l_quantity AS VARCHAR) AS {SQL_DEC}))
+         > (SELECT SUM(TRY_CAST(CAST(l2.l_quantity AS VARCHAR) AS {SQL_DEC}))
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l2.l_shipdate <  TIMESTAMP '1998-01-01')
+         - SUM(TRY_CAST(CAST(l.l_quantity AS VARCHAR) AS {SQL_DEC}))
+)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("dominant_part_suppliers", oracle=_DOMINANT_SUPPLIER_ORACLE)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: the two-level nested semi-join chain — suppliers who
+    shipped MORE THAN HALF of some small part's total 1997 volume (the
+    tables have no partsupp.availqty, so "excess stock" becomes majority
+    share: q > total - q, the same correlated-threshold-in-HAVING shape).
+    Rewrite: part filter broadcast-semi-prunes the fact BEFORE its single
+    shuffle into the (part, supplier) quantity agg; the per-part total is
+    a second aggregate OVER THE PAIR AGGREGATE (dim-sized rows, never a
+    second fact pass — the oracle's correlated subquery re-scans lineitem
+    per group); the majority test joins the two small aggregates; the
+    surviving supplier keys semi-join the supplier dim. Quantity sums are
+    exact decimals kept IN decimal through the threshold comparison
+    (q > t - q is exact; a double sum would make the strict inequality
+    partitioning-dependent at the boundary)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small %"))
+        .select("p_partkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    pair = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").try_cast(DEC)).alias("qd"))
+    )
+    tot = pair.groupBy("l_partkey").agg(F.sum("qd").alias("td"))
+    winners = (
+        pair.join(tot, "l_partkey")
+        .filter(F.col("qd") > F.col("td") - F.col("qd"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(
+            F.broadcast(winners), s.s_suppkey == winners.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
