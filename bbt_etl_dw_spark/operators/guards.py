@@ -94,3 +94,67 @@ def assert_row_ratio(
             f"[{lo}, {hi}] — unexpected fan-out or row loss."
         )
     return out
+
+
+def _session_broadcast_cap(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes. A disabled
+    threshold (-1) only turns off AUTOMATIC broadcast selection — explicit
+    broadcast() hints still build a hash relation, bounded by Spark's hard
+    8 GB / 512M-row relation limit — so the guard falls back to that hard
+    limit rather than going silent."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    s = raw.strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    try:
+        n = int(float(s)) * mult
+    except ValueError:
+        n = 10 << 20
+    return n if n > 0 else 8 << 30
+
+
+def assert_broadcastable(
+    df: DataFrame,
+    label: str = "broadcast side",
+    remedy: str = "switch this join to a shuffle join",
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raise :class:`CardinalityError` if ``df``'s estimated size exceeds
+    the broadcast budget (``max_bytes``, defaulting to the session's
+    ``spark.sql.autoBroadcastJoinThreshold``); returns ``df`` unchanged.
+
+    The estimate is ONE aggregate over ``df`` (rows + per-column byte
+    widths: variable-length columns measured, fixed-width assumed 8B,
+    plus per-row overhead) — call it on frames that are SUPPOSED to be
+    small (models, dims, blocklists), where the check costs a dim-sized
+    job and converts a driver/executor OOM three stages later into an
+    immediate error naming the frame and the remedy."""
+    spark = df.sparkSession
+    cap = max_bytes if max_bytes is not None else _session_broadcast_cap(spark)
+    width = F.lit(16)  # row object overhead
+    for field in df.schema.fields:
+        t = field.dataType.typeName()
+        c = F.col(field.name)
+        if t in ("string", "binary"):
+            width = width + F.coalesce(F.octet_length(c), F.lit(0)) + F.lit(16)
+        elif t == "array":
+            width = width + F.coalesce(F.size(c), F.lit(0)) * 12 + F.lit(16)
+        else:
+            width = width + F.lit(8)
+    est = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(width.cast("long")), F.lit(0)).alias("bytes"),
+    ).first()
+    if est["bytes"] > cap:
+        raise CardinalityError(
+            f"{label}: estimated broadcast size {est['bytes']:,} B "
+            f"({est['n']:,} rows) exceeds the broadcast budget {cap:,} B "
+            f"(spark.sql.autoBroadcastJoinThreshold). Remedy: {remedy}."
+        )
+    return df

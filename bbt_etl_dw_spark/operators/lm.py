@@ -86,6 +86,7 @@ def score_char_lm(
     text_col: str = "text",
     n: int = 3,
     k: float = 0.5,
+    check_broadcast: bool = True,
 ) -> DataFrame:
     """Bits-per-character cross-entropy of each document under the trained
     model, add-k smoothed: P(gram) = (c(gram)+k) / (c(prefix)+k*V).
@@ -96,7 +97,24 @@ def score_char_lm(
     reduced to (id, partial sums). Documents EMPTY after normalization
     have no n-grams (BOS padding gives every non-empty doc at least one)
     and score NULL — no evidence either way; callers decide their fate.
-    """
+
+    The 100TB contract is that the MODEL fits a broadcast (bounded by the
+    reference corpus's distinct n-grams, NOT by the scored crawl); that
+    assumption is checked loudly (``check_broadcast``) — a reference
+    corpus with an unbounded charset would otherwise OOM executors three
+    stages in. The check costs one model-sized aggregate per call; pass
+    ``check_broadcast=False`` inside loops that re-score under an
+    already-validated model."""
+    if check_broadcast:
+        from bbt_etl_dw_spark.operators.guards import assert_broadcastable
+
+        remedy = (
+            "shrink the model (lower n, or prune rare n-grams with a "
+            "min-count floor before scoring) or replace the broadcast "
+            "model join with a shuffle join"
+        )
+        assert_broadcastable(ngram_counts, "char-LM ngram_counts", remedy)
+        assert_broadcastable(prefix_counts, "char-LM prefix_counts", remedy)
     grams = docs.select(
         F.col(id_col), F.explode(_char_ngrams(text_col, n)).alias("ngram")
     ).withColumn("prefix", F.substring(F.col("ngram"), 1, n - 1))
@@ -143,6 +161,7 @@ def oov_rate_vs_reference(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    check_broadcast: bool = True,
 ) -> DataFrame:
     """Out-of-vocabulary n-gram rate against a reference corpus: the
     fraction of each document's character n-grams never seen in
@@ -162,6 +181,20 @@ def oov_rate_vs_reference(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
+    if check_broadcast:
+        from bbt_etl_dw_spark.operators.guards import assert_broadcastable
+
+        # Validate the broadcast contract loudly, then reuse the guard's
+        # materialization: localCheckpoint keeps the distinct n-gram set
+        # from executing a second time in the scoring plan, so the check
+        # is net ~free here.
+        model = assert_broadcastable(
+            model.localCheckpoint(),
+            "OOV reference n-gram set",
+            "shrink the reference vocabulary (lower n, or restrict the "
+            "reference corpus's charset) or replace the broadcast model "
+            "join with a shuffle join",
+        )
     grams = docs.select(
         F.col(id_col), F.explode(_char_ngrams(text_col, n)).alias("ngram")
     )

@@ -120,6 +120,40 @@ def _dedup_cluster_scale() -> dict:
         stats["wall_s"] = wall
         stats["wall_us_per_edge"] = round(1e6 * wall / max(stats["n_edges"], 1), 2)
         out[label] = stats
+
+    # Third point, ~5M directed edges (VERDICT r05 #6: two points have no
+    # slope): a synthetic pair list fed straight to dedup_clusters — full
+    # sf3 tables are unnecessary because clustering cost is edge-driven.
+    # Shape matches the sf1 corpus (clique-of-10 duplicate groups: each
+    # doc + 9 byte-identical replicas), so the three points differ only
+    # in scale: 55k groups x C(10,2)=45 pairs = 2.475M undirected edges,
+    # ~4.95M after symmetrization.
+    from pyspark.sql import functions as F
+
+    n_groups = 55_000
+    combos = F.expr(
+        "flatten(transform(sequence(0, 8),"
+        " i -> transform(sequence(i + 1, 9), j -> struct(i AS i, j AS j))))"
+    )
+    pairs = (
+        spark.range(n_groups)
+        .select((F.col("id") * 10).alias("g"), F.explode(combos).alias("p"))
+        .select(
+            (F.col("g") + F.col("p.i")).alias("id_a"),
+            (F.col("g") + F.col("p.j")).alias("id_b"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    pairs.count()  # materialize: time clustering, not pair generation
+    t0 = time.perf_counter()
+    dedup.dedup_clusters(pairs).write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - t0, 2)
+    stats = dict(dedup.LAST_CLUSTER_STATS)
+    stats["wall_s"] = wall
+    stats["wall_us_per_edge"] = round(1e6 * wall / max(stats["n_edges"], 1), 2)
+    out["synthetic-5M-edges"] = stats
+    pairs.unpersist()
     return out
 
 

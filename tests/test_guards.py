@@ -1,6 +1,7 @@
 """Join-cardinality guards (operators/guards.py)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from bbt_etl_dw_spark.operators.guards import (
     CardinalityError,
@@ -48,3 +49,54 @@ def test_assert_row_ratio_bounds(spark):
         assert_row_ratio(spark.range(0), spark.range(1))
     # empty -> empty is ratio 0.0: allowed only if lo permits
     assert_row_ratio(spark.range(0), spark.range(0), lo=0.0, hi=1.0)
+
+
+def test_assert_broadcastable_passes_and_raises(spark):
+    from bbt_etl_dw_spark.operators.guards import (
+        CardinalityError,
+        assert_broadcastable,
+    )
+
+    small = spark.range(10).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("s")
+    )
+    # passes under the session default threshold and chains
+    assert assert_broadcastable(small, "small dim").count() == 10
+    # raises with frame name + remedy once the budget is exceeded
+    with pytest.raises(CardinalityError, match="tiny model.*use a shuffle"):
+        assert_broadcastable(
+            small, "tiny model", remedy="use a shuffle", max_bytes=100
+        )
+
+
+def test_lm_broadcast_guard_trips_loudly(spark):
+    """The char-LM scorers check the broadcast-model contract (VERDICT
+    r05 #8): an over-budget model raises a named error instead of OOMing
+    executors mid-job; the default-sized model passes untouched."""
+    from bbt_etl_dw_spark.operators.guards import CardinalityError
+    from bbt_etl_dw_spark.operators.lm import (
+        oov_rate_vs_reference,
+        score_char_lm,
+        train_char_lm,
+    )
+
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some text number "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    model = train_char_lm(docs)
+    # happy path: default threshold, both scorers run
+    assert score_char_lm(docs, *model).count() == 20
+    assert oov_rate_vs_reference(docs, docs).count() == 20
+    # hostile threshold: both scorers refuse the broadcast loudly
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100b")
+    try:
+        with pytest.raises(CardinalityError, match="char-LM"):
+            score_char_lm(docs, *model)
+        with pytest.raises(CardinalityError, match="OOV reference"):
+            oov_rate_vs_reference(docs, docs)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -1292,3 +1292,40 @@ def test_jpeg_header_fill_bytes_and_tight_buffer(spark):
     )
     got = decode_media(df, headers_only=True).first()
     assert (got["width"], got["height"]) == (7, 11)
+
+
+def test_dedup_clusters_reliable_checkpoint_matches_local(spark, tmp_path):
+    """reliable_checkpoint=True (the documented real-cluster path:
+    checkpoint() into a durable dir, surviving executor loss) produces
+    clusters identical to the default localCheckpoint path — including
+    under the star fallback, whose rounds also checkpoint (VERDICT r05
+    #5: the path was documented but untested)."""
+    from bbt_etl_dw_spark.operators.dedup import dedup_clusters
+
+    # chain + clique + pair: exercises multi-round propagation
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    # long chain: forces the star fallback under a tiny max_iters
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    prev_dir = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        for df in (pairs, chain):
+            local = {
+                (r.doc_id, r.cluster_id)
+                for r in dedup_clusters(df, max_iters=3).collect()
+            }
+            reliable = {
+                (r.doc_id, r.cluster_id)
+                for r in dedup_clusters(
+                    df, max_iters=3, reliable_checkpoint=True
+                ).collect()
+            }
+            assert reliable == local and len(local) > 0
+    finally:
+        if prev_dir is not None:
+            spark.sparkContext.setCheckpointDir(prev_dir)
