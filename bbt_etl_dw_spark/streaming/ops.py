@@ -184,12 +184,116 @@ def docs_file_stream(
     )
 
 
+def _epoch_write(
+    df: DataFrame, path: str, epoch_id: int, idempotent: bool
+) -> None:
+    """Ingest-sink write. Plain mode: parquet append (at-least-once — a
+    batch retried after a partial append re-appends). Idempotent mode:
+    each batch lands in its own ``epoch=N`` partition via DYNAMIC
+    partition overwrite, so a replayed batch (same epoch_id from the
+    stream checkpoint, deterministic content from the replayed source)
+    OVERWRITES its own partition instead of duplicating it — exactly-once
+    on plain parquet, no table format needed. Readers of idempotent sinks
+    see an extra ``epoch`` partition column (drop it, or read through
+    :func:`read_epoch_sink`)."""
+    if idempotent:
+        # A zero-row epoch writes zero partition directories (an
+        # unreadable dataset if it is the sink's FIRST write) and has
+        # nothing to replace on replay: skip it. Safe under replay
+        # because batch content is deterministic — an epoch empty on the
+        # replay was empty on every earlier attempt too. Costs one
+        # isEmpty probe per sink per micro-batch.
+        if df.isEmpty():
+            return
+        (
+            df.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+    else:
+        df.write.mode("append").parquet(path)
+
+
+def read_epoch_sink(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ingest sink uniformly: drops the ``epoch`` bookkeeping
+    column if the sink was written idempotently."""
+    df = spark.read.parquet(path)
+    return df.drop("epoch") if "epoch" in df.columns else df
+
+
+def _read_ingest_index(
+    spark: SparkSession,
+    path: str,
+    epoch_id: int,
+    idempotent: bool,
+    empty,
+) -> DataFrame:
+    """The standing-index read shared by the ingest loops. On the first
+    batch (path truly absent — real read errors propagate, see
+    :func:`_fs_exists`) returns ``empty()``. In idempotent mode the
+    CURRENT epoch's partition is excluded from the probe: a retried
+    batch's earlier partial attempt must not make the batch's own rows
+    look like pre-existing corpus (every row would self-collide and be
+    dropped)."""
+    if not _fs_exists(spark, path):
+        return empty()
+    idx = spark.read.parquet(path)
+    if idempotent:
+        idx = idx.filter(F.col("epoch") != int(epoch_id)).drop("epoch")
+    return idx
+
+
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    corpus_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idempotent: bool = False,
+    **dedup_kwargs,
+) -> None:
+    """One micro-batch of the MinHash dedup ingest loop (module-level so
+    retry semantics are directly testable). See
+    :func:`streaming_dedup_ingest`."""
+    from bbt_etl_dw_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_corpus_index,
+    )
+
+    sess = batch_df.sparkSession
+    idx = _read_ingest_index(
+        sess,
+        index_path,
+        epoch_id,
+        idempotent,
+        lambda: minhash_corpus_index(
+            batch_df.limit(0), id_col, text_col, **dedup_kwargs
+        ),
+    )
+    survivors = incremental_minhash_dedup(
+        idx, batch_df, id_col, text_col, **dedup_kwargs
+    )
+    # survivors feed two sinks; materialize once, not twice
+    survivors = survivors.localCheckpoint()
+    _epoch_write(survivors, corpus_path, epoch_id, idempotent)
+    _epoch_write(
+        minhash_corpus_index(survivors, id_col, text_col, **dedup_kwargs),
+        index_path,
+        epoch_id,
+        idempotent,
+    )
+
+
 def streaming_dedup_ingest(
     docs_stream: DataFrame,
     corpus_path: str,
     index_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    idempotent: bool = False,
     **dedup_kwargs,
 ):
     """The corpus ingest loop as a stream: per micro-batch, probe the
@@ -202,29 +306,26 @@ def streaming_dedup_ingest(
     the corpus text is never re-read — the compact index (band keys +
     hashed shingle sets) is the only standing state. foreachBatch runs
     micro-batches serially, so batch N+1 sees batch N's survivors in the
-    index (in-batch and cross-batch dups both resolve)."""
-    from bbt_etl_dw_spark.operators.dedup import (
-        incremental_minhash_dedup,
-        minhash_corpus_index,
-    )
+    index (in-batch and cross-batch dups both resolve).
+
+    ``idempotent=True`` makes batch RETRIES exactly-once: every sink
+    write lands in an ``epoch=N`` partition replaced by dynamic
+    partition overwrite on replay, and the probe index excludes the
+    current epoch so a partial earlier attempt never self-collides the
+    batch (see :func:`_epoch_write` / :func:`_read_ingest_index`;
+    readers drop the ``epoch`` column via :func:`read_epoch_sink`)."""
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        sess = batch_df.sparkSession
-        if _fs_exists(sess, index_path):
-            idx = sess.read.parquet(index_path)
-        else:  # first batch: no index yet (real read errors propagate)
-            idx = minhash_corpus_index(
-                batch_df.limit(0), id_col, text_col, **dedup_kwargs
-            )
-        survivors = incremental_minhash_dedup(
-            idx, batch_df, id_col, text_col, **dedup_kwargs
+        dedup_ingest_batch(
+            batch_df,
+            epoch_id,
+            corpus_path,
+            index_path,
+            id_col,
+            text_col,
+            idempotent,
+            **dedup_kwargs,
         )
-        # survivors feed two sinks; materialize once, not twice
-        survivors = survivors.localCheckpoint()
-        survivors.write.mode("append").parquet(corpus_path)
-        minhash_corpus_index(survivors, id_col, text_col, **dedup_kwargs).write.mode(
-            "append"
-        ).parquet(index_path)
 
     return docs_stream.writeStream.foreachBatch(ingest).outputMode("update")
 
@@ -285,6 +386,45 @@ def fold_first_event_dim(spark, dim_path: str) -> int:
     return n
 
 
+def span_ingest_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    spans_path: str,
+    index_path: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idempotent: bool = False,
+) -> None:
+    """One micro-batch of the span-dedup ingest loop (module-level so
+    retry semantics are directly testable). See
+    :func:`streaming_span_ingest`."""
+    from bbt_etl_dw_spark.operators.spans import (
+        incremental_span_dedup,
+        span_corpus_index,
+    )
+
+    sess = batch_df.sparkSession
+    idx = _read_ingest_index(
+        sess,
+        index_path,
+        epoch_id,
+        idempotent,
+        lambda: span_corpus_index(batch_df.limit(0), n, id_col, text_col),
+    )
+    spans = incremental_span_dedup(idx, batch_df, n, id_col, text_col)
+    _epoch_write(spans, spans_path, epoch_id, idempotent)
+    # new digests only: the index stays distinct without a rewrite
+    _epoch_write(
+        span_corpus_index(batch_df, n, id_col, text_col).join(
+            idx, "h", "left_anti"
+        ),
+        index_path,
+        epoch_id,
+        idempotent,
+    )
+
+
 def streaming_span_ingest(
     docs_stream: DataFrame,
     spans_path: str,
@@ -292,6 +432,7 @@ def streaming_span_ingest(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    idempotent: bool = False,
 ):
     """Append-time span dedup as a stream: per micro-batch, probe the
     digest-only span index for the batch's duplicated spans
@@ -300,24 +441,23 @@ def streaming_span_ingest(
     index. foreachBatch runs batches serially, so batch N+1 sees batch
     N's windows — cross-batch AND in-batch duplication both resolve, and
     the corpus text is never re-read (the index is the only standing
-    state, same lifecycle as streaming_dedup_ingest)."""
-    from bbt_etl_dw_spark.operators.spans import (
-        incremental_span_dedup,
-        span_corpus_index,
-    )
+    state, same lifecycle as streaming_dedup_ingest).
+
+    ``idempotent=True``: exactly-once batch retries via per-epoch dynamic
+    partition overwrite with the current epoch excluded from the probe —
+    same contract as :func:`streaming_dedup_ingest`."""
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        sess = batch_df.sparkSession
-        if _fs_exists(sess, index_path):
-            idx = sess.read.parquet(index_path)
-        else:  # first batch: no index yet (real read errors propagate)
-            idx = span_corpus_index(batch_df.limit(0), n, id_col, text_col)
-        spans = incremental_span_dedup(idx, batch_df, n, id_col, text_col)
-        spans.write.mode("append").parquet(spans_path)
-        # new digests only: the index stays distinct without a rewrite
-        span_corpus_index(batch_df, n, id_col, text_col).join(
-            idx, "h", "left_anti"
-        ).write.mode("append").parquet(index_path)
+        span_ingest_batch(
+            batch_df,
+            epoch_id,
+            spans_path,
+            index_path,
+            n,
+            id_col,
+            text_col,
+            idempotent,
+        )
 
     return docs_stream.writeStream.foreachBatch(ingest).outputMode("update")
 
@@ -375,6 +515,45 @@ def embeddings_file_stream(
     )
 
 
+def semantic_ingest_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    corpus_path: str,
+    index_path: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    idempotent: bool = False,
+) -> None:
+    """One micro-batch of the semantic-dedup ingest loop (module-level so
+    retry semantics are directly testable). See
+    :func:`streaming_semantic_ingest`."""
+    from bbt_etl_dw_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        semantic_index,
+    )
+
+    sess = batch_df.sparkSession
+    idx = _read_ingest_index(
+        sess,
+        index_path,
+        epoch_id,
+        idempotent,
+        lambda: semantic_index(batch_df.limit(0), centroids, id_col, vec_col),
+    )
+    survivors = incremental_semantic_dedup(
+        idx, batch_df, centroids, threshold, id_col, vec_col
+    ).localCheckpoint()  # two sinks; materialize once
+    _epoch_write(survivors.drop("cluster_id"), corpus_path, epoch_id, idempotent)
+    _epoch_write(
+        semantic_index(survivors.drop("cluster_id"), centroids, id_col, vec_col),
+        index_path,
+        epoch_id,
+        idempotent,
+    )
+
+
 def streaming_semantic_ingest(
     emb_stream: DataFrame,
     corpus_path: str,
@@ -383,6 +562,7 @@ def streaming_semantic_ingest(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    idempotent: bool = False,
 ):
     """Semantic (embedding) dedup as an ingest stream — the SemDeDup twin
     of :func:`streaming_dedup_ingest`: per micro-batch, probe the
@@ -398,30 +578,27 @@ def streaming_semantic_ingest(
     near-dups both resolve, exactly as sequential batch application
     (pytest-asserted equal).
 
-    Retry contract (shared by all three ingest loops): a micro-batch that
-    fails BEFORE its first append is retried cleanly; a crash BETWEEN the
-    corpus append and the index append can re-admit that batch's survivors
-    on retry (append sinks are at-least-once). Recovery is the standing
-    exact-dedup compaction every append-only corpus already schedules
-    (operators/dedup.exact_dedup over vec_id) — not per-batch transactions,
-    which plain parquet cannot provide."""
-    from bbt_etl_dw_spark.operators.similarity import (
-        incremental_semantic_dedup,
-        semantic_index,
-    )
+    Retry contract (shared by all three ingest loops): with the default
+    append sinks, a micro-batch that fails BEFORE its first append is
+    retried cleanly, but a crash BETWEEN the corpus append and the index
+    append can re-admit that batch's survivors on retry (at-least-once).
+    ``idempotent=True`` closes that window — per-epoch dynamic partition
+    overwrite replaces a replayed batch's own partition, and the probe
+    index excludes the current epoch so the partial attempt never
+    self-collides the batch (exactly-once on plain parquet; readers drop
+    the ``epoch`` column via :func:`read_epoch_sink`)."""
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        sess = batch_df.sparkSession
-        if _fs_exists(sess, index_path):
-            idx = sess.read.parquet(index_path)
-        else:  # first batch: no index yet (real read errors propagate)
-            idx = semantic_index(batch_df.limit(0), centroids, id_col, vec_col)
-        survivors = incremental_semantic_dedup(
-            idx, batch_df, centroids, threshold, id_col, vec_col
-        ).localCheckpoint()  # two sinks; materialize once
-        survivors.drop("cluster_id").write.mode("append").parquet(corpus_path)
-        semantic_index(
-            survivors.drop("cluster_id"), centroids, id_col, vec_col
-        ).write.mode("append").parquet(index_path)
+        semantic_ingest_batch(
+            batch_df,
+            epoch_id,
+            corpus_path,
+            index_path,
+            centroids,
+            threshold,
+            id_col,
+            vec_col,
+            idempotent,
+        )
 
     return emb_stream.writeStream.foreachBatch(ingest).outputMode("update")

@@ -839,3 +839,87 @@ def test_streaming_semantic_ingest_equals_sequential_batches(spark, tmp_path):
     assert sorted(
         r.vec_id for r in spark.read.parquet(index_path).collect()
     ) == got
+
+
+def test_idempotent_ingest_batches_survive_replay(spark, tmp_path):
+    """idempotent=True ingest: re-applying a micro-batch with the SAME
+    epoch_id (Structured Streaming's replay-after-crash contract) leaves
+    the corpus, index, and span log EXACTLY as a single application —
+    dynamic epoch-partition overwrite replaces the partial attempt, and
+    the probe excludes the current epoch so the batch never self-collides
+    (the double-apply here is a superset of any partial crash state).
+    The default append mode demonstrably duplicates under the same
+    replay, which is the at-least-once contract the flag exists to
+    close."""
+    from bbt_etl_dw_spark.streaming.ops import (
+        dedup_ingest_batch,
+        read_epoch_sink,
+        semantic_ingest_batch,
+        span_ingest_batch,
+    )
+
+    doc_batches = [
+        [(1, "the quick brown fox jumps over the lazy dog by the door"),
+         (2, "completely different text about query planners and engines")],
+        [(11, "the quick brown fox jumps over the lazy dog by the door x"),
+         (12, "fresh second-batch content that stands completely alone")],
+    ]
+
+    # --- minhash dedup loop
+    cp, ip = str(tmp_path / "c1"), str(tmp_path / "i1")
+    for eid, rows in enumerate(doc_batches):
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        dedup_ingest_batch(bdf, eid, cp, ip, idempotent=True)
+        if eid == 1:  # replay the second batch: crash-after-append case
+            dedup_ingest_batch(bdf, eid, cp, ip, idempotent=True)
+    got = sorted(r.doc_id for r in read_epoch_sink(spark, cp).collect())
+    assert got == [1, 2, 12]  # 11 near-dups 1; NO duplicates from replay
+    assert sorted(
+        r.doc_id for r in read_epoch_sink(spark, ip).select("doc_id").distinct().collect()
+    ) == got
+
+    # --- append mode under the same replay duplicates (the closed gap)
+    cp_a, ip_a = str(tmp_path / "c1a"), str(tmp_path / "i1a")
+    for eid, rows in enumerate(doc_batches):
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        dedup_ingest_batch(bdf, eid, cp_a, ip_a)
+        if eid == 1:
+            dedup_ingest_batch(bdf, eid, cp_a, ip_a)
+    dup = [r.doc_id for r in spark.read.parquet(cp_a).collect()]
+    assert sorted(dup) != sorted(set(dup))  # duplicates present
+
+    # --- span loop: replayed batch re-detects the same spans once
+    sp, ip2 = str(tmp_path / "s2"), str(tmp_path / "i2")
+    span_rows = [
+        [(1, "a b c d e f g h i j")],
+        # shares the 8-token windows of doc 1 (windows slide per token)
+        [(2, "x y a b c d e f g h i j z w")],
+    ]
+    for eid, rows in enumerate(span_rows):
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        span_ingest_batch(bdf, eid, sp, ip2, n=8, idempotent=True)
+        if eid == 1:
+            span_ingest_batch(bdf, eid, sp, ip2, n=8, idempotent=True)
+    spans_once = read_epoch_sink(spark, sp).collect()
+    assert len(spans_once) == len({tuple(r) for r in spans_once}) > 0
+    idx_rows = read_epoch_sink(spark, ip2).select("h").collect()
+    assert len(idx_rows) == len({r.h for r in idx_rows})  # index stays distinct
+
+    # --- semantic loop
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    cp3, ip3 = str(tmp_path / "c3"), str(tmp_path / "i3")
+    emb_batches = [
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        [(11, [0.999, 0.01]), (12, [0.6, 0.55])],
+    ]
+    for eid, rows in enumerate(emb_batches):
+        bdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        semantic_ingest_batch(
+            bdf, eid, cp3, ip3, cents, threshold=0.98, idempotent=True
+        )
+        if eid == 1:
+            semantic_ingest_batch(
+                bdf, eid, cp3, ip3, cents, threshold=0.98, idempotent=True
+            )
+    got3 = sorted(r.vec_id for r in read_epoch_sink(spark, cp3).collect())
+    assert got3 == [1, 2, 12]  # 11 near-dups 1; replay added nothing
