@@ -1217,3 +1217,102 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot (wide dashboard matrix) and unpivot (wide -> long melt)
+# --------------------------------------------------------------------------
+
+_PRIORITY_PIVOT_ORACLE = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(CAST(SUM(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS {SQL_DEC}))
+            FILTER (WHERE o_orderpriority = '1-URGENT') AS VARCHAR) AS DOUBLE)
+            AS urgent,
+       CAST(CAST(SUM(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS {SQL_DEC}))
+            FILTER (WHERE o_orderpriority = '2-HIGH') AS VARCHAR) AS DOUBLE)
+            AS high,
+       CAST(CAST(SUM(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS {SQL_DEC}))
+            FILTER (WHERE o_orderpriority = '3-MEDIUM') AS VARCHAR) AS DOUBLE)
+            AS medium,
+       CAST(CAST(SUM(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS {SQL_DEC}))
+            FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS VARCHAR) AS DOUBLE)
+            AS not_specified,
+       CAST(CAST(SUM(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS {SQL_DEC}))
+            FILTER (WHERE o_orderpriority = '5-LOW') AS VARCHAR) AS DOUBLE)
+            AS low
+FROM orders
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+_PRIORITIES = [
+    ("1-URGENT", "urgent"),
+    ("2-HIGH", "high"),
+    ("3-MEDIUM", "medium"),
+    ("4-NOT SPECIFIED", "not_specified"),
+    ("5-LOW", "low"),
+]
+
+
+@register("orders_priority_pivot", oracle=_PRIORITY_PIVOT_ORACLE)
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: the year x priority revenue matrix every dashboard wants
+    wide. The pivot values are EXPLICIT — with an inferred value list
+    Spark first runs a distinct job over the pivot column AND the output
+    schema becomes data-dependent (a new priority value appearing at
+    100 TB would silently add a column and break every consumer);
+    explicit values make the pivot a single pass with a fixed contract.
+    A year with no orders of some priority yields NULL in that cell on
+    both engines (empty SUM). Exact-decimal sums per cell."""
+    o = table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderpriority", [v for v, _ in _PRIORITIES])
+        .agg(dsum("o_totalprice", "v"))
+    )
+    return wide.select(
+        "order_year", *[F.col(v).alias(a) for v, a in _PRIORITIES]
+    ).orderBy("order_year")
+
+
+_EVENTS_UNPIVOT_ORACLE = f"""
+WITH wide AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS n_events,
+           {sql_dsum('value', 'total_value')},
+           CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+    FROM events
+    GROUP BY event_type
+)
+SELECT event_type, metric, metric_value FROM (
+    SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM wide
+    UNION ALL
+    SELECT event_type, 'total_value', total_value FROM wide
+    UNION ALL
+    SELECT event_type, 'n_users', n_users FROM wide
+)
+ORDER BY event_type, metric
+"""
+
+
+@register("events_type_metrics_unpivot", oracle=_EVENTS_UNPIVOT_ORACLE)
+def events_type_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): a wide per-event-type metric block turned long —
+    the wide-to-long reshape feeding any metrics store or chart library.
+    The unpivot runs AFTER aggregation, on the dim-sized wide frame
+    (5 rows here, |event_type| in general), so the melt costs nothing at
+    any scale — melting the raw fact first and aggregating per metric
+    would triple the fact pass. Value columns unify to double; the exact
+    decimal sum is cast at the boundary as usual."""
+    e = table(spark, sf_dir, "events")
+    wide = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        dsum("value", "total_value"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+    )
+    return wide.unpivot(
+        "event_type",
+        ["n_events", "total_value", "n_users"],
+        "metric",
+        "metric_value",
+    ).orderBy("event_type", "metric")
