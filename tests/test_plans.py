@@ -145,3 +145,60 @@ def test_md5_key_deterministic_unique_and_python_rederivable(spark, sf_dir):
     assert rows == again
     for k in list(rows)[:20]:
         assert rows[k] == int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+
+
+def test_aqe_replans_dim_joins_to_broadcast_under_blind_stats(spark, sf_dir):
+    """Join-order sanity WITHOUT usable statistics (the stale-stats
+    regime): with static broadcast planning disabled — emulating a
+    planner whose size estimates are useless — the engine's contract is
+    AQE runtime re-planning. A 4-table fact-dim chain must start as
+    all shuffle joins in the initial plan, and end with the dim sides
+    converted to broadcast joins from OBSERVED shuffle sizes in the
+    final adaptive plan. (spark.sql.adaptive.autoBroadcastJoinThreshold
+    is pinned explicitly because it otherwise inherits the static
+    threshold's -1 and would disable the runtime conversion too.)"""
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.catalog import table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders")
+        c = table(spark, sf_dir, "customer")
+        n = table(spark, sf_dir, "nation")
+        chain = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        initial = chain._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in initial  # static planner is blind
+        assert initial.count("SortMergeJoin") >= 3
+        # collect() drives THIS DataFrame's own queryExecution, so the
+        # adaptive plan below is the executed (final) one — a write would
+        # spawn a separate execution and leave this plan unexecuted
+        assert len(chain.collect()) > 0
+        final = chain._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        # runtime sizes rescued the dim joins: customer and nation sides
+        # broadcast; only the fact-fact join legitimately keeps shuffling
+        assert final.count("BroadcastHashJoin") >= 2, final
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
