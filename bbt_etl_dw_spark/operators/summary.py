@@ -1,0 +1,165 @@
+"""Incremental summary-table (materialized aggregate) maintenance.
+
+The classic warehouse pattern the reference's full-reload ETL cannot do
+(its loads are complete overwrites, ``etl_load.py`` — cited for parity
+scope): keep a per-key aggregate table current as fact batches arrive,
+WITHOUT ever re-scanning history or rewriting the whole summary. The
+engine already maintains one such table for a single aggregate
+(``streaming/ops.streaming_first_event_dim`` — MIN over first-event
+timestamps); this module is the general operator for any bundle of
+MERGEABLE aggregates:
+
+- ``count``   — per-batch counts; merged by SUM
+- ``sum``     — per-batch EXACT decimal sums (functions/numeric
+  discipline); merged by decimal SUM, cast to double only at the read
+  boundary. Exactness is what makes *incremental == recompute-from-
+  scratch* an equality, not an approximation: float partial sums would
+  drift with batch boundaries.
+- ``min`` / ``max`` — per-batch extrema; merged by MIN/MAX
+- ``avg`` is DERIVED at read time from sum + count (never stored — a
+  stored mean cannot merge)
+
+Lifecycle (same log-plus-compaction shape as the first-event dim and
+sources/compact.py):
+
+- :func:`partial_summary` reduces ONE batch to one row per key it
+  touches — O(batch keys) appended rows, never a summary rewrite (at
+  100 TB rewriting a billion-key summary per batch would dwarf the
+  batch);
+- :func:`streaming_summary` runs that per micro-batch via foreachBatch;
+- :func:`read_summary` folds the appended partials with each column's
+  merge function — one hash aggregate, partial-aggregated map-side;
+- :func:`fold_summary` compacts the log back to one row per key when
+  the read-side fold grows noticeable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.functions.numeric import DEC, _dec_to_double
+
+# spec: {out_col: ("count", None) | ("sum"|"min"|"max", in_col)}
+_FNS = ("count", "sum", "min", "max")
+
+
+def _check_specs(specs: dict[str, tuple[str, str | None]]) -> None:
+    for out, (fn, col) in specs.items():
+        if fn not in _FNS:
+            raise ValueError(
+                f"summary column {out!r}: {fn!r} is not mergeable — "
+                f"supported: {_FNS} (derive avg from sum+count at read)"
+            )
+        if fn != "count" and col is None:
+            raise ValueError(f"summary column {out!r}: {fn} needs a column")
+
+
+def partial_summary(
+    batch: DataFrame, keys: list[str], specs: dict[str, tuple[str, str | None]]
+) -> DataFrame:
+    """One batch reduced to one partial row per touched key. Sums are
+    stored as exact decimals so later merges are order- and
+    batch-boundary-independent."""
+    _check_specs(specs)
+    aggs = []
+    for out, (fn, col) in specs.items():
+        if fn == "count":
+            aggs.append(F.count(F.lit(1)).alias(out))
+        elif fn == "sum":
+            aggs.append(F.sum(F.col(col).try_cast(DEC)).alias(out))
+        elif fn == "min":
+            aggs.append(F.min(col).alias(out))
+        else:
+            aggs.append(F.max(col).alias(out))
+    return batch.groupBy(*keys).agg(*aggs)
+
+
+def append_summary_batch(
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    specs: dict[str, tuple[str, str | None]],
+) -> None:
+    """Reduce ``batch`` and append its partial rows to the summary log."""
+    partial_summary(batch, keys, specs).write.mode("append").parquet(path)
+
+
+def streaming_summary(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    specs: dict[str, tuple[str, str | None]],
+):
+    """Maintain the summary log from a stream: per micro-batch, append
+    the batch's partial rows (O(batch keys), never a rewrite). Returns
+    the DataStreamWriter (caller .start()s it)."""
+    _check_specs(specs)
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        append_summary_batch(batch_df, path, keys, specs)
+
+    return stream.writeStream.foreachBatch(ingest).outputMode("update")
+
+
+def _merge_aggs(specs: dict[str, tuple[str, str | None]]) -> list:
+    aggs = []
+    for out, (fn, _col) in specs.items():
+        if fn == "count":
+            aggs.append(F.sum(out).cast("long").alias(out))
+        elif fn == "sum":
+            # decimal sum of decimal partials == the direct decimal sum
+            # over raw rows (associative); double only at the boundary
+            aggs.append(_dec_to_double(F.sum(out)).alias(out))
+        elif fn == "min":
+            aggs.append(F.min(out).alias(out))
+        else:
+            aggs.append(F.max(out).alias(out))
+    return aggs
+
+
+def read_summary(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    specs: dict[str, tuple[str, str | None]],
+    derived_avgs: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Fold the partial log to the current summary: one hash aggregate
+    over candidate rows. ``derived_avgs`` adds mean columns computed from
+    already-folded (sum_col, count_col) pairs — exact decimal sum over
+    exact long count, one IEEE division, bit-stable at any batching."""
+    _check_specs(specs)
+    out = spark.read.parquet(path).groupBy(*keys).agg(*_merge_aggs(specs))
+    for avg_col, (sum_col, count_col) in (derived_avgs or {}).items():
+        out = out.withColumn(
+            avg_col, F.col(sum_col) / F.col(count_col).cast("double")
+        )
+    return out
+
+
+def fold_summary(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    specs: dict[str, tuple[str, str | None]],
+) -> int:
+    """Compact the partial log in place to one row per key. The folded
+    sums are re-encoded as decimals so further appends keep merging
+    exactly. Returns the folded row count."""
+    _check_specs(specs)
+    folded = spark.read.parquet(path).groupBy(*keys)
+    aggs = []
+    for out, (fn, _col) in specs.items():
+        if fn == "count":
+            aggs.append(F.sum(out).cast("long").alias(out))
+        elif fn == "sum":
+            aggs.append(F.sum(out).alias(out))  # stays decimal in the log
+        elif fn == "min":
+            aggs.append(F.min(out).alias(out))
+        else:
+            aggs.append(F.max(out).alias(out))
+    folded = folded.agg(*aggs).localCheckpoint()
+    n = folded.count()
+    folded.write.mode("overwrite").parquet(path)
+    return n

@@ -275,3 +275,79 @@ def events_dim_enrich_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "nation")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental summary-table maintenance (operators/summary.py) — the
+# materialized-aggregate log+fold pattern, value-checked end to end:
+# the oracle recomputes the summary DIRECTLY from raw events, so the
+# driver row proves incremental-over-3-batches == full recompute.
+# --------------------------------------------------------------------------
+
+_SUMMARY_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 'total_value')},
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# Per-process cache of the maintained summary log (same lifecycle as
+# classic._dpp_fact_path: one mkdtemp + one incremental build per
+# (process, sf_dir), atexit cleanup).
+_SUMMARY_LOG_CACHE: dict[str, str] = {}
+
+_SUMMARY_SPECS = {
+    "n_events": ("count", None),
+    "total_value": ("sum", "value"),
+    "first_ts": ("min", "ts"),
+    "last_ts": ("max", "ts"),
+}
+
+
+def _summary_log_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from bbt_etl_dw_spark.operators.summary import (
+        append_summary_batch,
+        fold_summary,
+    )
+
+    if sf_dir in _SUMMARY_LOG_CACHE:
+        return _SUMMARY_LOG_CACHE[sf_dir]
+    path = tempfile.mkdtemp(prefix="bbt_summary_log_")
+    ev = table(spark, sf_dir, "events")
+    # three deterministic disjoint batches (hash split covers every row)
+    for b in range(3):
+        batch = ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == b)
+        append_summary_batch(batch, path, ["event_type"], _SUMMARY_SPECS)
+        if b == 1:  # compact mid-history: the fold is on the oracled path
+            fold_summary(spark, path, ["event_type"], _SUMMARY_SPECS)
+    _SUMMARY_LOG_CACHE[sf_dir] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@register("events_incremental_summary", oracle=_SUMMARY_ORACLE)
+def events_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental summary-table maintenance, value-checked: the events
+    fact is applied in three disjoint batches through
+    operators/summary.append_summary_batch (O(batch keys) appended
+    partial rows each — never a summary rewrite), with an in-place
+    compaction after the second batch; the returned fold must equal the
+    oracle's DIRECT aggregate over all raw events — exactly, including
+    the double sum, because partials hold exact decimals (a float
+    partial would drift with batch boundaries). This is how a 100 TB
+    dashboard aggregate stays current: per-batch partial cost, read-time
+    fold, periodic compaction — history is never re-scanned."""
+    from bbt_etl_dw_spark.operators.summary import read_summary
+
+    path = _summary_log_path(spark, sf_dir)
+    return read_summary(
+        spark, path, ["event_type"], _SUMMARY_SPECS
+    ).orderBy("event_type")
