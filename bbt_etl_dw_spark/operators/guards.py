@@ -130,11 +130,16 @@ def assert_broadcastable(
     ``spark.sql.autoBroadcastJoinThreshold``); returns ``df`` unchanged.
 
     The estimate is ONE aggregate over ``df`` (rows + per-column byte
-    widths: variable-length columns measured, fixed-width assumed 8B,
-    plus per-row overhead) — call it on frames that are SUPPOSED to be
-    small (models, dims, blocklists), where the check costs a dim-sized
-    job and converts a driver/executor OOM three stages later into an
-    immediate error naming the frame and the remedy."""
+    widths: strings/binary measured by octet length, nested types —
+    array/map/struct — measured by their JSON text length, a deliberate
+    OVERestimate for numeric payloads, which is the safe direction for a
+    guard; fixed-width scalars assumed 8B; plus per-row overhead). A
+    nested column priced at a fixed width would let a struct-of-kilobyte-
+    strings frame pass and OOM anyway — with the guard having vouched
+    for it. Call it on frames that are SUPPOSED to be small (models,
+    dims, blocklists), where the check costs a dim-sized job and
+    converts a driver/executor OOM three stages later into an immediate
+    error naming the frame and the remedy."""
     spark = df.sparkSession
     cap = max_bytes if max_bytes is not None else _session_broadcast_cap(spark)
     width = F.lit(16)  # row object overhead
@@ -143,8 +148,12 @@ def assert_broadcastable(
         c = F.col(field.name)
         if t in ("string", "binary"):
             width = width + F.coalesce(F.octet_length(c), F.lit(0)) + F.lit(16)
-        elif t == "array":
-            width = width + F.coalesce(F.size(c), F.lit(0)) * 12 + F.lit(16)
+        elif t in ("array", "map", "struct"):
+            width = (
+                width
+                + F.coalesce(F.octet_length(F.to_json(c)), F.lit(0))
+                + F.lit(16)
+            )
         else:
             width = width + F.lit(8)
     est = df.agg(

@@ -102,9 +102,12 @@ def score_char_lm(
     reference corpus's distinct n-grams, NOT by the scored crawl); that
     assumption is checked loudly (``check_broadcast``) — a reference
     corpus with an unbounded charset would otherwise OOM executors three
-    stages in. The check costs one model-sized aggregate per call; pass
-    ``check_broadcast=False`` inside loops that re-score under an
-    already-validated model."""
+    stages in. The count tables are localCheckpoint'ed BEFORE the check,
+    so the (lazy, reference-corpus-sized) training plans execute exactly
+    once and the guard aggregates plus the scoring join all reuse that
+    materialization — the check itself then costs one model-sized
+    aggregate, not extra training passes. Pass ``check_broadcast=False``
+    in loops that re-score under an already-validated model."""
     if check_broadcast:
         from bbt_etl_dw_spark.operators.guards import assert_broadcastable
 
@@ -113,8 +116,12 @@ def score_char_lm(
             "min-count floor before scoring) or replace the broadcast "
             "model join with a shuffle join"
         )
-        assert_broadcastable(ngram_counts, "char-LM ngram_counts", remedy)
-        assert_broadcastable(prefix_counts, "char-LM prefix_counts", remedy)
+        ngram_counts = assert_broadcastable(
+            ngram_counts.localCheckpoint(), "char-LM ngram_counts", remedy
+        )
+        prefix_counts = assert_broadcastable(
+            prefix_counts.localCheckpoint(), "char-LM prefix_counts", remedy
+        )
     grams = docs.select(
         F.col(id_col), F.explode(_char_ngrams(text_col, n)).alias("ngram")
     ).withColumn("prefix", F.substring(F.col("ngram"), 1, n - 1))

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bbt_etl_dw_spark.functions.numeric import DEC, _dec_to_double
+from bbt_etl_dw_spark.functions.numeric import _dec, _dec_to_double
 
 # spec: {out_col: ("count", None) | ("sum"|"min"|"max", in_col)}
 _FNS = ("count", "sum", "min", "max")
@@ -67,7 +67,9 @@ def partial_summary(
         if fn == "count":
             aggs.append(F.count(F.lit(1)).alias(out))
         elif fn == "sum":
-            aggs.append(F.sum(F.col(col).try_cast(DEC)).alias(out))
+            # numeric._dec carries the cross-engine cast discipline —
+            # never open-code the double->decimal conversion
+            aggs.append(F.sum(_dec(F.col(col))).alias(out))
         elif fn == "min":
             aggs.append(F.min(col).alias(out))
         else:
@@ -80,9 +82,21 @@ def append_summary_batch(
     path: str,
     keys: list[str],
     specs: dict[str, tuple[str, str | None]],
+    epoch_id: int | None = None,
 ) -> None:
-    """Reduce ``batch`` and append its partial rows to the summary log."""
-    partial_summary(batch, keys, specs).write.mode("append").parquet(path)
+    """Reduce ``batch`` and append its partial rows to the summary log.
+    With ``epoch_id``, the partials land in an ``epoch=N`` partition via
+    dynamic overwrite — re-applying the same (batch, epoch) replaces its
+    own earlier rows instead of double-counting them (count/sum are NOT
+    duplicate-tolerant the way the first-event dim's MIN merge is), the
+    same exactly-once mechanism as streaming/ops._epoch_write."""
+    from bbt_etl_dw_spark.streaming.ops import _epoch_write
+
+    partial = partial_summary(batch, keys, specs)
+    if epoch_id is None:
+        partial.write.mode("append").parquet(path)
+    else:
+        _epoch_write(partial, path, epoch_id, idempotent=True)
 
 
 def streaming_summary(
@@ -93,24 +107,40 @@ def streaming_summary(
 ):
     """Maintain the summary log from a stream: per micro-batch, append
     the batch's partial rows (O(batch keys), never a rewrite). Returns
-    the DataStreamWriter (caller .start()s it)."""
+    the DataStreamWriter (caller .start()s it).
+
+    Batch replays are exactly-once: partials are keyed by the stream's
+    epoch_id (per-epoch dynamic overwrite), so a micro-batch replayed
+    after a crash-between-append-and-checkpoint replaces its own rows —
+    an unguarded append would permanently double-count every key the
+    batch touched. Consequence for compaction: :func:`fold_summary`
+    collapses the epoch partitions, so run it only with the stream
+    stopped AND its checkpoint committed past the folded epochs (a
+    pre-fold epoch replayed after folding would re-add its partial on
+    top of the folded total)."""
     _check_specs(specs)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        append_summary_batch(batch_df, path, keys, specs)
+        append_summary_batch(batch_df, path, keys, specs, epoch_id=epoch_id)
 
     return stream.writeStream.foreachBatch(ingest).outputMode("update")
 
 
-def _merge_aggs(specs: dict[str, tuple[str, str | None]]) -> list:
+def _merge_aggs(
+    specs: dict[str, tuple[str, str | None]], keep_decimal: bool = False
+) -> list:
+    """Fold expressions over partial rows. ``keep_decimal`` leaves sums
+    in decimal (for re-writing a compacted log that will keep merging
+    exactly); the default casts them to double at the read boundary."""
     aggs = []
     for out, (fn, _col) in specs.items():
         if fn == "count":
             aggs.append(F.sum(out).cast("long").alias(out))
         elif fn == "sum":
             # decimal sum of decimal partials == the direct decimal sum
-            # over raw rows (associative); double only at the boundary
-            aggs.append(_dec_to_double(F.sum(out)).alias(out))
+            # over raw rows (associative)
+            s = F.sum(out)
+            aggs.append((s if keep_decimal else _dec_to_double(s)).alias(out))
         elif fn == "min":
             aggs.append(F.min(out).alias(out))
         else:
@@ -144,22 +174,34 @@ def fold_summary(
     keys: list[str],
     specs: dict[str, tuple[str, str | None]],
 ) -> int:
-    """Compact the partial log in place to one row per key. The folded
-    sums are re-encoded as decimals so further appends keep merging
-    exactly. Returns the folded row count."""
+    """Compact the partial log to one row per key. The folded sums stay
+    decimal so further appends keep merging exactly. Returns the folded
+    row count.
+
+    The rewrite goes through sources/parquet.overwrite_atomic (full
+    staging write, then swap) — a plain in-place ``mode("overwrite")``
+    deletes the log FIRST, so a mid-write failure would destroy the only
+    copy. Coordination contract: run with no concurrent writer — an
+    append landing between the fold's read and its swap is deleted with
+    the old log; for a streaming writer, also see
+    :func:`streaming_summary` (fold only past the stream's committed
+    checkpoint, or a replayed pre-fold epoch double-counts)."""
+    from bbt_etl_dw_spark.sources.parquet import overwrite_atomic
+
     _check_specs(specs)
-    folded = spark.read.parquet(path).groupBy(*keys)
-    aggs = []
-    for out, (fn, _col) in specs.items():
-        if fn == "count":
-            aggs.append(F.sum(out).cast("long").alias(out))
-        elif fn == "sum":
-            aggs.append(F.sum(out).alias(out))  # stays decimal in the log
-        elif fn == "min":
-            aggs.append(F.min(out).alias(out))
-        else:
-            aggs.append(F.max(out).alias(out))
-    folded = folded.agg(*aggs).localCheckpoint()
+    log = spark.read.parquet(path)
+    epoch_layout = "epoch" in log.columns  # streaming-written log
+    if epoch_layout:
+        log = log.drop("epoch")
+    folded = log.groupBy(*keys).agg(*_merge_aggs(specs, keep_decimal=True))
+    if epoch_layout:
+        # keep the partitioned layout: the compacted baseline lands in a
+        # reserved epoch=-1 partition (base-level files mixed with
+        # epoch=N dirs would break partition discovery for later writes)
+        folded = folded.withColumn("epoch", F.lit(-1))
+    folded = folded.localCheckpoint()
     n = folded.count()
-    folded.write.mode("overwrite").parquet(path)
+    overwrite_atomic(
+        folded, path, partition_by=("epoch",) if epoch_layout else ()
+    )
     return n

@@ -82,3 +82,40 @@ def read_resilient(
     if report is not None:
         report["files"] = len(df.inputFiles())
     return df
+
+
+def overwrite_atomic(
+    df: DataFrame, path: str, partition_by: Sequence[str] = ()
+) -> None:
+    """Replace the dataset at ``path`` with ``df`` via write-to-temp +
+    rename, instead of Spark's delete-then-write ``mode("overwrite")``.
+
+    The difference matters for compaction folds that REWRITE a log from
+    its own contents: plain overwrite deletes the target first, so a
+    failure mid-write (or the loss of an executor holding the
+    localCheckpoint blocks backing ``df``) destroys the only copy. Here
+    the new dataset is fully committed to ``<path>.__staging__`` before
+    the old one is touched; the worst crash outcome is a stale target
+    plus a staging dir to clean up, never data loss. The final
+    delete+rename window is not transactional (HDFS rename is atomic,
+    the preceding delete is separate) — callers that need concurrent
+    readers during the swap belong on a table format, not raw parquet.
+    """
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    staging = f"{path.rstrip('/')}.__staging__"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    src = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = dst.getFileSystem(conf)
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"rename {staging} -> {path} failed; the folded data is intact "
+            f"in the staging directory"
+        )

@@ -36,16 +36,33 @@ def _with_watermark(df: DataFrame, watermark: str) -> DataFrame:
 
 
 def _fs_exists(spark: SparkSession, path: str) -> bool:
-    """Hadoop-FS existence probe. The ingest loops below use this instead
-    of try/except around the index read: a bare except treated ANY failure
+    """COMMITTED-data probe. The ingest loops below use this instead of
+    try/except around the index read: a bare except treated ANY failure
     (transient FS error, corrupt footer) as "first batch" and silently
     deduped against an empty index, admitting duplicates (ADVICE r05).
-    With an explicit probe, only true absence means first-batch; real read
-    errors propagate and fail the micro-batch, which Structured Streaming
-    then retries."""
+    With an explicit probe, real read errors propagate and fail the
+    micro-batch, which Structured Streaming then retries.
+
+    The probe asks for committed data files, not bare directory
+    existence: a crash during the very first index write can leave the
+    path created with only ``_temporary``/``_SUCCESS`` inside, and a
+    bare ``fs.exists`` would then send every retry into an unreadable
+    read (unable-to-infer-schema) forever — a permanently wedged stream.
+    Hidden entries (``_*``, ``.*``) are uncommitted or metadata by the
+    FileOutputCommitter contract and don't count."""
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(jpath)
+    if not fs.exists(jpath):
+        return False
+    base = fs.getFileStatus(jpath).getPath().toUri().getPath()
+    it = fs.listFiles(jpath, True)  # recursive: data may sit in epoch=N/
+    while it.hasNext():
+        f = it.next().getPath().toUri().getPath()
+        rel = f[len(base):].lstrip("/")
+        # committed data = no hidden (_*/.*) component below the base
+        if all(not c.startswith(("_", ".")) for c in rel.split("/")):
+            return True
+    return False
 
 
 def events_file_stream(
@@ -195,7 +212,19 @@ def _epoch_write(
     OVERWRITES its own partition instead of duplicating it — exactly-once
     on plain parquet, no table format needed. Readers of idempotent sinks
     see an extra ``epoch`` partition column (drop it, or read through
-    :func:`read_epoch_sink`)."""
+    :func:`read_epoch_sink`).
+
+    ``epoch`` is a RESERVED column name for ingest sinks in BOTH modes:
+    in idempotent mode a real ``epoch`` data column would be silently
+    overwritten with the batch id, and in append mode
+    :func:`read_epoch_sink` could not tell data from bookkeeping when
+    dropping it — so a frame already carrying the name raises here
+    instead."""
+    if "epoch" in df.columns:
+        raise ValueError(
+            "ingest sinks reserve the column name 'epoch' for replay "
+            "bookkeeping — rename the data column before ingesting"
+        )
     if idempotent:
         # A zero-row epoch writes zero partition directories (an
         # unreadable dataset if it is the sink's FIRST write) and has

@@ -230,7 +230,8 @@ def _zbits_sql(su: str, sv: str, bits: int) -> str:
 _ZORDER_ORACLE = f"""
 WITH b AS (
     SELECT CAST(MIN(user_id) AS DOUBLE) AS lo_u, CAST(MAX(user_id) AS DOUBLE) AS hi_u,
-           MIN(value) AS lo_v, MAX(value) AS hi_v
+           MIN(value) FILTER (WHERE NOT isnan(value)) AS lo_v,
+           MAX(value) FILTER (WHERE NOT isnan(value)) AS hi_v
     FROM events
 ), s AS (
     SELECT e.event_id, e.user_id, e.value,
@@ -239,7 +240,7 @@ WITH b AS (
     FROM events e, b
 )
 SELECT event_id,
-       CASE WHEN user_id IS NULL OR value IS NULL THEN CAST(-1 AS BIGINT)
+       CASE WHEN user_id IS NULL OR value IS NULL OR isnan(value) THEN CAST(-1 AS BIGINT)
             ELSE {_zbits_sql('su', 'sv', 8)} END AS zkey
 FROM s
 ORDER BY event_id
@@ -256,8 +257,10 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     at once (single-column sort prunes only one). The key is pure
     bit-arithmetic in whole-stage codegen — the oracle replays the
     min-max scaling and the full bit interleave in SQL, value-exact.
-    NULL in either dimension keys to -1 (nulls cluster, never widen a
-    real box). Layout evidence (row-group boxes from written footers,
+    NULL (and NaN — excluded from the bounds, since Spark sorts NaN
+    above every real double) in either dimension keys to -1 (such rows
+    cluster, never widen a real box). Layout evidence (row-group boxes
+    from written footers,
     z-order vs single-sort) is pytest: tests/test_zorder.py."""
     from bbt_etl_dw_spark.operators.zorder import zorder_key
 

@@ -923,3 +923,32 @@ def test_idempotent_ingest_batches_survive_replay(spark, tmp_path):
             )
     got3 = sorted(r.vec_id for r in read_epoch_sink(spark, cp3).collect())
     assert got3 == [1, 2, 12]  # 11 near-dups 1; replay added nothing
+
+
+def test_ingest_probe_ignores_uncommitted_dirs_and_epoch_is_reserved(
+    spark, tmp_path
+):
+    """(a) A sink path containing only hidden entries (_temporary/_SUCCESS
+    — the footprint of a crash during the very first committed write)
+    reads as 'no index yet' instead of wedging every retry on an
+    unreadable parquet read. (b) 'epoch' is a reserved sink column name:
+    ingesting a frame that already carries it raises instead of silently
+    corrupting the column."""
+    import pytest
+
+    from bbt_etl_dw_spark.streaming.ops import _epoch_write, _fs_exists
+
+    p = tmp_path / "index"
+    (p / "_temporary" / "0").mkdir(parents=True)
+    (p / "_SUCCESS").touch()
+    assert not _fs_exists(spark, str(p))
+    # a committed file (incl. inside an epoch partition) flips the probe
+    (p / "epoch=3").mkdir()
+    (p / "epoch=3" / "part-000.parquet").touch()
+    assert _fs_exists(spark, str(p))
+
+    df = spark.range(3).select(F.col("id"), F.lit(7).alias("epoch"))
+    with pytest.raises(ValueError, match="reserve.*epoch"):
+        _epoch_write(df, str(tmp_path / "sink"), 0, idempotent=True)
+    with pytest.raises(ValueError, match="reserve.*epoch"):
+        _epoch_write(df, str(tmp_path / "sink"), 0, idempotent=False)

@@ -117,3 +117,29 @@ def test_rejects_non_mergeable_spec(spark):
         partial_summary(_events(spark, 0, 5), KEYS, {"m": ("avg", "value")})
     with pytest.raises(ValueError, match="needs a column"):
         partial_summary(_events(spark, 0, 5), KEYS, {"m": ("sum", None)})
+
+
+def test_streaming_log_replay_and_fold(spark, tmp_path):
+    """Streaming-mode log: replaying an epoch replaces its own partials
+    (no double counting — count/sum are not duplicate-tolerant), and
+    fold_summary collapses the epoch partitions into the reserved
+    epoch=-1 baseline while staying exact through further epoch
+    appends."""
+    path = str(tmp_path / "log")
+    append_summary_batch(_events(spark, 0, 40), path, KEYS, SPECS, epoch_id=0)
+    append_summary_batch(_events(spark, 40, 90), path, KEYS, SPECS, epoch_id=1)
+    # crash-replay of epoch 1: same content, same epoch -> no-op overall
+    append_summary_batch(_events(spark, 40, 90), path, KEYS, SPECS, epoch_id=1)
+    got = _as_map(read_summary(spark, path, KEYS, SPECS).collect())
+    assert got == _as_map(_direct(spark, 0, 90).collect())
+
+    n = fold_summary(spark, path, KEYS, SPECS)
+    assert n == 3
+    # folded layout keeps the epoch partitioning (reserved epoch=-1)
+    assert set(spark.read.parquet(path).select("epoch").distinct().toPandas()["epoch"]) == {-1}
+    append_summary_batch(_events(spark, 90, 140), path, KEYS, SPECS, epoch_id=2)
+    got2 = _as_map(read_summary(spark, path, KEYS, SPECS).collect())
+    assert got2 == _as_map(_direct(spark, 0, 140).collect())
+    # the atomic-swap staging dir does not linger
+    import os
+    assert not os.path.exists(path + ".__staging__")
