@@ -46,10 +46,26 @@ def contamination_hits(
     broadcast_eval: bool = True,
 ) -> DataFrame:
     """Per-train-document count of DISTINCT eval n-grams it contains.
-    Returns (id_col, n_eval_grams_hit) for contaminated docs only."""
+    Returns (id_col, n_eval_grams_hit) for contaminated docs only.
+
+    With ``broadcast_eval`` the blocklist's fits-a-broadcast contract is
+    checked loudly first (guards.assert_broadcastable — the same contract
+    the LM model tables carry): an eval corpus too big to broadcast
+    raises naming the remedy (``broadcast_eval=False``) instead of
+    OOMing executors mid-join. The guard's materialization is reused via
+    localCheckpoint, so the check costs one blocklist-sized aggregate."""
     grams = eval_ngram_set(eval_df, text_col, n)
     if broadcast_eval:
-        grams = F.broadcast(grams)
+        from bbt_etl_dw_spark.operators.guards import assert_broadcastable
+
+        grams = F.broadcast(
+            assert_broadcastable(
+                grams.localCheckpoint(),
+                "decontamination eval n-gram blocklist",
+                "pass broadcast_eval=False (shuffle join) or raise n / "
+                "shrink the eval corpus",
+            )
+        )
     exploded = train.select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
     )

@@ -16,6 +16,10 @@ MERGEABLE aggregates:
   scratch* an equality, not an approximation: float partial sums would
   drift with batch boundaries.
 - ``min`` / ``max`` — per-batch extrema; merged by MIN/MAX
+- ``argmin`` / ``argmax`` — the payload at the key's extreme order
+  value, as struct(ord, payload) partials merged by struct MIN/MAX.
+  ``argmax`` over an event-time column is an incrementally-maintained
+  latest-state (SCD-type-1 current) view per key.
 - ``avg`` is DERIVED at read time from sum + count (never stored — a
   stored mean cannot merge)
 
@@ -40,8 +44,15 @@ from pyspark.sql import functions as F
 
 from bbt_etl_dw_spark.functions.numeric import _dec, _dec_to_double
 
-# spec: {out_col: ("count", None) | ("sum"|"min"|"max", in_col)}
-_FNS = ("count", "sum", "min", "max")
+# spec: {out_col: ("count", None) | ("sum"|"min"|"max", in_col)
+#        | ("argmin"|"argmax", (order_col, payload_col))}
+# argmin/argmax keep the PAYLOAD at the key's extreme order value — the
+# mergeable form of "latest state per key" (argmax over an event-time
+# column is an incrementally-maintained SCD-type-1 current view; history
+# is never re-scanned to refresh it). Partials store struct(ord, payload)
+# and merge by struct MIN/MAX, whose field-order comparison makes the
+# payload itself the deterministic tie-break.
+_FNS = ("count", "sum", "min", "max", "argmin", "argmax")
 
 
 def _check_specs(specs: dict[str, tuple[str, str | None]]) -> None:
@@ -51,7 +62,13 @@ def _check_specs(specs: dict[str, tuple[str, str | None]]) -> None:
                 f"summary column {out!r}: {fn!r} is not mergeable — "
                 f"supported: {_FNS} (derive avg from sum+count at read)"
             )
-        if fn != "count" and col is None:
+        if fn in ("argmin", "argmax"):
+            if not (isinstance(col, tuple) and len(col) == 2):
+                raise ValueError(
+                    f"summary column {out!r}: {fn} needs an "
+                    f"(order_col, payload_col) pair"
+                )
+        elif fn != "count" and col is None:
             raise ValueError(f"summary column {out!r}: {fn} needs a column")
 
 
@@ -72,8 +89,21 @@ def partial_summary(
             aggs.append(F.sum(_dec(F.col(col))).alias(out))
         elif fn == "min":
             aggs.append(F.min(col).alias(out))
-        else:
+        elif fn == "max":
             aggs.append(F.max(col).alias(out))
+        else:  # argmin / argmax: struct extremum keeps ord + payload
+            ord_col, payload_col = col
+            pair = F.when(
+                # null order = no position in the ordering: such rows
+                # must not win (a null struct FIELD would sort first and
+                # hijack argmin); a null STRUCT is skipped by min/max
+                F.col(ord_col).isNotNull(),
+                F.struct(
+                    F.col(ord_col).alias("o"), F.col(payload_col).alias("p")
+                ),
+            )
+            agg = F.min(pair) if fn == "argmin" else F.max(pair)
+            aggs.append(agg.alias(out))
     return batch.groupBy(*keys).agg(*aggs)
 
 
@@ -129,9 +159,11 @@ def streaming_summary(
 def _merge_aggs(
     specs: dict[str, tuple[str, str | None]], keep_decimal: bool = False
 ) -> list:
-    """Fold expressions over partial rows. ``keep_decimal`` leaves sums
-    in decimal (for re-writing a compacted log that will keep merging
-    exactly); the default casts them to double at the read boundary."""
+    """Fold expressions over partial rows. ``keep_decimal`` keeps the
+    LOG form (sums in decimal, argmin/argmax as packed structs) for
+    re-writing a compacted log that will keep merging exactly; the
+    default produces the READ form (sums as double, arg payloads
+    unpacked)."""
     aggs = []
     for out, (fn, _col) in specs.items():
         if fn == "count":
@@ -143,8 +175,12 @@ def _merge_aggs(
             aggs.append((s if keep_decimal else _dec_to_double(s)).alias(out))
         elif fn == "min":
             aggs.append(F.min(out).alias(out))
-        else:
+        elif fn == "max":
             aggs.append(F.max(out).alias(out))
+        else:  # argmin/argmax: merge the struct partials; unpack the
+            # payload at the read boundary, keep the struct in a fold
+            m = F.min(out) if fn == "argmin" else F.max(out)
+            aggs.append((m if keep_decimal else m["p"]).alias(out))
     return aggs
 
 

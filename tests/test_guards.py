@@ -100,3 +100,28 @@ def test_lm_broadcast_guard_trips_loudly(spark):
             oov_rate_vs_reference(docs, docs)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_decontam_blocklist_guard_trips_loudly(spark):
+    """The decontamination blocklist carries the same fits-a-broadcast
+    contract as the LM models: an over-budget eval n-gram set raises
+    naming the broadcast_eval=False remedy instead of OOMing the join."""
+    from bbt_etl_dw_spark.operators.decontam import contamination_hits
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    assert contamination_hits(docs, docs, n=4).count() > 0  # happy path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100b")
+    try:
+        with pytest.raises(CardinalityError, match="blocklist.*broadcast_eval"):
+            contamination_hits(docs, docs, n=4)
+        # the documented remedy path still works under the tiny threshold
+        assert contamination_hits(docs, docs, n=4, broadcast_eval=False).count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

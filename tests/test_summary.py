@@ -143,3 +143,50 @@ def test_streaming_log_replay_and_fold(spark, tmp_path):
     # the atomic-swap staging dir does not linger
     import os
     assert not os.path.exists(path + ".__staging__")
+
+
+def test_argmax_latest_state_view(spark, tmp_path):
+    """argmax over event time = an incrementally-maintained latest-state
+    (SCD-type-1 current) view: correct across batch boundaries, through
+    compaction, under replay, and with null order values excluded."""
+    path = str(tmp_path / "state")
+    specs = {
+        "n": ("count", None),
+        "latest": ("argmax", ("ts", "payload")),
+        "earliest": ("argmin", ("ts", "payload")),
+    }
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k int, ts int, payload string")
+
+    append_summary_batch(
+        batch([(1, 10, "a"), (1, 30, "c"), (2, 5, "x"), (3, None, "dropme")]),
+        path, ["k"], specs, epoch_id=0,
+    )
+    append_summary_batch(
+        batch([(1, 20, "b"), (2, 50, "y"), (3, 1, "z")]),
+        path, ["k"], specs, epoch_id=1,
+    )
+    # replay epoch 1: no effect
+    append_summary_batch(
+        batch([(1, 20, "b"), (2, 50, "y"), (3, 1, "z")]),
+        path, ["k"], specs, epoch_id=1,
+    )
+    fold_summary(spark, path, ["k"], specs)
+    append_summary_batch(
+        batch([(2, 40, "late-but-not-latest")]), path, ["k"], specs, epoch_id=2
+    )
+    got = {
+        r["k"]: (r["n"], r["latest"], r["earliest"])
+        for r in read_summary(spark, path, ["k"], specs).collect()
+    }
+    assert got[1] == (3, "c", "a")       # argmax 30->c despite batch order
+    assert got[2] == (3, "y", "x")       # the late epoch-2 row doesn't win
+    assert got[3] == (2, "z", "z")       # null-ts row counted but never wins
+
+
+def test_argmax_rejects_bad_spec(spark):
+    with pytest.raises(ValueError, match="pair"):
+        partial_summary(
+            _events(spark, 0, 5), KEYS, {"m": ("argmax", "value")}
+        )
