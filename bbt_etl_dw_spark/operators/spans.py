@@ -172,33 +172,25 @@ def span_corpus_index(
 
 def _merge_windows_to_spans(dup_windows: DataFrame, n: int) -> DataFrame:
     """Gaps-and-islands merge of duplicated windows (doc_id, pos) into
-    maximal spans — shared by the full-corpus and incremental paths."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    maximal spans — shared by the full-corpus and incremental paths.
+    Delegates to the general operator (operators/intervals.py): a window
+    at token ``pos`` covers [pos, pos+n-1], and runs merge when
+    consecutive window starts are within n of each other — i.e. interval
+    touch with gap=1 (pos > frontier + 1 breaks, identical to the
+    original pos > prev + n test since frontier = prev + n - 1 under
+    fixed width)."""
+    from bbt_etl_dw_spark.operators.intervals import merge_intervals
+
+    ivals = dup_windows.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("w_start"),
+        (F.col("pos") + (n - 1)).cast("long").alias("w_end"),
     )
-    islands = (
-        dup_windows.withColumn("prev", F.lag("pos").over(w))
-        .withColumn(
-            "brk",
-            F.when(
-                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + n), 1
-            ).otherwise(0),
-        )
-        .withColumn("island", F.sum("brk").over(run))
-    )
-    return (
-        islands.groupBy("doc_id", "island")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
-        )
-        .select(
-            "doc_id",
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
-        )
+    return merge_intervals(ivals, ["doc_id"], "w_start", "w_end", gap=1).select(
+        "doc_id",
+        F.col("island_start").alias("span_start"),
+        F.col("island_end").alias("span_end"),
+        (F.col("island_end") - F.col("island_start") + 1).alias("span_tokens"),
     )
 
 
