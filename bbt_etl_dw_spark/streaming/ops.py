@@ -252,6 +252,52 @@ def read_epoch_sink(spark: SparkSession, path: str) -> DataFrame:
     return df.drop("epoch") if "epoch" in df.columns else df
 
 
+def compact_epochs(
+    spark: SparkSession,
+    path: str,
+    upto_epoch: int,
+    files_per_epoch: int | None = 1,
+) -> int:
+    """Fold an idempotent sink's epoch partitions ``<= upto_epoch`` into
+    the reserved ``epoch=-1`` baseline — the retention companion of the
+    exactly-once ingest: without it a long-lived stream accumulates one
+    partition directory (and its small files) per micro-batch forever,
+    and at 100 TB partition-listing cost alone would dominate reads.
+
+    The rewrite is one atomic full-table swap
+    (sources/parquet.overwrite_atomic): replacing SOME partitions while
+    deleting others cannot be atomic on plain parquet, so the crash
+    outcome here is always the intact old layout, never duplicates.
+    ``files_per_epoch`` coalesces the baseline (compaction exists to
+    shrink file counts; None keeps the natural layout). Coordination
+    contract — same as fold_summary: no concurrent writer, and the
+    stream's checkpoint must be committed PAST ``upto_epoch`` (a folded
+    epoch replayed later would re-add its rows beside the baseline).
+    Returns the number of epochs folded."""
+    from bbt_etl_dw_spark.sources.parquet import overwrite_atomic
+
+    df = spark.read.parquet(path)
+    if "epoch" not in df.columns:
+        raise ValueError(f"{path} is not an epoch-partitioned sink")
+    folded_epochs = [
+        r["epoch"]
+        for r in df.select("epoch").distinct().collect()
+        if r["epoch"] != -1 and r["epoch"] <= upto_epoch
+    ]
+    if not folded_epochs:
+        return 0
+    staged = df.withColumn(
+        "epoch",
+        F.when(F.col("epoch") <= upto_epoch, F.lit(-1)).otherwise(
+            F.col("epoch")
+        ),
+    )
+    if files_per_epoch:
+        staged = staged.repartition(files_per_epoch, "epoch")
+    overwrite_atomic(staged, path, partition_by=("epoch",))
+    return len(folded_epochs)
+
+
 def _read_ingest_index(
     spark: SparkSession,
     path: str,

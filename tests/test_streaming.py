@@ -952,3 +952,44 @@ def test_ingest_probe_ignores_uncommitted_dirs_and_epoch_is_reserved(
         _epoch_write(df, str(tmp_path / "sink"), 0, idempotent=True)
     with pytest.raises(ValueError, match="reserve.*epoch"):
         _epoch_write(df, str(tmp_path / "sink"), 0, idempotent=False)
+
+
+def test_compact_epochs_folds_baseline_and_preserves_rows(spark, tmp_path):
+    """Epoch compaction: partitions <= the committed watermark fold into
+    the reserved epoch=-1 baseline atomically; newer epochs and row
+    content are untouched; a second compaction at the same watermark is
+    a no-op; file/partition count actually shrinks (the operational
+    point)."""
+    import os
+
+    from bbt_etl_dw_spark.streaming.ops import (
+        _epoch_write,
+        compact_epochs,
+        read_epoch_sink,
+    )
+
+    path = str(tmp_path / "sink")
+    for eid in range(4):
+        df = spark.range(eid * 10, eid * 10 + 10).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+        )
+        _epoch_write(df, path, eid, idempotent=True)
+    before = sorted(r.doc_id for r in read_epoch_sink(spark, path).collect())
+
+    assert compact_epochs(spark, path, upto_epoch=2) == 3
+    after_epochs = {
+        r["epoch"]
+        for r in spark.read.parquet(path).select("epoch").distinct().collect()
+    }
+    assert after_epochs == {-1, 3}
+    assert sorted(r.doc_id for r in read_epoch_sink(spark, path).collect()) == before
+    assert compact_epochs(spark, path, upto_epoch=2) == 0  # idempotent
+    assert not os.path.exists(path + ".__staging__")
+    # epoch 3 still replaceable by a replay after compaction
+    df3 = spark.range(30, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+    )
+    _epoch_write(df3, path, 3, idempotent=True)
+    assert sorted(r.doc_id for r in read_epoch_sink(spark, path).collect()) == before
