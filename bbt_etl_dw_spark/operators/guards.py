@@ -96,12 +96,25 @@ def assert_row_ratio(
     return out
 
 
+# Guarded frames below this size are categorically broadcast-safe: the
+# session's autoBroadcastJoinThreshold governs the OPTIMIZER's automatic
+# choice, not explicit broadcast() hints — an admin setting a tiny (or
+# -1) auto threshold is steering the planner, not banning kilobyte-scale
+# hinted broadcasts. Without the floor, a conservative cluster conf
+# would fail every model/blocklist guard in the engine (found by
+# driver_sim --hostile-confs with a 1KB threshold). Tests shrink this to
+# exercise the trip path.
+GUARD_FLOOR_BYTES = 32 << 20  # 32 MB
+
+
 def _session_broadcast_cap(spark) -> int:
-    """The session's autoBroadcastJoinThreshold in bytes. A disabled
-    threshold (-1) only turns off AUTOMATIC broadcast selection — explicit
-    broadcast() hints still build a hash relation, bounded by Spark's hard
-    8 GB / 512M-row relation limit — so the guard falls back to that hard
-    limit rather than going silent."""
+    """The broadcast budget in bytes: the session's
+    autoBroadcastJoinThreshold, never below :data:`GUARD_FLOOR_BYTES`
+    (see its comment). A disabled threshold (-1) only turns off
+    AUTOMATIC broadcast selection — explicit broadcast() hints still
+    build a hash relation, bounded by Spark's hard 8 GB / 512M-row
+    relation limit — so the guard falls back to that hard limit rather
+    than going silent."""
     raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
     s = raw.strip().lower()
     mult = 1
@@ -116,7 +129,7 @@ def _session_broadcast_cap(spark) -> int:
         n = int(float(s)) * mult
     except ValueError:
         n = 10 << 20
-    return n if n > 0 else 8 << 30
+    return max(n, GUARD_FLOOR_BYTES) if n > 0 else 8 << 30
 
 
 def assert_broadcastable(

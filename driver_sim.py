@@ -45,6 +45,16 @@ def main() -> int:
         help="start the session on a non-UTC session timezone "
         "(session.tune must neutralize it at the scan)",
     )
+    ap.add_argument(
+        "--hostile-confs",
+        action="store_true",
+        help="adversarial session confs BEYOND timezone: case-sensitive "
+        "analysis, a prime shuffle-partition count (flushes out any "
+        "partitioning-dependent result), and a tiny broadcast threshold "
+        "(every auto-broadcast join degrades to a shuffle join — results "
+        "must not depend on join strategy). The real driver builds its "
+        "own session; this fuzzes the confs it might legitimately hold.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,6 +69,12 @@ def main() -> int:
     )
     if args.hostile_tz:
         builder = builder.config("spark.sql.session.timeZone", "America/Anchorage")
+    if args.hostile_confs:
+        builder = (
+            builder.config("spark.sql.caseSensitive", "true")
+            .config("spark.sql.shuffle.partitions", "7")
+            .config("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        )
     spark = builder.getOrCreate()
     qs = entry.queries()
     oracles = entry.oracle_sql()

@@ -90,9 +90,16 @@ def test_lm_broadcast_guard_trips_loudly(spark):
     # happy path: default threshold, both scorers run
     assert score_char_lm(docs, *model).count() == 20
     assert oov_rate_vs_reference(docs, docs).count() == 20
-    # hostile threshold: both scorers refuse the broadcast loudly
+    # hostile threshold: both scorers refuse the broadcast loudly.
+    # (The guard floor is shrunk for the test — in production sub-32MB
+    # frames are categorically safe regardless of the auto threshold,
+    # which governs the optimizer, not explicit hints.)
+    import bbt_etl_dw_spark.operators.guards as guards
+
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_floor = guards.GUARD_FLOOR_BYTES
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100b")
+    guards.GUARD_FLOOR_BYTES = 1
     try:
         with pytest.raises(CardinalityError, match="char-LM"):
             score_char_lm(docs, *model)
@@ -100,6 +107,7 @@ def test_lm_broadcast_guard_trips_loudly(spark):
             oov_rate_vs_reference(docs, docs)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        guards.GUARD_FLOOR_BYTES = prev_floor
 
 
 def test_decontam_blocklist_guard_trips_loudly(spark):
@@ -116,8 +124,12 @@ def test_decontam_blocklist_guard_trips_loudly(spark):
         ).alias("text"),
     )
     assert contamination_hits(docs, docs, n=4).count() > 0  # happy path
+    import bbt_etl_dw_spark.operators.guards as guards
+
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_floor = guards.GUARD_FLOOR_BYTES
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100b")
+    guards.GUARD_FLOOR_BYTES = 1
     try:
         with pytest.raises(CardinalityError, match="blocklist.*broadcast_eval"):
             contamination_hits(docs, docs, n=4)
@@ -125,3 +137,22 @@ def test_decontam_blocklist_guard_trips_loudly(spark):
         assert contamination_hits(docs, docs, n=4, broadcast_eval=False).count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        guards.GUARD_FLOOR_BYTES = prev_floor
+
+
+def test_guard_floor_keeps_small_frames_safe_under_tiny_threshold(spark):
+    """A conservative cluster threshold (1KB / -1) steers the optimizer;
+    it must NOT make kilobyte-scale hinted broadcasts fail the guard —
+    the regression driver_sim --hostile-confs caught."""
+    from bbt_etl_dw_spark.operators.guards import assert_broadcastable
+
+    df = spark.range(100).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("s")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    for hostile in ("1KB", "-1"):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", hostile)
+        try:
+            assert_broadcastable(df, "small model")  # must not raise
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
