@@ -451,13 +451,20 @@ def read_first_event_dim(spark, dim_path: str) -> DataFrame:
 
 
 def fold_first_event_dim(spark, dim_path: str) -> int:
-    """Compact the candidate log in place: rewrite ``dim_path`` as one
-    row per user. Returns the folded row count. Run when the appended
-    file count makes the read-side fold noticeable (the usual log +
-    periodic-compaction lifecycle, same as sources/compact.py)."""
+    """Compact the candidate log: rewrite ``dim_path`` as one row per
+    user. Returns the folded row count. Run when the appended file count
+    makes the read-side fold noticeable (the usual log + periodic-
+    compaction lifecycle, same as sources/compact.py). The rewrite is a
+    staging-write-then-swap (sources/parquet.overwrite_atomic): a plain
+    in-place overwrite deletes the log FIRST, so a mid-write failure —
+    or losing the executor holding the localCheckpoint blocks — would
+    destroy the only copy. Run with no concurrent appender (an append
+    landing between read and swap is lost with the old layout)."""
+    from bbt_etl_dw_spark.sources.parquet import overwrite_atomic
+
     folded = read_first_event_dim(spark, dim_path).localCheckpoint()
     n = folded.count()
-    folded.write.mode("overwrite").parquet(dim_path)
+    overwrite_atomic(folded, dim_path)
     return n
 
 
