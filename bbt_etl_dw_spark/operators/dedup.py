@@ -152,6 +152,15 @@ def minhash_band_keys(
     mass, and reproducible by the SQL oracle, unlike xxhash64), computed
     in the fold's finish lambda so the signature is an evaluated array,
     never a re-inlined expression."""
+    if not (1 <= bands <= num_hashes) or num_hashes % bands != 0:
+        # bands > num_hashes gives rows=0: every band key is md5('') and
+        # ALL docs collide into one bucket per band — on a big corpus the
+        # bucket-size cap then drops it and LSH silently finds NOTHING;
+        # a non-dividing value silently ignores trailing signature slots.
+        raise ValueError(
+            f"minhash bands={bands} must divide num_hashes={num_hashes} "
+            f"(rows-per-band = num_hashes/bands must be a whole number >= 1)"
+        )
     rows = num_hashes // bands
 
     def finish(sig: Column) -> Column:
@@ -907,6 +916,7 @@ def cosine_near_dups(
     from bbt_etl_dw_spark.operators.similarity import (
         _infer_dims,
         dot_expr,
+        fast_dot_expr,
         hyperplane_signature,
         norm_expr,
     )
@@ -955,11 +965,7 @@ def cosine_near_dups(
         ),
         "id_b",
     )
-    fast_dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    fast_dot = fast_dot_expr(F.col("va"), F.col("vb"))
     return (
         cand.filter(fast_dot / (F.col("na") * F.col("nb")) >= threshold - 1e-9)
         .select(

@@ -160,21 +160,26 @@ def apply_changes(
     # partition columns, e.g. 1e-7 → '1e-07' vs '1.0E-7', so a stale
     # directory would survive).
     affected_rows = (
-        sides.filter(F.col("p").isNotNull())
-        .distinct()
-        .select("p", F.col("p").cast("string").alias("ps"))
-        .collect()
+        sides.distinct().select("p", F.col("p").cast("string").alias("ps")).collect()
     )
-    affected = [r["p"] for r in affected_rows]
-    affected_str = {r["ps"] for r in affected_rows}
-    if not affected:
+    # NULL partition values are REAL: they live in __HIVE_DEFAULT_PARTITION__
+    # and must be pruned-for, rewritten, and cleaned up like any other value
+    # (dropping them silently skipped deletes there — and an upsert landing
+    # in the NULL partition would dynamic-overwrite away its survivors).
+    affected = [r["p"] for r in affected_rows if r["p"] is not None]
+    has_null_part = any(r["p"] is None for r in affected_rows)
+    affected_str = {r["ps"] for r in affected_rows}  # None stands for NULL
+    if not affected and not has_null_part:
         return
 
     touched_keys = changes.filter(F.col("op").isin("delete", "update")).select(*keys)
     upserts = changes.filter(F.col("op").isin("insert", "update")).select(
         *[F.col(change_side(c, "new_")).alias(c) for c in names]
     )
-    survivors = target.filter(F.col(part_col).isin(affected)).join(
+    part_pred = F.col(part_col).isin(affected) if affected else F.lit(False)
+    if has_null_part:
+        part_pred = part_pred | F.col(part_col).isNull()
+    survivors = target.filter(part_pred).join(
         F.broadcast(touched_keys), on=list(keys), how="left_anti"
     )
     out = survivors.unionByName(upserts).localCheckpoint()

@@ -72,7 +72,12 @@ def scd2_merge(
     inc_keyed = inc.select(
         *[F.col(c).alias(f"__k_{c}") for c in key], F.col("__h").alias("__h_inc")
     )
-    cond = [live[c] == inc_keyed[f"__k_{c}"] for c in key]
+    # Null-safe key equality: a live row with a NULL natural-key column
+    # would never equi-join its incoming twin, so EVERY merge would
+    # expire it and re-insert it — one spurious closed version per run,
+    # forever (review finding). eqNullSafe (<=>) is still a hash-joinable
+    # equi-key, so the plan shape is unchanged.
+    cond = [live[c].eqNullSafe(inc_keyed[f"__k_{c}"]) for c in key]
     live_vs_inc = live.join(inc_keyed, cond, "left")
 
     unchanged = live_vs_inc.filter(
@@ -91,7 +96,7 @@ def scd2_merge(
     live_keyed = live.select(
         *[F.col(c).alias(f"__k_{c}") for c in key], F.col("__h").alias("__h_cur")
     )
-    cond2 = [inc[c] == live_keyed[f"__k_{c}"] for c in key]
+    cond2 = [inc[c].eqNullSafe(live_keyed[f"__k_{c}"]) for c in key]
     inserts = (
         inc.join(live_keyed, cond2, "left")
         .filter(F.col("__h_cur").isNull() | (F.col("__h") != F.col("__h_cur")))

@@ -17,9 +17,8 @@
   parallelism), inverted lists by nearest centroid, nprobe-list probing
   with exact re-rank.
 
-Dot products fold into DECIMAL(38,18) via the string-mediated conversion
-(see functions/numeric.py) so sums are order-independent and match the
-SQL oracle bit-for-bit.
+Dot products fold into an exact decimal accumulator (see ``DEC`` below)
+so sums are order-independent and match the SQL oracle bit-for-bit.
 """
 
 from __future__ import annotations
@@ -29,12 +28,18 @@ from pyspark.sql import functions as F
 
 from bbt_etl_dw_spark.operators.textstats import bind_once
 
-# Fold accumulator: 7 integer digits / 18 fractional. Spark's decimal
+# Fold accumulator: 17 integer digits / 18 fractional. Spark's decimal
 # addition widens precision and SHRINKS scale when p would exceed 38
 # ((38,18)+(38,18) -> (38,17), silently rounding the 18th digit), so the
-# fold keeps precision low enough that each add stays exact and casts back
-# to the declared type losslessly. |element products| < 1e7 by contract.
-DEC = "decimal(25,18)"
+# fold keeps precision low enough that each add stays exact ((35,18)+
+# (35,18) -> (36,18), within 38) and casts back to the declared type
+# losslessly while |running total| < 1e17. The previous (25,18)
+# accumulator overflowed to NULL at a 1e7 RUNNING SUM — un-normalized
+# 64-dim vectors with ~1e3 elements hit that legitimately (review
+# finding), and a NULL dot silently drops pairs. DuckDB's oracle-side
+# SUM promotes its own accumulator to (38,18), so both engines are now
+# exact to 1e17.
+DEC = "decimal(35,18)"
 
 
 def _dec_fold_sum(arr: Column) -> Column:
@@ -53,6 +58,21 @@ def _dec_fold_sum(arr: Column) -> Column:
 
 def dot_expr(a: Column, b: Column) -> Column:
     return _dec_fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def fast_dot_expr(a: Column, b: Column) -> Column:
+    """Native-double dot product — the PRE-SCREEN twin of :func:`dot_expr`
+    (the exact-decimal fold costs ~10x a double fold). Sequential double
+    summation of n products has relative error <= n*eps (~1.4e-14 at
+    n=64), so a ``>= threshold - 1e-9`` screen cannot drop a pair whose
+    exact cosine passes; the exact fold then decides. Shared by every
+    prescreen site so the fold and its error-margin contract cannot
+    drift apart."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def norm_expr(a: Column) -> Column:
@@ -169,17 +189,23 @@ def hyperplane_signature(
     out = plane_bit(0)
     for p in range(1, planes):
         out = out.bitwiseOR(plane_bit(p))
-    return F.when(F.size(vec) == dims, out).otherwise(
+    # NULL vectors carry no geometry: their signature is NULL and the row
+    # drops out of bucketing naturally (same policy as _infer_dims, which
+    # documents NULLs as expected in valid corpora) — without this branch
+    # the size guard's NULL comparison fell through to raise_error, whose
+    # message itself concat'd to NULL (review finding).
+    checked = F.when(F.size(vec) == dims, out).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
                     f"hyperplane_signature: expected {dims}-dim vectors, got "
                 ),
-                F.size(vec).cast("string"),
+                F.coalesce(F.size(vec).cast("string"), F.lit("NULL")),
                 F.lit(" — pass the correct dims="),
             )
         ).cast("long")
     )
+    return F.when(vec.isNull(), F.lit(None).cast("long")).otherwise(checked)
 
 
 def lsh_topk(
@@ -199,14 +225,18 @@ def lsh_topk(
     candidate pair is scored iff it collides in >=1 table. For per-plane
     collision prob p = 1 - θ/π, recall is 1-(1-p^planes)^tables — tables
     drive recall up, planes drive candidate-set size down. At scale this is
-    one explode (tables× row fan-out), one shuffle on (table, bucket), a
-    pair-dedup, and a per-query top-k window over candidates only — never
-    the O(N·Q) full cross product."""
+    one explode (tables× row fan-out) of SKINNY (id, tbl, bucket) rows,
+    one shuffle on (table, bucket), a pair-dedup, then ONE id-join to
+    attach vectors to the surviving candidates for exact re-rank — never
+    the O(N·Q) full cross product, and never the vectors through the
+    tables× fan-out (the same skinny-bucket shape as
+    dedup.cosine_near_dups: carrying embeddings through the explode
+    multiplied shuffle IO by ~tables, review finding)."""
     if dims is None:
         dims = _infer_dims(corpus, vec_col)
+    v = F.col(vec_col).cast("array<double>")
 
-    def with_buckets(df: DataFrame, in_id: str, out_id: str, vec_alias: str) -> DataFrame:
-        v = F.col(vec_col).cast("array<double>")
+    def keyed_buckets(df: DataFrame, in_id: str, out_id: str) -> DataFrame:
         sigs = F.array(
             *[
                 F.struct(
@@ -216,15 +246,21 @@ def lsh_topk(
                 for t in range(tables)
             ]
         )
-        return df.select(
-            F.col(in_id).alias(out_id), v.alias(vec_alias), F.explode(sigs).alias("s")
-        ).select(out_id, vec_alias, F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+        return df.select(F.col(in_id).alias(out_id), F.explode(sigs).alias("s")).select(
+            out_id, F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket")
+        )
 
-    c = with_buckets(corpus, id_col, "corpus_id", "cv")
-    q = with_buckets(queries, query_id_col, "query_id", "qv")
+    cands = (
+        keyed_buckets(corpus, id_col, "corpus_id")
+        .join(keyed_buckets(queries, query_id_col, "query_id"), ["tbl", "bucket"])
+        .select("query_id", "corpus_id")
+        .dropDuplicates()  # collide in >=1 table => score once
+    )
+    cvecs = corpus.select(F.col(id_col).alias("corpus_id"), v.alias("cv"))
+    qvecs = queries.select(F.col(query_id_col).alias("query_id"), v.alias("qv"))
     scored = (
-        c.join(q, ["tbl", "bucket"])
-        .dropDuplicates(["query_id", "corpus_id"])  # collide in >=1 table => score once
+        cands.join(F.broadcast(qvecs), "query_id")
+        .join(cvecs, "corpus_id")
         .select(
             "query_id", "corpus_id", cosine_expr(F.col("cv"), F.col("qv")).alias("cosine")
         )
@@ -353,11 +389,21 @@ def ivf_centroids(
     v = F.col(vec_col).cast("array<double>")
     seeds = (
         corpus.select(F.col(id_col).alias("sid"), v.alias("sv"))
+        .filter(v.isNotNull())  # NULL vectors carry no geometry
         .orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
         .limit(nlist)
         .collect()
     )
+    if not seeds:
+        raise ValueError(
+            "ivf_centroids: corpus has no non-null vectors to seed from"
+        )
     centroids = [list(r["sv"]) for r in seeds]
+    # A corpus with fewer (non-null) rows than nlist trains with what it
+    # has — the old code indexed centroids[j] for j up to nlist and threw
+    # IndexError (review finding). Every list still gets a centroid; the
+    # model simply has fewer lists than requested.
+    nlist = len(centroids)
     from bbt_etl_dw_spark.functions.numeric import davg
 
     for _ in range(iters):
@@ -445,11 +491,7 @@ def exact_cosine_pairs(
     # it, so run it only on pairs the cheap screen keeps. Sequential double
     # summation of 64 products has relative error <= 64*eps ~ 1.4e-14 —
     # the 1e-9 margin cannot drop a pair whose exact cosine passes.
-    fast_dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    fast_dot = fast_dot_expr(F.col("a.v"), F.col("b.v"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(fast_dot / (F.col("a.nrm") * F.col("b.nrm")) >= threshold - 1e-9)
@@ -545,11 +587,7 @@ def semantic_dedup(
     ).withColumn("nrm", norm_expr(F.col("v")))
 
     a, b = assigned.alias("a"), assigned.alias("b")
-    fast_dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    fast_dot = fast_dot_expr(F.col("a.v"), F.col("b.v"))
     victims = (
         a.join(
             b,
@@ -614,11 +652,7 @@ def incremental_semantic_dedup(
     b = semantic_index(batch, centroids, id_col, vec_col)
 
     def _near(left, right):
-        fast_dot = F.aggregate(
-            F.zip_with(F.col(f"{left}.v"), F.col(f"{right}.v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        fast_dot = fast_dot_expr(F.col(f"{left}.v"), F.col(f"{right}.v"))
         nn = F.col(f"{left}.nrm") * F.col(f"{right}.nrm")
         return (fast_dot / nn >= threshold - 1e-9) & (
             dot_expr(F.col(f"{left}.v"), F.col(f"{right}.v")) / nn >= threshold

@@ -24,7 +24,7 @@ from bbt_etl_dw_spark.suite import zsum as _zsum
 # operators/similarity._dec_fold_sum) — see functions/numeric.py for why
 # every conversion is string-mediated.
 _DOT_SQL = (
-    "CAST(CAST(SUM(TRY_CAST(CAST(p AS VARCHAR) AS DECIMAL(25,18))) AS VARCHAR) AS DOUBLE)"
+    "CAST(CAST(SUM(TRY_CAST(CAST(p AS VARCHAR) AS DECIMAL(35,18))) AS VARCHAR) AS DOUBLE)"
 )
 
 
@@ -64,8 +64,8 @@ WITH q AS (
 ), scored AS (
     SELECT query_id, corpus_id,
            {_DOT_SQL} /
-           (sqrt(CAST(CAST(SUM(TRY_CAST(CAST(pc AS VARCHAR) AS DECIMAL(25,18))) AS VARCHAR) AS DOUBLE))
-            * sqrt(CAST(CAST(SUM(TRY_CAST(CAST(pq AS VARCHAR) AS DECIMAL(25,18))) AS VARCHAR) AS DOUBLE))) AS cosine
+           (sqrt(CAST(CAST(SUM(TRY_CAST(CAST(pc AS VARCHAR) AS DECIMAL(35,18))) AS VARCHAR) AS DOUBLE))
+            * sqrt(CAST(CAST(SUM(TRY_CAST(CAST(pq AS VARCHAR) AS DECIMAL(35,18))) AS VARCHAR) AS DOUBLE))) AS cosine
     FROM pairs GROUP BY query_id, corpus_id
 ), ranked AS (
     SELECT query_id, corpus_id, cosine,
@@ -102,7 +102,7 @@ def _dsum(expr: str) -> str:
     """Exact decimal sum of a double expression, as double (the SQL twin
     of operators/similarity._dec_fold_sum — string-mediated both ways)."""
     return (
-        f"CAST(CAST(SUM(TRY_CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(25,18)))"
+        f"CAST(CAST(SUM(TRY_CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(35,18)))"
         " AS VARCHAR) AS DOUBLE)"
     )
 

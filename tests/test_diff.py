@@ -317,3 +317,60 @@ def test_apply_changes_float_partition_value_cleanup(spark, tmp_path):
     assert "part=1.0E-7" not in dirs, dirs
     got = [tuple(r) for r in spark.read.parquet(target).selectExpr("k", "name", "part").collect()]
     assert got == [(2, "y", 0.5)]
+
+
+def test_apply_changes_null_partition_values(spark, tmp_path):
+    """NULL partition values (__HIVE_DEFAULT_PARTITION__) are first-class
+    (review finding): an upsert landing there must not wipe its
+    survivors, deletes there must actually apply, a change set touching
+    ONLY the NULL partition must not be dropped, and the directory is
+    cleaned up when it empties."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.diff import apply_changes, snapshot_diff
+
+    target = str(tmp_path / "dim")
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0, None),  # null partition, survivor
+            (2, "b", 20.0, None),  # null partition, will update
+            (3, "c", 30.0, "p1"),
+        ],
+        "k long, name string, v double, part string",
+    )
+    old.write.partitionBy("part").parquet(target)
+
+    # change set touching ONLY the null partition
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0, None),   # unchanged survivor
+            (2, "b", 21.0, None),   # update in place
+            (3, "c", 30.0, "p1"),   # untouched
+            (4, "d", 40.0, None),   # insert into null partition
+        ],
+        "k long, name string, v double, part string",
+    )
+    apply_changes(
+        spark, target, snapshot_diff(old, new, keys=["k"]),
+        keys=["k"], part_col="part",
+    )
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(target)
+        .select("k", "name", "v", F.col("part").cast("string"))
+        .collect()
+    }
+    assert got == {tuple(r) for r in new.collect()}
+
+    # now delete every null-partition row: directory must disappear
+    final = new.filter(F.col("part").isNotNull())
+    apply_changes(
+        spark, target, snapshot_diff(new, final, keys=["k"]),
+        keys=["k"], part_col="part",
+    )
+    assert {tuple(r) for r in spark.read.parquet(target).select("k").collect()} == {(3,)}
+    assert not os.path.exists(
+        os.path.join(target, "part=__HIVE_DEFAULT_PARTITION__")
+    )

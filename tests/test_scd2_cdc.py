@@ -154,3 +154,40 @@ def test_cdc_scd2_equals_merge_on_random_evolutions(spark):
 
 
 SCHEMA_R = "k long, tracked string, untracked string"
+
+
+def test_scd2_merge_null_natural_key_is_stable(spark):
+    """Review finding: a live row with a NULL natural key never equi-
+    joined its incoming twin, so every merge expired AND re-inserted it —
+    one spurious closed version per run, forever. With null-safe key
+    equality an unchanged null-key row is simply unchanged."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.scd2 import scd2_init, scd2_merge
+
+    base = spark.createDataFrame(
+        [(None, "nullkey", 1.0), (1, "one", 2.0)],
+        "k int, name string, v double",
+    )
+    dim = scd2_init(base, asof=datetime.date(2024, 1, 1))
+    out = scd2_merge(
+        dim, base, natural_key=["k"], tracked_cols=["name", "v"],
+        asof=datetime.date(2024, 2, 1),
+    )
+    # identical snapshot: nothing expires, nothing inserts, ever
+    assert out.count() == 2
+    assert out.filter(~F.col("is_current")).count() == 0
+    # a real change to the null-key row versions it exactly once
+    changed = spark.createDataFrame(
+        [(None, "nullkey", 9.0), (1, "one", 2.0)],
+        "k int, name string, v double",
+    )
+    out2 = scd2_merge(
+        out, changed, natural_key=["k"], tracked_cols=["name", "v"],
+        asof=datetime.date(2024, 3, 1),
+    )
+    nullrows = out2.filter(F.col("k").isNull())
+    assert nullrows.count() == 2  # one closed version + one current
+    assert nullrows.filter(F.col("is_current")).collect()[0]["v"] == 9.0
