@@ -55,6 +55,17 @@ def asof_join(
     # Align schemas: left keeps all its columns, right contributes only
     # (by, on, values); the other side's exclusive columns become nulls.
     left_only = [c for c in left.columns if c not in set(by) | {on}]
+    clash = sorted(set(left_only) & set(value_cols))
+    if clash:
+        # A shared payload name would be silently nulled by the schema
+        # alignment below (left's copy nulls the right payload before the
+        # union), so every output value forward-fills NULL — e.g.
+        # re-running enrichment on an already-enriched table. Loud > null.
+        raise ValueError(
+            f"asof_join: columns {clash} exist on BOTH sides — rename or "
+            "drop the left copies (or pass explicit value_cols) before "
+            "joining"
+        )
     l_tagged = left.withColumn(_SIDE, F.lit(1)).withColumns(
         {c: F.lit(None).cast(right.schema[c].dataType) for c in value_cols}
     )

@@ -66,20 +66,43 @@ def funnel_stage_counts(
     counts = per_user.agg(
         *[F.count(c).alias(f"__c{i}") for i, c in enumerate(cols)]
     )
-    stack_args = ", ".join(
-        f"{i + 1}, '{s}', __c{i}" for i, s in enumerate(steps)
+    # unpivot via typed literals, NOT a stack() selectExpr with the step
+    # names spliced into SQL text — a quote inside an event-type string
+    # was a plan-time parse error, with user data interpreted as SQL
+    # (review finding)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"__c{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
     )
-    return counts.selectExpr(
-        f"stack({len(steps)}, {stack_args}) AS (stage_idx, stage, n_users)"
-    ).orderBy("stage_idx")
+    return (
+        counts.select(F.explode(rows).alias("r"))
+        .select("r.stage_idx", "r.stage", "r.n_users")
+        .orderBy("stage_idx")
+    )
 
 
 def week_index(ts_col: str = "ts", anchor_day: int = WEEK_ANCHOR_DAY):
     """Timezone-proof week index of a timestamp: pure integer epoch
-    arithmetic (micros → days → weeks since the Monday anchor)."""
-    return F.expr(
-        f"((unix_micros({ts_col}) div 86400000000) - {anchor_day}) div 7"
-    )
+    arithmetic (micros → days → weeks since the Monday anchor).
+
+    Both divisions are FLOOR divisions built from truncating `div` plus a
+    non-negative `pmod` remainder: bare `div` truncates toward zero, so
+    every pre-anchor timestamp (and pre-1970 days) would shift its bucket
+    — the week containing the anchor became a 13-day pseudo-week and all
+    earlier week labels were off by up to 6 days (review finding; the
+    SQL oracle's `//` truncates identically, which is why the twin
+    check could not catch it)."""
+    # floor(x/n) = (x - pmod(x, n)) div n  (numerator multiple of n)
+    micros = f"unix_micros({ts_col})"
+    day = f"(({micros}) - pmod({micros}, 86400000000)) div 86400000000"
+    wk_num = f"(({day}) - {anchor_day})"
+    return F.expr(f"(({wk_num}) - pmod({wk_num}, 7)) div 7")
 
 
 def retention_cohorts(

@@ -9,14 +9,19 @@ Scale shape (the classical two-level design):
   of magnitude smaller than the corpus at any scale.
 - Each merge iteration is: weighted adjacent-pair count over the vocab
   (map-side-combined aggregate), a 1-row argmax to the driver (bounded:
-  one (pair, count) row per iteration), and a literal string replace
-  applied to the vocab. k merges = k tiny vocab jobs, never another
-  corpus pass.
-- Pair merging uses left-to-right non-overlapping string replace on the
-  space-delimited symbol string — exactly BPE's merge semantics ("a a a"
-  merges to "aa a", the overlapping middle pair is consumed), and
-  identical in Spark's and DuckDB's ``replace``, which is what makes the
-  whole trainer oracle-replayable.
+  one (pair, count) row per iteration), and a greedy left-to-right pair
+  merge applied to the vocab's symbol arrays. k merges = k tiny vocab
+  jobs, never another corpus pass.
+- Pair merging is a SEQUENTIAL FOLD over the symbol array (greedy
+  left-to-right, non-overlapping) — exactly reference BPE's within-
+  iteration semantics, including on runs of a repeated symbol:
+  "a a a a" merges to "aa aa" in one iteration. (A space-delimited
+  string replace, the previous implementation, consumes the shared
+  boundary space between adjacent matches and merged only every OTHER
+  pair of a run — diverging from any reference BPE on 'aaaa'-like
+  words; review finding.) Per-row array folds run in array order on
+  every engine, so the merge is bit-reproducible and the SQL oracle
+  replays it with the identical fold.
 
 Determinism: ties on pair count break by (left, right) lexicographic
 order, so the merge sequence is reproducible on any engine at any
@@ -32,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bbt_etl_dw_spark.operators.textstats import words
+
 END_OF_WORD = "</w>"
 
 
@@ -39,33 +46,50 @@ def word_frequencies(
     docs: DataFrame, text_col: str = "text", word_out: str = "word"
 ) -> DataFrame:
     """Corpus word-frequency table — the single corpus-sized pass of BPE
-    training. Lower-cased whitespace words, one hash aggregate."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    training. Delegates tokenization to textstats.words (lower-cased
+    whitespace tokens, EMPTY array for blank text — a raw split counted
+    a blank doc as one ''-word and polluted the vocabulary; review
+    finding). One hash aggregate."""
     return (
-        docs.select(F.explode(words).alias(word_out))
+        docs.select(F.explode(words(text_col)).alias(word_out))
         .groupBy(word_out)
         .agg(F.count(F.lit(1)).alias("freq"))
     )
 
 
-def _padded_symbols(word: Column) -> Column:
-    """' c1 c2 ... cN </w> ' — space-delimited character symbols with the
-    end-of-word marker, padded so every symbol occurrence (first and last
-    included) matches the ' left right ' replace pattern."""
+def _symbols(word: Column) -> Column:
+    """array<string>: character symbols plus the end-of-word marker."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length(word)),
         lambda i: word.substr(i, F.lit(1)),
     )
-    return F.concat(
-        F.lit(" "),
-        F.concat_ws(" ", F.concat(chars, F.array(F.lit(END_OF_WORD)))),
-        F.lit(" "),
+    return F.concat(chars, F.array(F.lit(END_OF_WORD)))
+
+
+def _merge_pair(arr: Column, lft: str, rgt: str) -> Column:
+    """One BPE merge applied to a symbol array: greedy left-to-right fold
+    — when the accumulator's last symbol is ``lft`` and the next is
+    ``rgt``, replace the pair with the merged symbol (which then cannot
+    re-merge with the element that produced it, matching reference
+    non-overlapping semantics)."""
+    merged = lft + rgt
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lft))
+            & (s == F.lit(rgt)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
     )
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     """Weighted adjacent-pair counts over the symbolized vocabulary."""
-    syms = F.split(F.trim(F.col("sym")), " ")
+    s = F.col("sym")
 
     def pairs(s: Column) -> Column:
         return F.when(
@@ -79,7 +103,7 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
         ).otherwise(F.array().cast("array<struct<lft:string,rgt:string>>"))
 
     return (
-        vocab.select("freq", F.explode(pairs(syms)).alias("p"))
+        vocab.select("freq", F.explode(pairs(s)).alias("p"))
         .groupBy(F.col("p.lft").alias("lft"), F.col("p.rgt").alias("rgt"))
         .agg(F.sum("freq").cast("long").alias("pair_count"))
     )
@@ -91,10 +115,10 @@ def bpe_train(
     """Learn the first ``k`` BPE merges from the corpus. Returns one row
     per merge: ``(merge_rank, lft, rgt, merged, pair_count)`` in learned
     order. Each iteration collects exactly ONE row (the argmax pair) to
-    the driver; the vocab-side merge is a literal string replace."""
+    the driver; the vocab-side merge is the greedy array fold."""
     spark = docs.sparkSession
     vocab = word_frequencies(docs, text_col).select(
-        "freq", _padded_symbols(F.col("word")).alias("sym")
+        "freq", _symbols(F.col("word")).alias("sym")
     )
     vocab = vocab.localCheckpoint()  # one corpus pass, reused k times
     merges = []
@@ -109,14 +133,7 @@ def bpe_train(
             break
         lft, rgt, cnt = top[0]["lft"], top[0]["rgt"], top[0]["pair_count"]
         merges.append((rank, lft, rgt, lft + rgt, cnt))
-        vocab = vocab.withColumn(
-            "sym",
-            F.replace(
-                F.col("sym"),
-                F.lit(f" {lft} {rgt} "),
-                F.lit(f" {lft}{rgt} "),
-            ),
-        )
+        vocab = vocab.withColumn("sym", _merge_pair(F.col("sym"), lft, rgt))
     return spark.createDataFrame(
         merges, "merge_rank int, lft string, rgt string, merged string, pair_count long"
     )
@@ -127,7 +144,7 @@ def apply_merges(text_word: Column, merges: list[tuple[str, str]]) -> Column:
     then apply each merge in learned order (the standard BPE encode).
     Returns the array of resulting tokens. Pure expressions — usable in a
     narrow map stage over a 100TB corpus once training is done."""
-    sym = _padded_symbols(text_word)
+    sym = _symbols(text_word)
     for lft, rgt in merges:
-        sym = F.replace(sym, F.lit(f" {lft} {rgt} "), F.lit(f" {lft}{rgt} "))
-    return F.split(F.trim(sym), " ")
+        sym = _merge_pair(sym, lft, rgt)
+    return sym

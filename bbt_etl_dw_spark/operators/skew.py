@@ -78,14 +78,16 @@ def key_skew_report(
     salting (salted_aggregate/salted_broadcast_join below) or AQE skew
     splitting. ONE hash aggregate + a tiny top-k; run it on a sample for
     quick checks at 100TB."""
-    from pyspark.sql import functions as F
-
     if n_partitions is None:
         n_partitions = df.sparkSession.sparkContext.defaultParallelism
     counts = df.groupBy(F.col(key).alias("key_value")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    total = df.count()
+    # the per-key counts already hold the total: summing the aggregate
+    # (materialized once, it feeds two consumers) avoids a second full
+    # scan of the 100TB input this diagnostic targets (review finding)
+    counts = counts.localCheckpoint()
+    total = counts.agg(F.sum("n_rows")).first()[0] or 0
     even_share = max(total / max(n_partitions, 1), 1.0)
     return (
         counts.orderBy(F.col("n_rows").desc(), "key_value")

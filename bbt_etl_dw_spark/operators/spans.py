@@ -85,34 +85,7 @@ def duplicated_spans(
         .select("h")
     )
     dup_windows = windows.join(dup, "h", "left_semi").select("doc_id", "pos")
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    islands = (
-        dup_windows.withColumn("prev", F.lag("pos").over(w))
-        .withColumn(
-            "brk",
-            F.when(
-                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + n), 1
-            ).otherwise(0),
-        )
-        .withColumn("island", F.sum("brk").over(run))
-    )
-    return (
-        islands.groupBy("doc_id", "island")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
-        )
-        .select(
-            "doc_id",
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
-        )
-    )
+    return _merge_windows_to_spans(dup_windows, n)
 
 
 def span_dedup_stats(
@@ -130,11 +103,15 @@ def span_dedup_stats(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum("span_tokens").cast("long").alias("dup_tokens"),
     )
+    from bbt_etl_dw_spark.operators.textstats import whitespace_token_count
+
+    # token counting delegates to the ONE tokenizer the pipeline uses —
+    # the raw split this replaced counted blank/whitespace-only docs as
+    # 1 token ([''] has size 1) while every other consumer says 0
+    # (review finding).
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-        .cast("long")
-        .alias("n_tokens"),
+        whitespace_token_count(text_col).alias("n_tokens"),
     )
     return (
         base.join(per_doc, "doc_id", "left")
@@ -217,6 +194,10 @@ def incremental_span_dedup(
         .filter(F.col("mn") != F.col("mx"))
         .select("h")
     )
-    dup = index.select("h").union(in_batch).distinct()
+    # no distinct(): the union is only a LEFT-SEMI build side, where
+    # duplicate rows change nothing — deduplicating the corpus-scale
+    # index added a full extra shuffle per batch for zero semantic
+    # effect, undercutting the O(batch) append contract (review finding)
+    dup = index.select("h").union(in_batch)
     dup_windows = bw.join(dup, "h", "left_semi").select("doc_id", "pos")
     return _merge_windows_to_spans(dup_windows, n)

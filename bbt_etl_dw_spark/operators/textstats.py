@@ -413,8 +413,15 @@ def token_mix_rates(
     # renormalizing over the remaining sources would train the wrong
     # mixture (e.g. the 40%-code target quietly becoming 0% because an
     # upstream filter broke) and only surface at training time. The check
-    # collects the dim-sized per-source counts — one tiny job.
-    avail = {r[0]: r[1] for r in counts.collect()}
+    # collects the dim-sized per-source counts — one tiny job — and the
+    # downstream arithmetic is REBUILT from the collected rows: keeping
+    # the lazy `counts` plan would re-run the whole corpus token pass a
+    # second time when the rates frame is consumed (review finding).
+    collected = counts.collect()
+    avail = {r[0]: r[1] for r in collected}
+    counts = docs.sparkSession.createDataFrame(
+        collected, schema=counts.schema
+    )
     # A source PRESENT with zero total tokens (e.g. all-blank docs after an
     # upstream filter) is the same failure as an absent one — and worse if
     # let through: T = min(available/share) becomes 0, silently emptying

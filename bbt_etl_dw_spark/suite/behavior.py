@@ -68,8 +68,18 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Monday 2024-01-01 = epoch day 19723 anchors week indexing; the index is
 # pure integer epoch arithmetic, immune to session timezones on BOTH
 # engines, and renders back to a DATE with date-only (+days) arithmetic.
+# FLOOR divisions mirror operators/behavior.week_index: DuckDB's `//`
+# truncates toward zero exactly like Spark's `div` (-3 // 7 = 0), so the
+# same truncation-to-floor correction — subtract a non-negative remainder
+# first — is applied on both sides; a bare `//` misbuckets every
+# pre-anchor (2024-01-01) timestamp.
+_DAY_SQL = (
+    "((epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000)"
+    " % 86400000000) // 86400000000)"
+)
+_WEEK_NUM = f"({_DAY_SQL} - {_EPOCH_ANCHOR_DAY})"
 _WEEK_SQL = (
-    f"((epoch_us(ts) // 86400000000) - {_EPOCH_ANCHOR_DAY}) // 7"
+    f"(({_WEEK_NUM}) - ((({_WEEK_NUM}) % 7) + 7) % 7) // 7"
 )
 
 _RETENTION_ORACLE = f"""

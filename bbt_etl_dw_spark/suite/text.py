@@ -978,13 +978,16 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_STATS_ORACLE = f"""
 WITH {_SPAN_CTES}
 SELECT v.doc_id,
-       CAST(len(v.ws) AS BIGINT) AS n_tokens,
+       -- blank-doc guard mirrors textstats.whitespace_token_count:
+       -- splitting '' yields [''] (len 1), but the token count is 0
+       CAST(CASE WHEN len(v.ws) = 1 AND v.ws[1] = '' THEN 0
+                 ELSE len(v.ws) END AS BIGINT) AS n_tokens,
        CAST(COALESCE(COUNT(s.doc_id), 0) AS BIGINT) AS n_spans,
        CAST(COALESCE(SUM(s.span_tokens), 0) AS BIGINT) AS dup_tokens,
        CAST(COALESCE(SUM(s.span_tokens), 0) AS BIGINT)
          / CAST(GREATEST(len(v.ws), 1) AS DOUBLE) AS dup_fraction
 FROM v LEFT JOIN spans s ON v.doc_id = s.doc_id
-GROUP BY v.doc_id, len(v.ws)
+GROUP BY v.doc_id, len(v.ws), v.ws
 ORDER BY v.doc_id
 """
 
@@ -1003,42 +1006,52 @@ def doc_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE merge training ---------------------------------------------------
 
 
+def _bpe_fold_sql(arr_sql: str, lft_sql: str, rgt_sql: str) -> str:
+    """The greedy left-to-right pair-merge fold, DuckDB form. Mirrors
+    operators/bpe._merge_pair exactly (per-row folds run in array order
+    on both engines). DuckDB 1.0's list_reduce has no initial-value
+    argument, so the empty accumulator is smuggled in as a prepended
+    seed element over a list-of-singleton-lists."""
+    return f"""list_reduce(
+      list_prepend(CAST([] AS VARCHAR[]), list_transform({arr_sql}, s -> [s])),
+      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = {lft_sql} AND x[1] = {rgt_sql}
+                  THEN list_append(acc[1:len(acc)-1], {lft_sql} || {rgt_sql})
+                  ELSE list_append(acc, x[1]) END)"""
+
+
 def _bpe_oracle(k: int) -> str:
     """Unrolled replay of bpe_train: word freqs, then per merge a pair
-    count, a (count desc, lft, rgt) argmax, and the left-to-right
-    non-overlapping replace — identical semantics in DuckDB's replace()."""
+    count, a (count desc, lft, rgt) argmax, and the greedy left-to-right
+    array-fold merge — the same fold the engine runs (reference BPE run
+    semantics: 'a a a a' merges to 'aa aa' in one iteration)."""
     ctes = r"""
 wf AS (
   SELECT word, COUNT(*) AS freq
   FROM (SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
-        FROM documents)
+        FROM documents WHERE len(trim(text)) > 0)
   GROUP BY word
 ),
 v0 AS (
   SELECT freq,
-         ' ' || array_to_string(
-                 list_transform(range(1, len(word)+1), i -> word[i]) || ['</w>'],
-                 ' ') || ' ' AS sym
+         list_transform(range(1, len(word)+1), i -> word[i]) || ['</w>'] AS sym
   FROM wf
 )"""
     for i in range(1, k + 1):
         prev = f"v{i-1}"
+        # DuckDB forbids subqueries INSIDE lambda bodies, so the winning
+        # pair joins in as plain columns (1-row cross join) for the fold
+        fold = _bpe_fold_sql("sym", f"__l{i}", f"__r{i}")
         ctes += f""",
 p{i} AS (
-  SELECT l[i] AS lft, l[i+1] AS rgt, CAST(SUM(freq) AS BIGINT) AS pair_count
-  FROM (
-    SELECT freq, l, UNNEST(range(1, len(l))) AS i
-    FROM (SELECT freq, string_split(trim(sym), ' ') AS l FROM {prev})
-  )
+  SELECT sym[i] AS lft, sym[i+1] AS rgt, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (SELECT freq, sym, UNNEST(range(1, len(sym))) AS i FROM {prev})
   GROUP BY 1, 2
 ),
 b{i} AS (SELECT lft, rgt, pair_count FROM p{i}
          ORDER BY pair_count DESC, lft, rgt LIMIT 1),
 v{i} AS (
-  SELECT freq, replace(sym,
-      ' ' || (SELECT lft FROM b{i}) || ' ' || (SELECT rgt FROM b{i}) || ' ',
-      ' ' || (SELECT lft FROM b{i}) || (SELECT rgt FROM b{i}) || ' ') AS sym
-  FROM {prev}
+  SELECT freq, {fold} AS sym
+  FROM {prev} CROSS JOIN (SELECT lft AS __l{i}, rgt AS __r{i} FROM b{i})
 )"""
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INT) AS merge_rank, lft, rgt, lft || rgt AS merged,"
@@ -1068,12 +1081,13 @@ def _bpe_encode_oracle(k: int) -> str:
     tokenize pass a training pipeline runs after BPE training."""
     trainer = _bpe_oracle(k)
     ctes = trainer[len("WITH ") : trainer.index("\nSELECT CAST(1")]
-    rep = "' ' || array_to_string(list_transform(range(1, len(word)+1), i -> word[i]) || ['</w>'], ' ') || ' '"
+    rep = "list_transform(range(1, len(word)+1), i -> word[i]) || ['</w>']"
     for i in range(1, k + 1):
-        rep = (
-            f"replace({rep}, ' ' || (SELECT lft FROM b{i}) || ' ' || (SELECT rgt FROM b{i}) || ' ',"
-            f" ' ' || (SELECT lft FROM b{i}) || (SELECT rgt FROM b{i}) || ' ')"
-        )
+        rep = _bpe_fold_sql(rep, f"__l{i}", f"__r{i}")
+    joins = " ".join(
+        f"CROSS JOIN (SELECT lft AS __l{i}, rgt AS __r{i} FROM b{i})"
+        for i in range(1, k + 1)
+    )
     return f"""WITH {ctes},
 docwords AS (
   -- blank text: Spark's words() yields an empty array (the explode drops
@@ -1082,8 +1096,8 @@ docwords AS (
   FROM documents WHERE len(trim(text)) > 0
 )
 SELECT doc_id,
-       CAST(SUM(len(string_split(trim({rep}), ' '))) AS BIGINT) AS bpe_tokens
-FROM docwords GROUP BY doc_id ORDER BY doc_id"""
+       CAST(SUM(len({rep})) AS BIGINT) AS bpe_tokens
+FROM docwords {joins} GROUP BY doc_id ORDER BY doc_id"""
 
 
 @register("doc_bpe_token_counts", oracle=_bpe_encode_oracle(k=3))

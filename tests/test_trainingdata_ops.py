@@ -1329,3 +1329,34 @@ def test_dedup_clusters_reliable_checkpoint_matches_local(spark, tmp_path):
     finally:
         if prev_dir is not None:
             spark.sparkContext.setCheckpointDir(prev_dir)
+
+
+def test_bpe_even_run_merges_all_pairs(spark):
+    """Review finding: the old space-delimited string replace consumed
+    the shared boundary space between adjacent matches, so an EVEN run
+    merged only every other pair ('aaaa' -> [aa, a, a]) — diverging from
+    reference BPE. The greedy array fold merges left-to-right
+    non-overlapping: 'aaaa' -> [aa, aa], 'aaaaa' -> [aa, aa, a]."""
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.bpe import apply_merges
+
+    toks = (
+        spark.createDataFrame([("aaaa",), ("aaaaa",), ("aa",)], ["w"])
+        .select("w", apply_merges(F.col("w"), [("a", "a")]).alias("t"))
+        .collect()
+    )
+    got = {r["w"]: list(r["t"]) for r in toks}
+    assert got["aaaa"] == ["aa", "aa", "</w>"]
+    assert got["aaaaa"] == ["aa", "aa", "a", "</w>"]
+    assert got["aa"] == ["aa", "</w>"]
+
+
+def test_bpe_word_frequencies_ignores_blank_docs(spark):
+    from bbt_etl_dw_spark.operators.bpe import word_frequencies
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    assert wf == {"ab": 2}  # no '' word from blank docs
