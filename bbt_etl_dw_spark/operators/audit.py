@@ -32,8 +32,11 @@ PHONE_RE = r"^[0-9.()\- ]*$"
 ALPHA_RE = r"^[a-zA-Z ]+$"
 
 # Name shape of Spark's dedup of duplicate CSV headers (e.g. OrderID0 /
-# OrderID14) — reference audit_report.py:63-84.
-DUP_COL_SUFFIX_RE = re.compile(r"^([A-Za-z]+?)(\d+)$")
+# OrderID14) — reference audit_report.py:63-84. Base may contain ANY
+# characters (a duplicated 'Order_ID' header dedups to Order_ID0/…, which
+# a letters-only base regex silently missed — review finding); the lazy
+# base keeps the digit suffix maximal.
+DUP_COL_SUFFIX_RE = re.compile(r"^(.+?)(\d+)$")
 
 
 @dataclass(frozen=True)
@@ -89,21 +92,35 @@ class AuditReport:
         }
 
 
-def missing_counts(df: DataFrame) -> DataFrame:
-    """Per-column missing counts in one pass (SURVEY §2.4 A3, reference
-    audit_report.py:51-54). NaN counts as missing for float columns."""
+def _missing_aggs(df: DataFrame, alias: str = "{name}") -> list[Column]:
+    """Per-column missing-count aggregate expressions (NaN counts as
+    missing for float columns) — the ONE definition of 'missing', shared
+    by missing_counts and audit so the semantics cannot drift apart."""
     aggs = []
     for f_ in df.schema.fields:
         c = F.col(f_.name)
         miss = c.isNull()
         if isinstance(f_.dataType, (T.DoubleType, T.FloatType)):
             miss = miss | F.isnan(c)
-        aggs.append(F.count(F.when(miss, 1)).alias(f_.name))
-    return df.select(aggs)
+        aggs.append(F.count(F.when(miss, 1)).alias(alias.format(name=f_.name)))
+    return aggs
+
+
+def missing_counts(df: DataFrame) -> DataFrame:
+    """Per-column missing counts in one pass (SURVEY §2.4 A3, reference
+    audit_report.py:51-54). NaN counts as missing for float columns."""
+    return df.select(_missing_aggs(df))
 
 
 def duplicate_column_groups(columns: Sequence[str]) -> dict[str, list[str]]:
-    """Detect position-suffixed duplicate header names (OrderID0/OrderID14)."""
+    """Detect position-suffixed duplicate header names (OrderID0/OrderID14).
+
+    A NAME-shape heuristic (reference parity): legitimately distinct
+    numbered columns like Address1/Address2 can false-positive, which is
+    why the cleaning interpreter VERIFIES the group members are
+    value-identical before dropping any of them (clean.py — a name match
+    alone deciding a column drop would be silent data loss; review
+    finding)."""
     groups: dict[str, list[str]] = {}
     for c in columns:
         m = DUP_COL_SUFFIX_RE.match(c)
@@ -120,28 +137,27 @@ def audit(
     collect_ids: bool = True,
     max_ids: int = 1000,
 ) -> AuditReport:
-    """Run the full audit in two jobs total (metrics pass + dedup pass).
+    """Run the full audit in two full-table jobs (metrics pass + dedup
+    pass), plus — with ``collect_ids`` — one BOUNDED top-k job per
+    VIOLATED rule for its sample IDs.
 
-    ``collect_ids`` caps offending-ID arrays at ``max_ids`` per rule —
-    bounded driver memory at any scale. Set False for pure counts.
-    """
+    ``collect_ids`` caps offending-ID arrays at ``max_ids`` per rule,
+    returned in sorted order. The samples come from per-rule
+    orderBy+limit jobs (TakeOrderedAndProject: a max_ids-sized heap per
+    partition) instead of a collect_list sliced AFTER aggregation — the
+    slice bounded only the returned array, while the aggregation buffer
+    itself held EVERY violating ID on one reduce task (unbounded memory
+    at exactly the scale the audit targets; review finding). Set False
+    for pure counts."""
     aggs: list[Column] = [F.count(F.lit(1)).alias("__row_count")]
-    for f_ in df.schema.fields:
-        c = F.col(f_.name)
-        miss = c.isNull()
-        if isinstance(f_.dataType, (T.DoubleType, T.FloatType)):
-            miss = miss | F.isnan(c)
-        aggs.append(F.count(F.when(miss, 1)).alias(f"__miss__{f_.name}"))
+    aggs += _missing_aggs(df, alias="__miss__{name}")
     for i, r in enumerate(rules):
         aggs.append(F.count(F.when(r.predicate, 1)).alias(f"__viol__{i}"))
-        if collect_ids and id_col is not None:
-            capped = F.when(r.predicate, F.col(id_col))
-            aggs.append(
-                F.slice(F.sort_array(F.collect_list(capped)), 1, max_ids).alias(f"__ids__{i}")
-            )
     row = df.agg(*aggs).first()
 
-    dup_rows = df.count() - df.dropDuplicates().count()
+    # __row_count was just computed: subtracting from a fresh df.count()
+    # would re-scan the full input a third time (review finding)
+    dup_rows = row["__row_count"] - df.dropDuplicates().count()
 
     inconsistencies: dict[str, dict] = {}
     for i, r in enumerate(rules):
@@ -149,7 +165,14 @@ def audit(
         if n:
             entry = {"expected": r.expected, "count": n}
             if collect_ids and id_col is not None:
-                entry["error_ids"] = list(row[f"__ids__{i}"])
+                entry["error_ids"] = [
+                    x[0]
+                    for x in df.filter(r.predicate)
+                    .select(id_col)
+                    .orderBy(id_col)
+                    .limit(max_ids)
+                    .collect()
+                ]
             inconsistencies[r.column] = entry
 
     return AuditReport(

@@ -113,26 +113,59 @@ class CleaningPlan:
     drop_duplicates: bool = False
     drop_columns: Sequence[str] = ()
     rename_columns: dict[str, str] = field(default_factory=dict)
+    # (keep, extra) pairs behind drop_columns, so apply can verify the
+    # "duplicate" columns really are value-identical before dropping
+    duplicate_pairs: Sequence[tuple[str, str]] = ()
 
     @classmethod
     def from_report(cls, report: AuditReport | dict, config: CleaningConfig) -> CleaningPlan:
         rep = report.to_dict() if isinstance(report, AuditReport) else report
         drops: list[str] = []
         renames: dict[str, str] = {}
+        pairs: list[tuple[str, str]] = []
         for base, cols in rep.get("duplicate_columns", {}).items():
             keep, *extra = cols
             drops.extend(extra)
+            pairs.extend((keep, e) for e in extra)
             renames[keep] = base
         return cls(
             config=config,
             drop_duplicates=rep.get("duplicate_rows", 0) > 0,
             drop_columns=drops,
             rename_columns=renames,
+            duplicate_pairs=pairs,
         )
 
-    def apply(self, df: DataFrame) -> DataFrame:
+    def apply(self, df: DataFrame, verify_duplicate_columns: bool = False) -> DataFrame:
         cfg = self.config
         if self.drop_columns:
+            # The duplicate-column report is a NAME heuristic (Spark's
+            # position-suffixed header dedup shape) — legitimately
+            # distinct columns like Address1/Address2 can match it, and
+            # dropping one of those would be silent data loss (review
+            # finding). ``verify_duplicate_columns=True`` value-checks
+            # each pair with one early-exit (LIMIT 1) probe before
+            # dropping. It is OFF by default for reference parity: the
+            # reference drops the later duplicate unconditionally, and
+            # its own dirty CSV has a ragged row where the two OrderID
+            # copies genuinely differ — the goldens pin that behavior.
+            # Enable it for any non-parity pipeline.
+            if verify_duplicate_columns:
+                for keep, extra in self.duplicate_pairs:
+                    if keep not in df.columns or extra not in df.columns:
+                        continue
+                    diff = df.filter(
+                        ~F.col(keep).eqNullSafe(F.col(extra))
+                    ).take(1)
+                    if diff:
+                        raise ValueError(
+                            f"cleaning plan would drop column {extra!r} as a "
+                            f"duplicate of {keep!r}, but their values differ "
+                            f"(first differing row: {diff[0]}) — the "
+                            "position-suffix name match was a false "
+                            "positive; rename the columns or drop "
+                            "explicitly"
+                        )
             df = df.drop(*self.drop_columns)
         for old, new in self.rename_columns.items():
             df = df.withColumnRenamed(old, new)

@@ -176,12 +176,6 @@ def decode_media(
             "fake=True for the deterministic stub decoder"
         )
 
-    spark = df.sparkSession
-    try:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
-    except Exception:
-        pass
-
     # nested defs => pickled by value into the UDF closure
     if fake:
         decode = _make_fake_decode()
@@ -191,27 +185,35 @@ def decode_media(
         decode = _make_real_decode()
     use_fake = fake
 
+    # batch_size bounds the DECODE working set by re-chunking each Arrow
+    # batch inside the iterator, instead of mutating the session-global
+    # arrow.maxRecordsPerBatch at plan-build time (which throttled every
+    # OTHER Arrow operation in the session and raced between decode
+    # frames built with different sizes — review finding). Arrow's own
+    # input batch size stays whatever the session configures.
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "media_id": pdf["media_id"],
-                "kind": pdf["kind"],
-                "width": [],
-                "height": [],
-                "n_bytes": [],
-                "feature": [],
-            }
-            for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                raw = bytes(payload) if payload is not None else b""
-                if use_fake:
-                    w, h, feat = decode(raw)
-                else:
-                    w, h, feat = decode(raw, kind)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_bytes"].append(len(raw))
-                out["feature"].append(feat)
-            yield pd.DataFrame(out)
+        for whole in batches:
+            for lo in range(0, len(whole), batch_size):
+                pdf = whole.iloc[lo : lo + batch_size]
+                out = {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": [],
+                    "height": [],
+                    "n_bytes": [],
+                    "feature": [],
+                }
+                for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                    raw = bytes(payload) if payload is not None else b""
+                    if use_fake:
+                        w, h, feat = decode(raw)
+                    else:
+                        w, h, feat = decode(raw, kind)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_bytes"].append(len(raw))
+                    out["feature"].append(feat)
+                yield pd.DataFrame(out)
 
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
@@ -219,8 +221,15 @@ def decode_media(
 def sample_frames(df: DataFrame, every_n: int = 10, n_frames_col: str = "n_frames") -> DataFrame:
     """Deterministic frame-index sampling for video rows: explode frame
     indices 0, n, 2n, ... as a pure expression (the decode of each sampled
-    frame then happens payload-local inside the UDF stage)."""
-    idx = F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n))
+    frame then happens payload-local inside the UDF stage). Rows with
+    n_frames <= 0 (empty/corrupt video) emit ZERO frames — the naive
+    sequence(0, n-1) throws 'illegal sequence boundaries' for the whole
+    job on the first such row (review finding)."""
+    safe_end = F.greatest(F.col(n_frames_col) - 1, F.lit(0))
+    idx = F.filter(
+        F.sequence(F.lit(0), safe_end, F.lit(every_n)),
+        lambda _i: F.col(n_frames_col) >= 1,
+    )
     return df.withColumn("frame_index", F.explode(idx))
 
 
@@ -264,11 +273,23 @@ def audio_window_features(
     the stubbed decode step first. Same scale shape as decode_media: the
     payload never shuffles (features project it away inside the UDF), the
     per-row window fan-out happens after the payload is worker-local, and
-    Arrow batch memory is bounded by maxRecordsPerBatch."""
+    the feature working set is bounded by ``batch_size`` re-chunking
+    inside the iterator."""
     import numpy as np
 
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for whole in batches:
+            # per-chunk yields bound the feature working set without
+            # mutating the session-global Arrow batch conf (see
+            # decode_media)
+            chunks = (
+                whole.iloc[lo : lo + batch_size]
+                for lo in range(0, len(whole), batch_size)
+            )
+            yield from _audio_chunk_frames(chunks)
+
+    def _audio_chunk_frames(chunks):
+        for pdf in chunks:
             ids, widx, nsamp, rms, zc = [], [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
@@ -296,12 +317,6 @@ def audio_window_features(
                 }
             )
 
-    try:  # batch-sizing hint only — a conf-restricted session still works
-        df.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
-        )
-    except Exception:
-        pass
     return df.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
         feature_batches, schema=AUDIO_FEATURES_SCHEMA
     )

@@ -159,7 +159,12 @@ def zorder_key(col_a, lo_a, hi_a, col_b, lo_b, hi_b, bits: int = 16):
     n = F.lit((1 << bits) - 1)
 
     def norm(c, lo, hi):
-        span = F.greatest(F.lit(hi) - F.lit(lo), F.lit(1)).cast("double")
+        # guard ONLY the degenerate hi == lo case: clamping every span up
+        # to 1 collapsed sub-unit ranges (e.g. rates in [0, 1e-6]) to a
+        # constant key — one giant file, clustering defeated (review
+        # finding)
+        raw_span = float(hi) - float(lo)
+        span = F.lit(raw_span if raw_span != 0 else 1.0).cast("double")
         scaled = ((c.cast("double") - F.lit(lo)) / span) * n.cast("double")
         return F.least(F.greatest(F.floor(scaled).cast("long"), F.lit(0)), n)
 

@@ -106,6 +106,11 @@ def read_evolved(
     """Read parquet generations at ``paths`` as ONE frame under the
     widened schema: per-generation footer schemas, widening-only merge,
     union by name with typed-NULL fill for absent columns."""
+    if not paths:
+        # e.g. a generation-discovery glob that matched nothing — raising
+        # here names the real cause instead of returning None and failing
+        # at the caller's next method call (review finding)
+        raise ValueError("read_evolved: no generation paths given")
     gens = [spark.read.parquet(p) for p in paths]
     target = evolved_schema([g.schema for g in gens], allow_to_string)
     out = None

@@ -48,7 +48,17 @@ def _make_update_user_totals():
         for pdf in pdfs:
             n += len(pdf)
             for v in pdf["value"].dropna():
-                total += decimal.Decimal(repr(float(v)))
+                fv = float(v)
+                # mirror the batch twins' decimal(38,18) try_cast EXACTLY:
+                # NaN/Inf and |v| >= 1e20 cast to NULL there (skipped by
+                # SUM) — accumulating them here made the documented
+                # stream == batch equality false for such rows (review
+                # finding)
+                if fv != fv or fv in (float("inf"), float("-inf")):
+                    continue
+                if abs(fv) >= 1e20:
+                    continue
+                total += decimal.Decimal(repr(fv))
         state.update((n, str(total)))
         yield _pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [float(total)]}

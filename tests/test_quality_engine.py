@@ -124,8 +124,24 @@ def test_parse_date_multi_pivot_year(spark):
 
 
 def test_duplicate_column_groups():
-    assert duplicate_column_groups(["OrderID0", "OrderID14", "CustomerID"]) == {
-        "OrderID": ["OrderID0", "OrderID14"]
+    # Spark's dedup appends the 0-based header POSITION: OrderID at
+    # columns 0 and 14 dedups to OrderID0/OrderID14 at those positions
+    cols = (
+        ["OrderID0"]
+        + [f"c{i}" for i in range(1, 14)]  # c1..c13 match their positions
+        + ["OrderID14", "CustomerID"]
+    )
+    got = duplicate_column_groups(cols)
+    assert got["OrderID"] == ["OrderID0", "OrderID14"]
+    # non-letter bases dedup too (review finding: Order_ID0/Order_ID3)
+    assert duplicate_column_groups(["Order_ID0", "x", "y", "Order_ID3"]) == {
+        "Order_ID": ["Order_ID0", "Order_ID3"]
+    }
+    # legitimately distinct numbered columns DO match the name shape
+    # (reference-parity heuristic); the cleaning interpreter's
+    # verify_duplicate_columns guard is what protects their data
+    assert duplicate_column_groups(["Address1", "Address2", "City"]) == {
+        "Address": ["Address1", "Address2"]
     }
     assert duplicate_column_groups(["a", "b"]) == {}
 
@@ -233,3 +249,22 @@ def test_winsorize_caps_outliers_preserves_rows(spark):
     # inliers untouched
     mid = out.filter("k = 50").first()
     assert mid["v"] == 50.0
+
+
+def test_cleaning_plan_refuses_false_positive_duplicate_columns(spark):
+    """Review finding: Address1/Address2 match the dedup name shape but
+    hold DIFFERENT values — the plan must refuse to drop one instead of
+    silently losing data; with verification off (caller's explicit
+    choice) the old behavior remains."""
+    df = spark.createDataFrame(
+        [(1, "12 Oak St", "Apt 4"), (2, "9 Elm Rd", "Suite 2")],
+        "id int, Address1 string, Address2 string",
+    )
+    rep = audit(df, "addr", id_col="id", rules=[])
+    assert rep.duplicate_columns == {"Address": ["Address1", "Address2"]}
+    plan = CleaningPlan.from_report(rep, CleaningConfig())
+    with pytest.raises(ValueError, match="false\\s+positive|values differ"):
+        plan.apply(df, verify_duplicate_columns=True)
+    # default (parity) behavior: the reference drops unconditionally
+    forced = plan.apply(df)
+    assert "Address2" not in forced.columns

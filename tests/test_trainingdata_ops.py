@@ -1360,3 +1360,19 @@ def test_bpe_word_frequencies_ignores_blank_docs(spark):
     )
     wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
     assert wf == {"ab": 2}  # no '' word from blank docs
+
+
+def test_sample_frames_zero_frame_rows_emit_nothing(spark):
+    """Review finding: sequence(0, -1, 10) threw 'illegal sequence
+    boundaries' for the whole job on the first empty/corrupt video row;
+    such rows now emit zero frames while healthy rows are unaffected."""
+    from bbt_etl_dw_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, 25), (2, 0), (3, 1)], "media_id int, n_frames int"
+    )
+    got = {
+        (r["media_id"], r["frame_index"])
+        for r in sample_frames(df, every_n=10).collect()
+    }
+    assert got == {(1, 0), (1, 10), (1, 20), (3, 0)}
