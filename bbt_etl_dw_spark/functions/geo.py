@@ -65,16 +65,33 @@ def with_geo(
     iso_col: str | None = None,
     continent_col: str | None = None,
 ) -> DataFrame:
-    """Broadcast-join enrichment with UNK fallback (never drops rows)."""
+    """Broadcast-join enrichment with UNK fallback (never drops rows).
+
+    The lookup side's working columns are ``__geo_``-prefixed so (a) a
+    requested output name of 'iso3'/'continent' is not silently deleted
+    by the post-join cleanup, (b) a pre-existing iso3/continent/
+    country_name column on ``df`` neither becomes ambiguous nor gets
+    dropped (review finding)."""
+    clash = {"__geo_name", "__geo_iso3", "__geo_continent"} & set(df.columns)
+    if clash:
+        raise ValueError(f"with_geo: reserved working columns on input: {sorted(clash)}")
     spark = df.sparkSession
-    lk = F.broadcast(lookup_df(spark))
-    out = df.join(lk, df[country_col] == lk["country_name"], "left").drop("country_name")
+    lk = F.broadcast(
+        lookup_df(spark).select(
+            F.col("country_name").alias("__geo_name"),
+            F.col("iso3").alias("__geo_iso3"),
+            F.col("continent").alias("__geo_continent"),
+        )
+    )
+    out = df.join(lk, df[country_col] == lk["__geo_name"], "left")
     cols = {}
     if iso_col:
-        cols[iso_col] = F.coalesce(F.col("iso3"), F.lit(UNKNOWN))
+        cols[iso_col] = F.coalesce(F.col("__geo_iso3"), F.lit(UNKNOWN))
     if continent_col:
-        cols[continent_col] = F.coalesce(F.col("continent"), F.lit(UNKNOWN))
-    return out.withColumns(cols).drop("iso3", "continent")
+        cols[continent_col] = F.coalesce(F.col("__geo_continent"), F.lit(UNKNOWN))
+    return out.withColumns(cols).drop(
+        "__geo_name", "__geo_iso3", "__geo_continent"
+    )
 
 
 def iso3_expr(country_col: str) -> Column:

@@ -60,9 +60,14 @@ def dsum(col: Column | str, alias: str) -> Column:
 
 
 def davg(col: Column | str, alias: str) -> Column:
-    """Order-independent mean: exact decimal sum / count, divided as double."""
+    """Order-independent mean: exact decimal sum / count, divided as
+    double. The denominator counts the DECIMAL cast, not the raw column:
+    NaN/Infinity rows null out of the numerator (try_cast), so counting
+    them in the denominator biased the mean (avg of [1.0, NaN] read 0.5;
+    review finding — sql_davg mirrored the same bias, making it invisible
+    to the oracle)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (_dec_to_double(F.sum(_dec(c))) / F.count(c)).alias(alias)
+    return (_dec_to_double(F.sum(_dec(c))) / F.count(_dec(c))).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str) -> str:
@@ -74,8 +79,9 @@ def sql_dsum(expr: str, alias: str) -> str:
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    """Oracle-SQL twin of :func:`davg`."""
+    """Oracle-SQL twin of :func:`davg` (denominator counts the decimal
+    cast for the same NaN/Inf exclusion)."""
     return (
         f"CAST(CAST(SUM(TRY_CAST(CAST(({expr}) AS VARCHAR) AS {SQL_DEC})) AS VARCHAR) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        f" / COUNT(TRY_CAST(CAST(({expr}) AS VARCHAR) AS {SQL_DEC})) AS {alias}"
     )

@@ -44,6 +44,7 @@ def contamination_hits(
     text_col: str = "text",
     n: int = 4,
     broadcast_eval: bool = True,
+    check_broadcast: bool = True,
 ) -> DataFrame:
     """Per-train-document count of DISTINCT eval n-grams it contains.
     Returns (id_col, n_eval_grams_hit) for contaminated docs only.
@@ -53,9 +54,13 @@ def contamination_hits(
     the LM model tables carry): an eval corpus too big to broadcast
     raises naming the remedy (``broadcast_eval=False``) instead of
     OOMing executors mid-join. The guard's materialization is reused via
-    localCheckpoint, so the check costs one blocklist-sized aggregate."""
+    localCheckpoint, so the check costs one blocklist-sized aggregate.
+    ``check_broadcast=False`` skips the (EAGER) guard for callers that
+    must stay one lazy plan — plans/curation.py, whose single-Catalyst-
+    plan contract the guard's plan-build-time jobs were breaking (review
+    finding)."""
     grams = eval_ngram_set(eval_df, text_col, n)
-    if broadcast_eval:
+    if broadcast_eval and check_broadcast:
         from bbt_etl_dw_spark.operators.guards import assert_broadcastable
 
         grams = F.broadcast(
@@ -66,6 +71,8 @@ def contamination_hits(
                 "shrink the eval corpus",
             )
         )
+    elif broadcast_eval:
+        grams = F.broadcast(grams)
     exploded = train.select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
     )

@@ -56,10 +56,20 @@ def run_curation_pipeline(
     and the scale shape of each stage."""
     ids = F.col(id_col)
 
-    with_fp = docs.select(ids, F.col(text_col), md5_fingerprint(text_col).alias("fp"))
+    # NULL-text docs get a sentinel fingerprint: md5(NULL) is NULL, the
+    # equi-join back to keepers never matches NULL keys, and such docs
+    # silently vanished from BOTH disposition and kept — breaking the
+    # every-doc-gets-a-disposition-row contract (review finding). Under
+    # the sentinel they dedup against each other (text-less docs are
+    # mutually exact duplicates) and flow through every stage.
+    fp = F.coalesce(md5_fingerprint(text_col), F.lit("<null-text>"))
+    with_fp = docs.select(ids, F.col(text_col), fp.alias("fp"))
     keepers = with_fp.groupBy("fp").agg(F.min(ids).alias("keep_id"))
+    # check_broadcast=False keeps this ONE lazy Catalyst plan (the
+    # guard's eager jobs otherwise run at plan-construction time); the
+    # standalone decontamination operator keeps the loud guard
     hits = contamination_hits(
-        docs, eval_df, id_col, text_col, n=ngram_n
+        docs, eval_df, id_col, text_col, n=ngram_n, check_broadcast=False
     ).filter(F.col("n_eval_grams_hit") > max_hits)
 
     disposition = (

@@ -73,12 +73,36 @@ def default_sales_config(date_col: str, country_col: str) -> CleaningConfig:
     """The reference's hard-coded sales cleaning policy
     (``data_cleaning.py:64-105``) as declarative config."""
     return CleaningConfig(
-        money_cols=("UnitPrice", "Freight"),
+        # Discount is in money_cols as well as fill_money: on the raw
+        # all-string CSV read a numeric fillna is a silent no-op for a
+        # string column, so without the strip-cast (whose null default is
+        # the same 0.0) a missing discount left TotalAmount NULL (review
+        # finding)
+        money_cols=("UnitPrice", "Freight", "Discount"),
         quantity_cols=("Quantity",),
         fill_money=("Discount",),
         country_cols=(country_col,),
         date_cols=(date_col,),
     )
+
+
+def _with_rate_date_col(exchange_rates: DataFrame, date_col: str) -> DataFrame:
+    """Align the rate series' date column name to ``date_col``. The
+    autodetect is guarded: no '*date' column raises a named error instead
+    of a bare StopIteration, and several candidates raise instead of
+    silently picking one (review finding)."""
+    if date_col in exchange_rates.columns:
+        return exchange_rates
+    candidates = [
+        c for c in exchange_rates.columns if c.lower().endswith("date")
+    ]
+    if len(candidates) != 1:
+        raise ValueError(
+            f"exchange_rates needs a {date_col!r} column or exactly one "
+            f"'*date' column to rename; found {candidates or 'none'} in "
+            f"{exchange_rates.columns}"
+        )
+    return exchange_rates.withColumnRenamed(candidates[0], date_col)
 
 
 def run_sales_pipeline(
@@ -137,12 +161,7 @@ def run_sales_pipeline(
     if exchange_rates is not None:
         enriched = asof_join(
             enriched,
-            exchange_rates.withColumnRenamed(
-                next(c for c in exchange_rates.columns if c.lower().endswith("date")),
-                date_col,
-            )
-            if date_col not in exchange_rates.columns
-            else exchange_rates,
+            _with_rate_date_col(exchange_rates, date_col),
             on=date_col,
             by=list(rate_by),
         ).withColumn(
@@ -152,7 +171,12 @@ def run_sales_pipeline(
     a_rules = (
         [
             AnomalyRule("non_positive_amount", F.col("TotalAmount") <= 0),
-            AnomalyRule("negative_freight", F.col("Freight") < 0),
+            # NOT negative_freight: anomaly rules run POST-clean, where
+            # strip_cast has already clamped negative freight to 0.0 — a
+            # Freight < 0 rule is provably dead here (review finding).
+            # Raw negative freight is the pre-clean audit's job
+            # (rule_positive_number("Freight") in default_sales_rules).
+            AnomalyRule("missing_total_amount", F.col("TotalAmount").isNull()),
             AnomalyRule("missing_order_date", F.col(date_col).isNull()),
         ]
         if anomaly_rules is None

@@ -111,8 +111,26 @@ def fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     cust = F.broadcast(dim_customer(spark, sf_dir).select("c_custkey", "customer_key"))
-    part = F.broadcast(dim_part(spark, sf_dir).select("p_partkey", "part_key"))
-    supp = F.broadcast(dim_supplier(spark, sf_dir).select("s_suppkey", "supplier_key"))
+    # (natural key, surrogate) pairs only: deriving part_key through
+    # dim_part dragged the dim's full-lineitem last-sold aggregate into
+    # the fact plan — an extra fact scan + shuffle whose output was
+    # entirely discarded, and one Catalyst cannot eliminate (review
+    # finding). hash_key over the bare dim tables produces the identical
+    # xxhash64 keys.
+    part = F.broadcast(
+        hash_key(
+            table(spark, sf_dir, "part").select("p_partkey"),
+            ["p_partkey"],
+            "part_key",
+        )
+    )
+    supp = F.broadcast(
+        hash_key(
+            table(spark, sf_dir, "supplier").select("s_suppkey"),
+            ["s_suppkey"],
+            "supplier_key",
+        )
+    )
 
     orders_keyed = o.join(cust, o.o_custkey == cust.c_custkey, "left").select(
         "o_orderkey",

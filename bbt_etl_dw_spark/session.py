@@ -88,9 +88,21 @@ def get_spark(
     return tune(builder.getOrCreate())
 
 
+_TUNED_SESSIONS: set[int] = set()
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to any session (including one we did
-    not build, e.g. the verification driver's). Never raises."""
+    not build, e.g. the verification driver's). Never raises. Memoized
+    per underlying JVM session: catalog.table() calls this on EVERY load,
+    which multiplied into dozens of redundant py4j conf/system-property
+    round trips per suite enumeration (review finding)."""
+    try:
+        token = spark._jsparkSession.hashCode()
+    except Exception:
+        token = id(spark)
+    if token in _TUNED_SESSIONS:
+        return spark
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
@@ -108,4 +120,5 @@ def tune(spark: SparkSession) -> SparkSession:
             )
     except Exception:
         pass
+    _TUNED_SESSIONS.add(token)
     return spark

@@ -61,9 +61,24 @@ def read_jsonl(
     return good, bad
 
 
-def write_jsonl(df: DataFrame, path: str, partitions: int | None = None) -> None:
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partitions: int | None = None,
+    shuffle: bool = False,
+) -> None:
     """Write a corpus as JSONL (one object per line). ``partitions``
     controls output file count (JSONL consumers often want few big
-    shards); omit to keep the upstream partitioning."""
-    out = df.repartition(partitions) if partitions else df
+    shards); omit to keep the upstream partitioning.
+
+    The default file-count reduction is ``coalesce`` — merging files
+    needs no exchange, and a full repartition shuffled the entire corpus
+    once per export (review finding). The trade-off: coalesce folds into
+    the final stage, so everything since the last shuffle boundary runs
+    at ``partitions`` parallelism — pass ``shuffle=True`` when the
+    upstream compute is heavy and narrow (e.g. re-encoding straight off
+    a many-file scan) so it stays wide and only the write funnels."""
+    out = df
+    if partitions:
+        out = df.repartition(partitions) if shuffle else df.coalesce(partitions)
     out.write.mode("overwrite").json(path)

@@ -1211,7 +1211,9 @@ evalg AS (
   FROM (SELECT unnest({_ngrams_sql(4)}) AS gram FROM w WHERE bucket >= 90)
 ),
 keepers AS (
-  SELECT md5({_NORM_SQL}) AS fp, doc_id FROM train
+  -- sentinel mirrors plans/curation.py: NULL text must not vanish from
+  -- the disposition through a NULL-key equi-join
+  SELECT COALESCE(md5({_NORM_SQL}), '<null-text>') AS fp, doc_id FROM train
 ),
 keep_min AS (SELECT fp, MIN(doc_id) AS keep_id FROM keepers GROUP BY fp),
 hits AS (
