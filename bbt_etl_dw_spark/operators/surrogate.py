@@ -23,21 +23,51 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_NULL_SENTINEL = "\x00<NULL>"
+
+
 def hash_key(df: DataFrame, natural_key: Sequence[str], name: str) -> DataFrame:
-    """Stable 64-bit surrogate key from the natural key columns."""
-    return df.withColumn(name, F.xxhash64(*[F.col(c) for c in natural_key]))
+    """Stable 64-bit surrogate key from the natural key columns.
+
+    MULTI-column keys encode each part as a NULL-sentineled string first:
+    Spark's xxhash64 passes its seed through unchanged for NULL inputs,
+    so ('smith', NULL) and (NULL, 'smith') would otherwise hash
+    IDENTICALLY — two distinct entities sharing one surrogate key with
+    probability 1 (review finding; the same hazard scd2.py's change hash
+    documents). Single-column keys keep the raw typed hash (a NULL key
+    is one entity; values stay byte-compatible with existing dims)."""
+    if len(natural_key) == 1:
+        return df.withColumn(name, F.xxhash64(F.col(natural_key[0])))
+    encoded = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
+        for c in natural_key
+    ]
+    return df.withColumn(name, F.xxhash64(*encoded))
 
 
 def md5_key(df: DataFrame, natural_key: Sequence[str], name: str) -> DataFrame:
     """Stable 60-bit surrogate key any engine can recompute: first 15 hex
-    chars of md5 over the '|'-joined natural key. ~3-5x the per-row cost of
-    :func:`hash_key` (string hash + hex parse vs one xxhash64), so use it
-    where cross-system AUDITABILITY of the keys matters — e.g. a warehouse
-    whose downstream consumers re-derive keys in another engine — and
-    xxhash64 on the pure-Spark hot path. Collision odds over 60 bits:
+    chars of md5 over the unit-separator-joined natural key. ~3-5x the
+    per-row cost of :func:`hash_key` (string hash + hex parse vs one
+    xxhash64), so use it where cross-system AUDITABILITY of the keys
+    matters — e.g. a warehouse whose downstream consumers re-derive keys
+    in another engine — and xxhash64 on the pure-Spark hot path.
+
+    Encoding (the part another engine must replicate): each key column
+    cast to string, NULL replaced by the sentinel "\\x00<NULL>", joined
+    on the ASCII unit separator \\x1f. A bare '|' join was ambiguous with
+    probability 1 on real data — ('a|b','c') vs ('a','b|c'), and
+    concat_ws silently SKIPS nulls so ('x', NULL)/(NULL, 'x')/(shorter
+    key 'x') all collided (review finding). Collision odds over 60 bits:
     ~n²/2^61 (≈0.4 for 1e9 keys — run :func:`check_unique` on ingest at
     that scale, or widen to two md5 words)."""
-    joined = F.concat_ws("|", *[F.col(c).cast("string") for c in natural_key])
+    joined = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
+            for c in natural_key
+        ],
+    )
     return df.withColumn(
         name, F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
     )

@@ -111,12 +111,17 @@ def fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     cust = F.broadcast(dim_customer(spark, sf_dir).select("c_custkey", "customer_key"))
-    # (natural key, surrogate) pairs only: deriving part_key through
-    # dim_part dragged the dim's full-lineitem last-sold aggregate into
-    # the fact plan — an extra fact scan + shuffle whose output was
-    # entirely discarded, and one Catalyst cannot eliminate (review
-    # finding). hash_key over the bare dim tables produces the identical
-    # xxhash64 keys.
+    # part keys from the BARE part table: deriving them through dim_part
+    # dragged the dim's full-lineitem last-sold aggregate into the fact
+    # plan — an extra fact scan + shuffle whose output was entirely
+    # discarded, and one Catalyst cannot eliminate (review finding).
+    # Identical keys AND identical membership: dim_part's enrichment is a
+    # LEFT join, so it never gates which parts exist. supplier keys stay
+    # on dim_supplier — its nation join is INNER (membership-gating), so
+    # a bare-supplier shortcut would hand out keys for suppliers the dim
+    # dropped, silently breaking the fact's RI accounting (the follow-up
+    # review caught exactly that in the first version of this change);
+    # the dim's joins are broadcast-cheap, unlike dim_part's aggregate.
     part = F.broadcast(
         hash_key(
             table(spark, sf_dir, "part").select("p_partkey"),
@@ -124,13 +129,7 @@ def fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_key",
         )
     )
-    supp = F.broadcast(
-        hash_key(
-            table(spark, sf_dir, "supplier").select("s_suppkey"),
-            ["s_suppkey"],
-            "supplier_key",
-        )
-    )
+    supp = F.broadcast(dim_supplier(spark, sf_dir).select("s_suppkey", "supplier_key"))
 
     orders_keyed = o.join(cust, o.o_custkey == cust.c_custkey, "left").select(
         "o_orderkey",

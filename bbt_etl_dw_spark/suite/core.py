@@ -87,15 +87,19 @@ def sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the reference dashboard's 'Sales per Region' KPI
     (README.md:69-71, SURVEY §2.4 dashboard aggs) over the star chain
     lineitem→orders→customer→nation→region (SURVEY §2.3 J8 fact assembly).
-    nation/region are broadcast explicitly; customer is small enough for
-    Catalyst's auto-broadcast; the only real shuffle is lineitem⋈orders
-    on orderkey plus the final tiny agg."""
+    nation/region are broadcast explicitly; the customer-derived geo
+    frame is left to Catalyst/AQE sizing — customer is fact-proportional
+    at extreme scale, and an unconditional broadcast() hint bypasses the
+    size threshold and OOMs where auto-selection degrades gracefully to
+    a shuffle join (review finding; at test scale it still broadcasts).
+    The only real shuffle is lineitem⋈orders on orderkey plus the final
+    tiny agg."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
-    geo = F.broadcast(
+    geo = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "r_name")
@@ -349,9 +353,20 @@ def inactive_parts_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim-sized so Catalyst broadcasts it."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    max_ship = li.agg(F.max("l_shipdate")).first()[0]
-    cutoff = max_ship - datetime.timedelta(days=365)
-    recent = li.filter(F.col("l_shipdate") > F.lit(cutoff)).select("l_partkey")
+    # the cutoff stays IN-PLAN (one-row broadcast cross join, the
+    # documented scalar-subquery shape): collecting the max timestamp to
+    # the driver and re-litting it round-trips through the driver OS
+    # timezone layer, which can shift fold-ambiguous wall times by an
+    # hour under DST zones (review finding)
+    mx = li.agg(F.max("l_shipdate").alias("__max_ship"))
+    recent = (
+        li.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("__max_ship") - F.expr("INTERVAL 365 DAYS")
+        )
+        .select("l_partkey")
+    )
     return (
         p.join(recent, p.p_partkey == recent.l_partkey, "left_anti")
         .select("p_partkey", "p_name")
@@ -367,7 +382,8 @@ WITH purchases AS (
     FROM events WHERE event_type = 'purchase'
 ), rates AS (
     SELECT user_id, CAST(ts AS DATE) AS d,
-           CAST(CAST(SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT(value) AS day_rate
+           CAST(CAST(SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+             / COUNT(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18))) AS day_rate
     FROM events WHERE event_type = 'click'
     GROUP BY 1, 2
 )
@@ -643,10 +659,12 @@ def nation_customer_supplier_setops(spark: SparkSession, sf_dir: str) -> DataFra
     customers vs suppliers, labeled per side."""
     cn = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
     sn = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    # subtract == EXCEPT DISTINCT: exceptAll(...).distinct() over the
+    # already-distinct sides added two dead full-dedup exchanges
     out = (
         cn.intersect(sn).select(F.lit("both").alias("side"), "nk")
-        .unionAll(cn.exceptAll(sn).distinct().select(F.lit("customer_only").alias("side"), "nk"))
-        .unionAll(sn.exceptAll(cn).distinct().select(F.lit("supplier_only").alias("side"), "nk"))
+        .unionAll(cn.subtract(sn).select(F.lit("customer_only").alias("side"), "nk"))
+        .unionAll(sn.subtract(cn).select(F.lit("supplier_only").alias("side"), "nk"))
     )
     return out.orderBy("side", "nk")
 
@@ -881,7 +899,13 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UNPIVOT_ORACLE = f"""
 SELECT user_id, event_type, {sql_dsum('value', 'total_value')}
-FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
+FROM events GROUP BY user_id, event_type
+-- mirror the unpivot's NULL-cell drop exactly: a pivot cell is non-null
+-- iff the group has at least one castable non-null value — without this
+-- an all-NULL-valued group appears here but not in the melt (review
+-- finding; latent while events.value has no NULLs)
+HAVING COUNT(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18))) > 0
+ORDER BY user_id, event_type
 """
 
 
@@ -1057,7 +1081,7 @@ _SMALL_QTY_ORACLE = """
 WITH a AS (
   SELECT l_partkey,
          CAST(CAST(SUM(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
-           / COUNT(l_quantity) AS aq
+           / COUNT(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,18))) AS aq
   FROM lineitem GROUP BY l_partkey
 )
 SELECT CAST(CAST(SUM(TRY_CAST(CAST(l.l_extendedprice AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)

@@ -20,8 +20,17 @@ _ORDERS_COLS = (
     "o_orderpriority",
 )
 
+# o_totalprice is DOUBLE: the operator counts NaN as missing (the audit
+# definition) — the oracle must mirror it or it never exercises that
+# branch and would red the moment a NaN appears (review finding)
+_FLOAT_COLS = {"o_totalprice"}
 _MISSING_ORACLE = "SELECT " + ", ".join(
-    f"COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS {c}" for c in _ORDERS_COLS
+    (
+        f"COUNT(CASE WHEN {c} IS NULL OR isnan({c}) THEN 1 END) AS {c}"
+        if c in _FLOAT_COLS
+        else f"COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS {c}"
+    )
+    for c in _ORDERS_COLS
 ) + " FROM orders"
 
 

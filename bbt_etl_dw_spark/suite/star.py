@@ -95,8 +95,13 @@ def kpi_sales_by_client_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape) — segment ladder broadcast onto the fact, one shuffle."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    seg = F.broadcast(
-        c.select("c_custkey", client_value(F.col("c_acctbal"), 7500.0, 2500.0).alias("client_value"))
+    # no broadcast() hint: the frame is customer-proportional, so sizing
+    # is left to Catalyst/AQE (an unconditional hint bypasses the
+    # threshold and OOMs at extreme scale where auto-selection degrades
+    # gracefully; review finding)
+    seg = c.select(
+        "c_custkey",
+        client_value(F.col("c_acctbal"), 7500.0, 2500.0).alias("client_value"),
     )
     return (
         o.join(seg, o.o_custkey == seg.c_custkey)

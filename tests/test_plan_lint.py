@@ -57,6 +57,10 @@ SCALAR_SUBQUERY_ALLOWED = {
     "idle_rich_customers",
     "nation_revenue_share",
     "doc_token_drift_chisq",
+    # in-plan MAX-shipdate cutoff (one-row broadcast cross join) — moved
+    # in-plan because a driver collect/re-lit of the timestamp round-trips
+    # through the OS timezone layer
+    "inactive_parts_anti_join",
 }
 QUADRATIC_ALLOWED |= SCALAR_SUBQUERY_ALLOWED
 

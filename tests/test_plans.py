@@ -202,3 +202,19 @@ def test_aqe_replans_dim_joins_to_broadcast_under_blind_stats(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_surrogate_keys_null_and_separator_collisions(spark):
+    """Review findings: multi-column xxhash64 passed NULLs through as
+    no-ops (('smith',NULL) == (NULL,'smith')), and md5_key's '|' join
+    collided ('a|b','c') with ('a','b|c') and NULL-skipped — all now
+    distinct under sentinel + unit-separator encoding."""
+    from bbt_etl_dw_spark.operators.surrogate import hash_key, md5_key
+
+    df = spark.createDataFrame(
+        [("smith", None), (None, "smith"), ("a|b", "c"), ("a", "b|c"), ("x", None), (None, "x")],
+        "a string, b string",
+    )
+    for fn in (hash_key, md5_key):
+        keys = [r["k"] for r in fn(df, ["a", "b"], "k").select("k").collect()]
+        assert len(set(keys)) == len(keys), (fn.__name__, keys)
