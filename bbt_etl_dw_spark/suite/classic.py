@@ -1316,3 +1316,416 @@ def events_type_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "metric_value",
     ).orderBy("event_type", "metric")
+
+
+# --------------------------------------------------------------------------
+# Local-supplier volume: customer and supplier in the SAME nation (Q5 shape)
+# --------------------------------------------------------------------------
+
+_LOCAL_SUPPLIER_ORACLE = f"""
+SELECT n.n_name AS nation,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'local_revenue')}
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY local_revenue DESC, nation
+"""
+
+
+@register("local_supplier_volume", oracle=_LOCAL_SUPPLIER_ORACLE)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue per nation from orders where the customer and the
+    line's supplier live in the SAME nation (the reference suite's join
+    family, SURVEY §2.3, stops at star joins — this is the snowflake
+    variant with a cross-dimension equality). The c_nationkey=s_nationkey
+    predicate is NOT a join key between two fact-sized sides: customer and
+    supplier each resolve to their nationkey via broadcast hash joins
+    against the fact, and the equality filters as a residual row predicate
+    — one fact shuffle (lineitem⋈orders on orderkey), everything else
+    map-side. The year filter pushes down to the orders scan."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "local_revenue"))
+        .orderBy(F.desc("local_revenue"), "nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# Forecast revenue change: pure scan-aggregate with range predicates (Q6)
+# --------------------------------------------------------------------------
+
+_FORECAST_ORACLE = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 'potential_revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24.0
+"""
+
+
+@register("forecast_revenue_change", oracle=_FORECAST_ORACLE)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: the canonical scan-aggregate — revenue that would have
+    been gained by eliminating small discounts on low-quantity lines. No
+    join, no shuffle beyond the final 1-row reduce; the whole query is a
+    parquet scan with ALL THREE range predicates pushed down
+    (min/max row-group pruning on shipdate/discount/quantity) plus a
+    3-column ReadSchema. At 100 TB this is the query whose entire cost is
+    I/O — the plan gate in tests/test_plans.py pins the pushdown so a
+    regression to a post-scan filter is loud."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "potential_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Profit decomposition by supplier nation and year (Q9 shape)
+# --------------------------------------------------------------------------
+
+# The test lake has no partsupp table (TESTDATA.md), so ps_supplycost is
+# proxied by a deterministic unit-cost expression on the part dim:
+# 60% of retail price. The SHAPE under test — LIKE-filtered part dim,
+# profit arithmetic mixing fact and dim columns, group by supplier
+# nation x order year — is Q9's.
+_NATION_PROFIT_ORACLE = f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS order_year,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount) - 0.6 * p.p_retailprice * l.l_quantity', 'profit')}
+FROM lineitem l
+JOIN part p     ON l.l_partkey  = p.p_partkey
+JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE 'red%'
+GROUP BY nation, order_year
+ORDER BY nation, order_year DESC
+"""
+
+
+@register("nation_profit_by_year", oracle=_NATION_PROFIT_ORACLE)
+def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit on 'red%' parts per supplier nation per year,
+    profit = discounted price minus a unit-cost proxy (0.6 x retail; the
+    lake has no partsupp table — see oracle comment). The LIKE-pruned part
+    dim broadcasts as the FIRST join so non-matching lineitem rows die
+    before the orderkey shuffle (the selective dim gates the fact — the
+    join-order property a cost-based optimizer must find; here it is
+    declared). supplier⋈nation folds into one broadcast map; one fact
+    shuffle total (lineitem⋈orders)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_nation = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", "n_name"
+        )
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(dsum(profit, "profit"))
+        .orderBy("nation", F.desc("order_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Returned-item top customers (Q10 shape)
+# --------------------------------------------------------------------------
+
+_RETURNED_TOP_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'lost_revenue')}
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, nation
+ORDER BY lost_revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("returned_item_top_customers", oracle=_RETURNED_TOP_ORACLE)
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: the 20 customers who returned the most revenue in one
+    quarter. High-cardinality group-by (customer) followed by a global
+    top-k: the agg shuffles on custkey, then TakeOrderedAndProject keeps
+    20 rows per partition and merges on the driver — no global sort at any
+    scale. Both selective predicates (quarter on orders, 'R' flag on
+    lineitem) push to their scans BEFORE the orderkey shuffle; the tie on
+    equal revenue breaks by custkey so the LIMIT is deterministic
+    cross-engine. The customer-derived geo frame carries NO broadcast
+    hint — customer is fact-proportional at extreme scale, so AQE sizes
+    the join (the standing discipline from the round-6 batch-5 review);
+    nation, a true dim, is hinted."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-bucket CASE-count after a fact join (Q12 shape)
+# --------------------------------------------------------------------------
+
+# The lake's lineitem has no l_shipmode/commitdate/receiptdate
+# (TESTDATA.md), so the Q12 grouping attribute is l_linestatus and the
+# "late shipment" predicate is shipdate > orderdate + 90 days. The SHAPE —
+# join fact to orders, group by a lineitem attribute, split the count into
+# critical / non-critical priority buckets with CASE — is Q12's.
+_LINESTATUS_PRIORITY_ORACLE = """
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_priority_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_priority_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
+@register("linestatus_priority_counts", oracle=_LINESTATUS_PRIORITY_ORACLE)
+def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: late shipments (>90 days after ordering) per line
+    status, with the order count split into high/low priority CASE
+    buckets inside ONE hash aggregate — the two conditional counts share
+    the single fact pass instead of two filtered scans. The year filter
+    pushes to the orders scan; the lateness predicate is a residual on the
+    orderkey join (it references both sides, so it can't push further —
+    exactly where it belongs)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Promo revenue share: conditional ratio aggregate (Q14 shape)
+# --------------------------------------------------------------------------
+
+_PROMO_SHARE_ORACLE = f"""
+SELECT {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 'promo_revenue')},
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'total_revenue')},
+       100.0 * CAST(CAST(SUM(TRY_CAST(CAST((CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END) AS VARCHAR) AS {SQL_DEC})) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(TRY_CAST(CAST((l.l_extendedprice * (1 - l.l_discount)) AS VARCHAR) AS {SQL_DEC})) AS VARCHAR) AS DOUBLE) AS promo_share_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-06-01'
+"""
+
+
+@register("promo_revenue_share", oracle=_PROMO_SHARE_ORACLE)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: percentage of one quarter's revenue from PROMO-type
+    parts. The conditional numerator and unconditional denominator fold
+    into the SAME single hash aggregate (one fact pass); part broadcasts;
+    the quarter filter pushes to the lineitem scan. The percentage is one
+    IEEE division of two exact-decimal sums, so the ratio is bit-stable
+    cross-engine (the davg/dsum discipline, functions/numeric.py)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(promo.try_cast(DEC)).alias("_num_dec"),
+        F.sum(rev.try_cast(DEC)).alias("_den_dec"),
+    )
+    num = F.col("_num_dec").cast("string").cast("double")
+    den = F.col("_den_dec").cast("string").cast("double")
+    return agg.select(
+        num.alias("promo_revenue"),
+        den.alias("total_revenue"),
+        (100.0 * num / den).alias("promo_share_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Supplier counts by part attributes with a NOT-IN exclusion (Q16 shape)
+# --------------------------------------------------------------------------
+
+# No partsupp table: the part→supplier relation under test is the one the
+# fact records (distinct l_partkey/l_suppkey pairs), and the Q16
+# "complaints" exclusion list is suppliers with negative account balance.
+_SUPPLIER_COUNT_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#4'
+  AND p.p_type <> 'ECONOMY'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("part_supplier_counts", oracle=_SUPPLIER_COUNT_ORACLE)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: how many distinct suppliers ship each (brand, type,
+    size) combination, excluding blacklisted suppliers (negative balance
+    — the lake's analog of Q16's complaints LIKE). The NOT IN is a
+    broadcast LEFT ANTI join against the blacklist (NOT IN's
+    three-valued-logic trap is avoided because s_suppkey is non-null by
+    construction; the anti join is the correct plan either way). The
+    <>/IN part predicates fold into the broadcast dim BEFORE the fact
+    join, and COUNT(DISTINCT suppkey) expands to the standard two-level
+    agg — partial distinct on (group, suppkey), then count — so no
+    buffer ever holds a full supplier set."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#4")
+            & (F.col("p_type") != "ECONOMY")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Disjunctive bracket predicate join (Q19 shape)
+# --------------------------------------------------------------------------
+
+_BRACKET_ORACLE = f"""
+SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'bracket_revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20.0 AND 30.0)
+"""
+
+
+@register("disjunctive_bracket_revenue", oracle=_BRACKET_ORACLE)
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: revenue from three OR'd brand/size/quantity brackets —
+    the classic disjunctive join predicate. Catalyst's CNF conversion
+    extracts the single-side implications: the part scan keeps only the
+    three brands (and size >= 1), the lineitem scan keeps quantity in the
+    union range [1, 30] — both pushed to parquet — while the full
+    cross-side disjunction evaluates as a residual on the broadcast hash
+    join. Writing the OR verbatim and letting the optimizer split it is
+    the point: hand-splitting into three unioned joins would scan the
+    fact three times."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    bracket = (
+        ((b == "Brand#12") & sz.between(1, 15) & q.between(1.0, 11.0))
+        | ((b == "Brand#23") & sz.between(1, 25) & q.between(10.0, 20.0))
+        | ((b == "Brand#34") & sz.between(1, 35) & q.between(20.0, 30.0))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "bracket_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

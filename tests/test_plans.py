@@ -218,3 +218,74 @@ def test_surrogate_keys_null_and_separator_collisions(spark):
     for fn in (hash_key, md5_key):
         keys = [r["k"] for r in fn(df, ["a", "b"], "k").select("k").collect()]
         assert len(set(keys)) == len(keys), (fn.__name__, keys)
+
+
+def test_forecast_revenue_pushdown_all_three_ranges(plans):
+    """Q6 shape is pure scan-agg: ALL THREE range predicates must reach
+    the parquet scan (min/max row-group pruning), and the scan must read
+    only the 4 referenced columns of the 11-column lineitem."""
+    plan = plans["forecast_revenue_change"]
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.04)",
+        "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read_schema.count(":") <= 5, read_schema
+
+
+def test_disjunctive_bracket_cnf_extraction(plans):
+    """Q19 shape: Catalyst must extract the single-side implications of
+    the OR-of-ANDs — the lineitem scan gets the quantity union-range, the
+    part scan gets the brand IN-set — while the full disjunction stays as
+    a residual on ONE broadcast join (not three unioned fact scans)."""
+    plan = plans["disjunctive_bracket_revenue"]
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    li_pushed = [l for l in pushed if "l_quantity" in l]
+    assert li_pushed and "GreaterThanOrEqual(l_quantity,1.0)" in li_pushed[0], pushed
+    assert "LessThanOrEqual(l_quantity,30.0)" in li_pushed[0], pushed
+    part_pushed = [l for l in pushed if "p_brand" in l]
+    assert part_pushed and "Brand#12" in part_pushed[0], pushed
+    # exactly one join node (the tree line reads "BroadcastHashJoin Inner
+    # BuildRight"; the node-detail section repeats the name without "Inner")
+    assert plan.count("BroadcastHashJoin Inner") == 1, "fact must be joined once"
+    # exactly one lineitem scan — no union-of-three-brackets rewrite
+    # (formatted explain names the file on the Location line)
+    li_scans = [l for l in plan.splitlines() if "Location" in l and "lineitem" in l]
+    assert len(li_scans) == 1, li_scans
+
+
+def test_part_supplier_counts_anti_join_and_two_level_distinct(plans):
+    """Q16 shape: the NOT IN must plan as a broadcast LEFT ANTI (never a
+    per-row subquery), and COUNT(DISTINCT) as the two-level partial
+    expansion (no single node buffering full supplier sets)."""
+    plan = plans["part_supplier_counts"]
+    assert "LeftAnti" in plan
+    assert plan.count("HashAggregate") >= 3  # distinct expansion adds a level
+    assert "partial_" in plan
+
+
+def test_conditional_aggregates_single_fact_pass(plans):
+    """Q12/Q14 shapes: conditional numerator + denominator fold into ONE
+    hash aggregate — exactly one lineitem scan in each plan."""
+    for name in ("linestatus_priority_counts", "promo_revenue_share"):
+        plan = plans[name]
+        li_scans = [
+            l for l in plan.splitlines() if "Location" in l and "lineitem" in l
+        ]
+        assert len(li_scans) == 1, (name, li_scans)
+        assert "partial_" in plan, name
+
+
+def test_local_supplier_volume_one_fact_shuffle(plans):
+    """Q5 shape: the c_nationkey=s_nationkey equality must evaluate as a
+    residual predicate, never a join between two fact-sized sides; the
+    only data exchanges are hash joins plus the final group agg."""
+    plan = plans["local_supplier_volume"]
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
