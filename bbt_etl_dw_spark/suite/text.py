@@ -1427,3 +1427,97 @@ def doc_lm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents", spread=True)
     ref = docs.filter(F.col("source").isin("src1", "src2", "src3"))
     return oov_rate_vs_reference(docs, ref).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# PII detection + redaction (operators/pii.py)
+# --------------------------------------------------------------------------
+
+from bbt_etl_dw_spark.operators.pii import (  # noqa: E402
+    pii_counts,
+    scrub_pii,
+    sql_pii_counts,
+    sql_scrub_pii,
+)
+
+# The synthetic corpus is PII-free word soup, so the query plants
+# deterministic PII derived from doc_id in-plan — BOTH engines build the
+# identical augmented text, then detect and scrub it. Every category gets
+# at least one planted instance across the corpus and the md5 of the
+# scrubbed text pins the exact replacement output (not just the counts).
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    "         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+_PII_ORACLE = f"""
+WITH aug AS (
+    SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       {', '.join(sql_pii_counts('text'))},
+       md5({sql_scrub_pii('text')}) AS scrubbed_fp
+FROM aug
+ORDER BY doc_id
+"""
+
+
+@register("doc_pii_scrub", oracle=_PII_ORACLE)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: per-document counts of
+    email/SSN/phone/IPv4 matches plus the md5 fingerprint of the fully
+    scrubbed text (operators/pii.py). The whole query is one codegen'd
+    projection — regexp_count/regexp_replace chains, no Python, no
+    shuffle except the output sort — so redaction cost is pure map work
+    at any corpus size. PII is planted deterministically from doc_id
+    (the lake's corpus is synthetic word soup; see _PII_AUG_SQL) so the
+    regex parity is exercised on real matches in every category, and
+    the scrubbed-text fingerprint pins replacement output byte-for-byte
+    cross-engine."""
+    d = table(spark, sf_dir, "documents")
+    phone = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    host = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" host 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" id 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com"),
+        phone,
+        host,
+        ssn,
+    )
+    d = d.select("doc_id", aug.alias("text"))
+    counts = pii_counts("text")
+    return d.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        F.md5(scrub_pii("text")).alias("scrubbed_fp"),
+    ).orderBy("doc_id")
