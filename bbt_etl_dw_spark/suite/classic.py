@@ -1345,10 +1345,11 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, SURVEY §2.3, stops at star joins — this is the snowflake
     variant with a cross-dimension equality). The c_nationkey=s_nationkey
     predicate is NOT a join key between two fact-sized sides: customer and
-    supplier each resolve to their nationkey via broadcast hash joins
-    against the fact, and the equality filters as a residual row predicate
-    — one fact shuffle (lineitem⋈orders on orderkey), everything else
-    map-side. The year filter pushes down to the orders scan."""
+    supplier each attach their nationkey via ordinary key joins (AQE
+    broadcasts them at dim scale; at extreme scale they are legitimate
+    key shuffles, exactly like classic Q5), and the equality filters as
+    a residual row predicate. The year filter pushes down to the orders
+    scan and gates the fact before any shuffle."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -1384,7 +1385,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 """
 
 
-@register("forecast_revenue_change", oracle=_FORECAST_ORACLE)
+@register("forecast_revenue_change", oracle=_FORECAST_ORACLE, bench=True)
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6 shape: the canonical scan-aggregate — revenue that would have
     been gained by eliminating small discounts on low-quantity lines. No
@@ -1438,12 +1439,14 @@ ORDER BY nation, order_year DESC
 def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 shape: profit on 'red%' parts per supplier nation per year,
     profit = discounted price minus a unit-cost proxy (0.6 x retail; the
-    lake has no partsupp table — see oracle comment). The LIKE-pruned part
-    dim broadcasts as the FIRST join so non-matching lineitem rows die
-    before the orderkey shuffle (the selective dim gates the fact — the
-    join-order property a cost-based optimizer must find; here it is
-    declared). supplier⋈nation folds into one broadcast map; one fact
-    shuffle total (lineitem⋈orders)."""
+    lake has no partsupp table — see oracle comment). The LIKE-pruned
+    part dim joins FIRST so non-matching lineitem rows die before the
+    orderkey shuffle (the selective dim gates the fact — the join-order
+    property tests/test_cbo.py proves the cost-based optimizer finds;
+    here it is declared). The pruned part frame carries no broadcast
+    hint — AQE sizes it (fact-proportional at extreme scale);
+    supplier⋈nation folds into one broadcast map per the repo's
+    supplier-dim convention. One fact shuffle total (lineitem⋈orders)."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     p = (
@@ -1462,7 +1465,7 @@ def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -1494,7 +1497,7 @@ LIMIT 20
 """
 
 
-@register("returned_item_top_customers", oracle=_RETURNED_TOP_ORACLE)
+@register("returned_item_top_customers", oracle=_RETURNED_TOP_ORACLE, bench=True)
 def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 shape: the 20 customers who returned the most revenue in one
     quarter. High-cardinality group-by (customer) followed by a global
@@ -1538,10 +1541,10 @@ def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # critical / non-critical priority buckets with CASE — is Q12's.
 _LINESTATUS_PRIORITY_ORACLE = """
 SELECT l.l_linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_priority_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_priority_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
@@ -1602,8 +1605,9 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape: percentage of one quarter's revenue from PROMO-type
     parts. The conditional numerator and unconditional denominator fold
-    into the SAME single hash aggregate (one fact pass); part broadcasts;
-    the quarter filter pushes to the lineitem scan. The percentage is one
+    into the SAME single hash aggregate (one fact pass); the part join is
+    AQE-sized (no unconditional hint — part is fact-proportional); the
+    quarter filter pushes to the lineitem scan. The percentage is one
     IEEE division of two exact-decimal sums, so the ratio is bit-stable
     cross-engine (the davg/dsum discipline, functions/numeric.py)."""
     li = table(spark, sf_dir, "lineitem").filter(
@@ -1613,7 +1617,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    agg = li.join(p, li.l_partkey == p.p_partkey).agg(
         F.sum(promo.try_cast(DEC)).alias("_num_dec"),
         F.sum(rev.try_cast(DEC)).alias("_den_dec"),
     )
@@ -1653,11 +1657,11 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 shape: how many distinct suppliers ship each (brand, type,
     size) combination, excluding blacklisted suppliers (negative balance
     — the lake's analog of Q16's complaints LIKE). The NOT IN is a
-    broadcast LEFT ANTI join against the blacklist (NOT IN's
+    LEFT ANTI hash join against the blacklist (NOT IN's
     three-valued-logic trap is avoided because s_suppkey is non-null by
-    construction; the anti join is the correct plan either way). The
-    <>/IN part predicates fold into the broadcast dim BEFORE the fact
-    join, and COUNT(DISTINCT suppkey) expands to the standard two-level
+    construction; the anti join is the correct plan either way; AQE
+    broadcasts the blacklist at dim scale). The <>/IN part predicates
+    push into the part scan BEFORE the fact join, and COUNT(DISTINCT suppkey) expands to the standard two-level
     agg — partial distinct on (group, suppkey), then count — so no
     buffer ever holds a full supplier set."""
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
@@ -1676,8 +1680,8 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -1709,8 +1713,8 @@ def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracts the single-side implications: the part scan keeps only the
     three brands (and size >= 1), the lineitem scan keeps quantity in the
     union range [1, 30] — both pushed to parquet — while the full
-    cross-side disjunction evaluates as a residual on the broadcast hash
-    join. Writing the OR verbatim and letting the optimizer split it is
+    cross-side disjunction evaluates as a residual on the single
+    AQE-sized hash join. Writing the OR verbatim and letting the optimizer split it is
     the point: hand-splitting into three unioned joins would scan the
     fact three times."""
     li = table(spark, sf_dir, "lineitem")
@@ -1722,7 +1726,7 @@ def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#34") & sz.between(1, 35) & q.between(20.0, 30.0))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(bracket)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "bracket_revenue"),

@@ -1430,14 +1430,14 @@ def doc_lm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# PII detection + redaction (operators/pii.py)
+# PII detection + redaction (functions/redact.py)
 # --------------------------------------------------------------------------
 
-from bbt_etl_dw_spark.operators.pii import (  # noqa: E402
+from bbt_etl_dw_spark.functions.redact import (  # noqa: E402
     pii_counts,
-    scrub_pii,
+    redact_pii,
     sql_pii_counts,
-    sql_scrub_pii,
+    sql_redact_pii,
 )
 
 # The synthetic corpus is PII-free word soup, so the query plants
@@ -1460,7 +1460,7 @@ WITH aug AS (
 )
 SELECT doc_id,
        {', '.join(sql_pii_counts('text'))},
-       md5({sql_scrub_pii('text')}) AS scrubbed_fp
+       md5({sql_redact_pii('text')}) AS scrubbed_fp
 FROM aug
 ORDER BY doc_id
 """
@@ -1470,7 +1470,7 @@ ORDER BY doc_id
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction: per-document counts of
     email/SSN/phone/IPv4 matches plus the md5 fingerprint of the fully
-    scrubbed text (operators/pii.py). The whole query is one codegen'd
+    scrubbed text (functions/redact.py). The whole query is one codegen'd
     projection — regexp_count/regexp_replace chains, no Python, no
     shuffle except the output sort — so redaction cost is pure map work
     at any corpus size. PII is planted deterministically from doc_id
@@ -1519,5 +1519,5 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         *[c.alias(n) for n, c in counts.items()],
-        F.md5(scrub_pii("text")).alias("scrubbed_fp"),
+        F.md5(redact_pii("text")).alias("scrubbed_fp"),
     ).orderBy("doc_id")

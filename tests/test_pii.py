@@ -1,16 +1,16 @@
-"""Unit tests for operators/pii.py: detection counts, redaction output,
+"""Unit tests for functions/redact.py: detection counts, redaction output,
 NULL propagation, and the cross-engine regex-parity contract (the same
 strings through DuckDB's RE2 must count and scrub identically)."""
 
 import duckdb
 import pytest
 
-from bbt_etl_dw_spark.operators.pii import (
+from bbt_etl_dw_spark.functions.redact import (
     PII_PATTERNS,
     pii_counts,
-    scrub_pii,
+    redact_pii,
     sql_pii_counts,
-    sql_scrub_pii,
+    sql_redact_pii,
 )
 
 CASES = [
@@ -29,7 +29,7 @@ CASES = [
         # +1 prefix and dotted separators
         "+1 555.123.4567 from 192.168.0.1",
         0, 0, 1, 1,
-        "[PHONE] from [IPV4]",
+        "[PHONE] from [IP]",
     ),
     (
         # SSN must NOT be double-claimed by the phone pattern
@@ -59,7 +59,7 @@ def scrubbed(spark):
             "i",
             "text",
             *[c.alias(n) for n, c in pii_counts("text").items()],
-            scrub_pii("text").alias("scrubbed"),
+            redact_pii("text").alias("scrubbed"),
         )
         .orderBy("i")
         .collect()
@@ -83,17 +83,13 @@ def test_duckdb_regex_parity(scrubbed):
     counts_sql = ", ".join(sql_pii_counts("text"))
     for row, (text, *_rest) in zip(scrubbed, CASES):
         got = con.execute(
-            f"SELECT {counts_sql}, {sql_scrub_pii('text')} AS scrubbed "
+            f"SELECT {counts_sql}, {sql_redact_pii('text')} AS scrubbed "
             "FROM (SELECT ? AS text)",
             [text],
         ).fetchone()
         n = len(PII_PATTERNS)
-        assert tuple(got[:n]) == (
-            row.email_count,
-            row.ssn_count,
-            row.phone_count,
-            row.ipv4_count,
-        ), text
+        expected = tuple(row[f"{name}_count"] for name, _, _ in PII_PATTERNS)
+        assert tuple(got[:n]) == expected, text
         assert got[n] == row.scrubbed, text
 
 
@@ -103,8 +99,26 @@ def test_plan_is_pure_projection(spark):
     df = spark.createDataFrame([("a@b.co",)], "text string")
     out = df.select(
         *[c.alias(n) for n, c in pii_counts("text").items()],
-        scrub_pii("text").alias("scrubbed"),
+        redact_pii("text").alias("scrubbed"),
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_scrub_idempotent_on_placeholders(spark):
+    """scrub(scrub(x)) == scrub(x): placeholders contain no digits or
+    '@', so no pattern can match inside already-redacted text — the
+    property that makes re-running a redaction pass safe on a partially
+    processed corpus."""
+    texts = [t[0] for t in CASES if t[0]] + [
+        "[EMAIL] [PHONE] [SSN] [IP]",
+        "a@b.co 123-45-6789 555-123-4567 10.0.0.1 a@b.co",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        redact_pii("text").alias("once"),
+        redact_pii(redact_pii("text")).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r.once == r.twice, r.once
