@@ -1,0 +1,87 @@
+"""Market-basket co-occurrence mining: item-pair support and lift.
+
+The association-rule primitive over a (basket, item) fact — which item
+pairs appear together more often than independence predicts. The
+reference's aggregate surface has no co-occurrence analog; this is the
+first analysis a retail warehouse runs on the order/lineitem star.
+
+Scale design:
+
+- Pair generation is a SELF EQUI-JOIN on the basket key with the
+  ``item_a < item_b`` residual — one shuffle, co-partitioned on basket,
+  and the per-basket fanout is C(k,2) where k is the basket size
+  (bounded by order width, ~7 in TPC-H-shaped data), never corpus².
+  The (basket, item) projection is deduplicated FIRST so multi-line
+  items (same part on several lines of one order) cannot inflate
+  counts quadratically.
+- Item frequencies reduce to at most one row per distinct item —
+  dim-cardinality, broadcast back onto the pair counts.
+- The basket total is a one-row aggregate attached as a broadcast
+  scalar (the canonical scalar-subquery plan).
+- Lift arithmetic stays exact until the final division: counts multiply
+  in BIGINT (exact), and the single double division is correctly
+  rounded identically in every engine — results are bit-reproducible.
+
+``lift = P(a,b) / (P(a)·P(b)) = (pair_n · total) / (n_a · n_b)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Item pairs by co-occurrence count with support and lift.
+
+    Output: (item_a, item_b, pair_n, n_a, n_b, support, lift) with
+    ``item_a < item_b``; ``support`` = pair_n / n_baskets.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
+    ).distinct()
+
+    a = bi.select(F.col("_basket"), F.col("_item").alias("item_a"))
+    b = bi.select(F.col("_basket"), F.col("_item").alias("item_b"))
+    pairs = (
+        a.join(b, "_basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_count)
+    )
+
+    freq = bi.groupBy("_item").agg(F.count(F.lit(1)).alias("_n"))
+    total = bi.agg(F.countDistinct("_basket").alias("_total"))
+
+    out = (
+        pairs.join(
+            F.broadcast(freq.select(F.col("_item"), F.col("_n").alias("n_a"))),
+            pairs.item_a == F.col("_item"),
+        )
+        .drop("_item")
+        .join(
+            F.broadcast(freq.select(F.col("_item"), F.col("_n").alias("n_b"))),
+            F.col("item_b") == F.col("_item"),
+        )
+        .drop("_item")
+        .crossJoin(F.broadcast(total))
+    )
+    support = F.col("pair_n").cast("double") / F.col("_total").cast("double")
+    lift = (F.col("pair_n") * F.col("_total")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return out.select(
+        "item_a",
+        "item_b",
+        "pair_n",
+        "n_a",
+        "n_b",
+        support.alias("support"),
+        lift.alias("lift"),
+    )

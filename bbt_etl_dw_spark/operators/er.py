@@ -1,0 +1,85 @@
+"""Entity resolution: blocked fuzzy matching of a dirty string column
+against a canonical dimension.
+
+The reference normalizes dirty dimension values with exact lookup tables
+(country→ISO3, reference ``scripts/map_cols.py`` — re-expressed in
+functions/geo.py). This operator is the fuzzy generalization a real lake
+needs once the dirty side contains typos: match each probe string to its
+best canonical candidate under edit distance, WITHOUT the quadratic
+probe×canonical comparison.
+
+Scale design (the standard ER blocking recipe):
+
+- **Blocking**: both sides derive a cheap block key — first character +
+  a length band (``len // band_width``). Only same-block pairs are ever
+  compared, so the join is an equi-join (hash/SMJ — never a nested
+  loop). The canonical side EXPANDS to its adjacent length bands, so a
+  typo that inserts/deletes up to ``band_width - 1`` characters cannot
+  move a true match out of reach across a band boundary. A typo in the
+  FIRST character defeats blocking — that recall limit is inherent to
+  the scheme and documented here rather than papered over.
+- **Broadcast**: the canonical dimension (× 3 band copies) is dim-sized
+  and broadcast, so the probe side — which may be fact-proportional —
+  never shuffles for the match itself.
+- **Best-match selection**: min (distance, canonical key) per probe row
+  via one window over the CANDIDATES only (bounded by block size, not
+  corpus size), with the canonical key as deterministic tie-break.
+
+Probe rows with no candidate within ``max_dist`` surface with NULL
+match columns (left-join semantics) so unmatched rows are auditable
+instead of silently dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _block_key(col: Column, band_width: int) -> tuple[Column, Column]:
+    return F.substring(col, 1, 1), F.floor(F.length(col) / band_width)
+
+
+def blocked_fuzzy_lookup(
+    df: DataFrame,
+    col: str,
+    canonical: DataFrame,
+    canon_col: str,
+    key_col: str,
+    max_dist: int = 3,
+    band_width: int = 4,
+) -> DataFrame:
+    """Left-join ``df`` to its best fuzzy match in ``canonical``.
+
+    Adds ``canonical``'s columns (best match, NULL when nothing is
+    within ``max_dist``) plus ``match_dist``. ``key_col`` is the
+    canonical frame's unique key, used as the deterministic tie-break
+    when two candidates sit at equal distance.
+    """
+    pc, pb = _block_key(F.col(col), band_width)
+    probe = df.withColumn("_bc", pc).withColumn("_bb", pb)
+
+    cc, cb = _block_key(F.col(canon_col), band_width)
+    cand = (
+        canonical.withColumn("_bc", cc)
+        .withColumn("_bb", F.explode(F.sequence(cb - 1, cb + 1)))
+    )
+
+    dist = F.levenshtein(F.col(col), F.col(canon_col))
+    matched = (
+        probe.join(F.broadcast(cand), ["_bc", "_bb"])
+        .filter(dist <= max_dist)
+        .withColumn("_dist", dist)
+    )
+    w = Window.partitionBy(*[F.col(c) for c in df.columns]).orderBy(
+        "_dist", key_col
+    )
+    best = (
+        matched.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_bc", "_bb")
+    )
+    return (
+        df.join(best, on=df.columns, how="left")
+        .withColumnRenamed("_dist", "match_dist")
+    )

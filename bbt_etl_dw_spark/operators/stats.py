@@ -1,0 +1,179 @@
+"""Distributed statistics operators: group-wise ordinary-least-squares
+trend fitting and exact (linearly interpolated) percentiles.
+
+Both are classic warehouse asks the reference's aggregate surface
+(SURVEY §2.4: sum/max/count/describe) stops short of:
+
+- ``group_ols_slope`` — per-group slope/intercept of y over x, the
+  ``regr_slope`` / ``regr_intercept`` family, computed from sufficient
+  statistics (n, Σx, Σy, Σxy, Σx²) in ONE aggregation pass per group.
+  This is the map-side-combinable formulation — the only one that works
+  at 100 TB, since the sums reduce partially on every executor and only
+  5 numbers per group cross the wire.
+- ``exact_group_percentiles`` — exact ``percentile_cont`` over a
+  distributed sort, complementing the approx sketch path
+  (``order_quantile_sketch_check``): rank every row inside its group
+  (one hash-partitioned sort), keep only the floor/ceil ranks of each
+  requested percentile, and interpolate. Shuffles the column being
+  ranked exactly once; the aggregate that follows touches ≤ 2 rows per
+  percentile per group.
+
+Cross-engine determinism: money sums go through the exact-decimal
+discipline (functions/numeric.py); the closing slope / interpolation
+arithmetic is a fixed sequence of IEEE-double operations (each
+individually correctly rounded), written in the same order in the Spark
+builders and the DuckDB oracle strings, so results are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.functions.numeric import DEC, SQL_DEC
+
+
+def _dec_to_double(c: Column) -> Column:
+    # String-mediated decimal→double (see functions/numeric.py): the
+    # digit-string parse is correctly rounded in both engines, DuckDB's
+    # direct decimal cast is not.
+    return c.cast("string").cast("double")
+
+
+def group_ols_slope(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group least-squares fit of ``y = slope*x + intercept``.
+
+    ``x`` must be integral (year, day index, …); ``y`` is double. The
+    x-sums accumulate exactly as BIGINT, the y-sums exactly as
+    DECIMAL(38,18); the closing arithmetic
+
+        slope = (n*Σxy - Σx*Σy) / (n*Σx² - Σx*Σx)
+
+    runs in double after exact-sum conversion. Groups with < 2 distinct
+    x values have a zero denominator and return NULL slope (0/0 = NaN is
+    mapped to NULL so downstream fillna semantics stay sane).
+
+    Output: group_cols + (n_points, slope, intercept).
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("double")
+    xy = x.cast("double") * y  # per-row product: 1 deterministic rounding
+
+    agg = df.groupBy(*group_cols).agg(
+        F.count(y).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y.try_cast(DEC)).alias("_sy"),
+        F.sum(xy.try_cast(DEC)).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    n_d = F.col("_n").cast("double")
+    sx_d = F.col("_sx").cast("double")
+    sy_d = _dec_to_double(F.col("_sy"))
+    sxy_d = _dec_to_double(F.col("_sxy"))
+    sxx_d = F.col("_sxx").cast("double")
+
+    num = n_d * sxy_d - sx_d * sy_d
+    den = n_d * sxx_d - sx_d * sx_d
+    # Guard the zero denominator (single point / constant x) BEFORE the
+    # division: ANSI mode raises on divide-by-zero, and IEEE inf/NaN
+    # would differ between engines anyway. CASE WHEN short-circuits
+    # per-row, so the division never executes for degenerate groups.
+    slope = F.when(den != 0.0, num / den)
+    # same guard: den != 0 implies n >= 2, so n_d is never 0 here
+    intercept = F.when(den != 0.0, (sy_d - slope * sx_d) / n_d)
+
+    return agg.select(
+        *group_cols,
+        F.col("_n").alias("n_points"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def sql_ols_exprs(x: str, y: str) -> dict[str, str]:
+    """Oracle-SQL twins of :func:`group_ols_slope`'s aggregate + closing
+    arithmetic, for use inside a GROUP BY. Returns SELECT-list fragments
+    keyed n_points / slope / intercept — the arithmetic mirrors the Spark
+    expressions operation-for-operation."""
+    n_d = f"CAST(COUNT(CAST(({y}) AS DOUBLE)) AS DOUBLE)"
+    sx_d = f"CAST(SUM(CAST(({x}) AS BIGINT)) AS DOUBLE)"
+    dec = lambda e: f"SUM(TRY_CAST(CAST(({e}) AS VARCHAR) AS {SQL_DEC}))"  # noqa: E731
+    sy_d = f"CAST(CAST({dec(f'CAST(({y}) AS DOUBLE)')} AS VARCHAR) AS DOUBLE)"
+    xy = f"CAST(CAST(({x}) AS BIGINT) AS DOUBLE) * CAST(({y}) AS DOUBLE)"
+    sxy_d = f"CAST(CAST({dec(xy)} AS VARCHAR) AS DOUBLE)"
+    sxx_d = f"CAST(SUM(CAST(({x}) AS BIGINT) * CAST(({x}) AS BIGINT)) AS DOUBLE)"
+    num = f"({n_d} * {sxy_d} - {sx_d} * {sy_d})"
+    den = f"({n_d} * {sxx_d} - {sx_d} * {sx_d})"
+    # zero-denominator guard BEFORE dividing, mirroring the builder
+    slope = f"(CASE WHEN {den} <> 0.0 THEN {num} / {den} END)"
+    intercept = f"(CASE WHEN {den} <> 0.0 THEN ({sy_d} - {slope} * {sx_d}) / {n_d} END)"
+    return {
+        "n_points": f"COUNT(CAST(({y}) AS DOUBLE))",
+        "slope": slope,
+        "intercept": intercept,
+    }
+
+
+def exact_group_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: dict[str, float],
+) -> DataFrame:
+    """Exact interpolated percentiles (``percentile_cont`` semantics) per
+    group over a distributed sort.
+
+    Each row is ranked within its group (ONE shuffle: the two window
+    functions share a single hash partitioning on the group columns);
+    for percentile p over n rows the target index is ``(n-1)*p`` and the
+    result interpolates between the floor- and ceil-ranked values:
+    ``v_lo + (v_hi - v_lo) * frac``. Only those ≤ 2 rows per percentile
+    survive into the closing aggregate, so the reduce side is tiny no
+    matter how large the groups are. Ties at the boundary ranks are
+    benign: equal values interpolate to themselves regardless of which
+    tied row takes which rank.
+
+    Output: group_cols + one double column per ``percentiles`` key.
+    """
+    v = F.col(value_col).cast("double")
+    w_rank = Window.partitionBy(*group_cols).orderBy(v)
+    w_all = Window.partitionBy(*group_cols)
+    ranked = df.withColumn("_rn", F.row_number().over(w_rank) - 1).withColumn(
+        "_cnt", F.count(F.lit(1)).over(w_all)
+    )
+
+    aggs = []
+    for name, p in percentiles.items():
+        idx = (F.col("_cnt") - 1).cast("double") * F.lit(float(p))
+        lo = F.floor(idx)  # long
+        hi = F.ceil(idx)  # long
+        frac = idx - lo.cast("double")
+        v_lo = F.max(F.when(F.col("_rn") == lo, v))
+        v_hi = F.max(F.when(F.col("_rn") == hi, v))
+        aggs.append((v_lo + (v_hi - v_lo) * F.max(frac)).alias(name))
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def sql_percentile_exprs(percentiles: dict[str, float]) -> list[str]:
+    """Oracle-SQL twins of :func:`exact_group_percentiles`'s closing
+    aggregates. The caller wraps these in a GROUP BY over a ranked CTE
+    exposing ``_v`` (double value), ``_rn`` (0-based rank within group)
+    and ``_cnt`` (group size); each fragment mirrors the Spark
+    interpolation arithmetic operation-for-operation."""
+    outs = []
+    for name, p in percentiles.items():
+        # CAST the literal: DuckDB parses a bare `0.25` as DECIMAL, and
+        # decimal-vs-double multiplication would break bit-parity.
+        idx = f"(CAST((_cnt - 1) AS DOUBLE) * CAST({float(p)!r} AS DOUBLE))"
+        lo = f"CAST(FLOOR({idx}) AS BIGINT)"
+        hi = f"CAST(CEIL({idx}) AS BIGINT)"
+        frac = f"({idx} - CAST({lo} AS DOUBLE))"
+        v_lo = f"MAX(CASE WHEN _rn = {lo} THEN _v END)"
+        v_hi = f"MAX(CASE WHEN _rn = {hi} THEN _v END)"
+        outs.append(f"{v_lo} + ({v_hi} - {v_lo}) * MAX({frac}) AS {name}")
+    return outs

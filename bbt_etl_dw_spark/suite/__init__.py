@@ -44,6 +44,7 @@ def zsum(cond, name: str):
 _MODULES = (
     "bbt_etl_dw_spark.suite.core",
     "bbt_etl_dw_spark.suite.classic",
+    "bbt_etl_dw_spark.suite.analytics",
     "bbt_etl_dw_spark.suite.quality",
     "bbt_etl_dw_spark.suite.star",
     "bbt_etl_dw_spark.suite.text",

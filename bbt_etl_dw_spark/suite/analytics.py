@@ -1,0 +1,297 @@
+"""Advanced-analytics shapes: group-wise OLS trend fitting, exact
+distributed percentiles, market-basket co-occurrence, trailing-window
+EWMA smoothing, and blocked fuzzy dimension matching.
+
+These extend the warehouse layer past the reference's aggregate surface
+(SURVEY §2.4 stops at sum/max/count/describe) with the next tier of
+analytics a dashboard user reaches for — each expressed as the plan
+that survives 100 TB: sufficient-statistics aggregation for regression
+(5 numbers per group cross the wire), a single ranked shuffle for exact
+percentiles, an equi-self-join bounded by basket width for
+co-occurrence, a single keyed window for EWMA, and broadcast blocking
+for fuzzy matching. All numeric output follows the exact-decimal /
+fixed-IEEE-sequence discipline so every query carries a bit-exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.catalog import table
+from bbt_etl_dw_spark.functions.numeric import dsum, sql_dsum
+from bbt_etl_dw_spark.operators.basket import cooccurrence_pairs
+from bbt_etl_dw_spark.operators.er import blocked_fuzzy_lookup
+from bbt_etl_dw_spark.operators.smooth import trailing_ewma
+from bbt_etl_dw_spark.operators.stats import (
+    exact_group_percentiles,
+    group_ols_slope,
+    sql_ols_exprs,
+    sql_percentile_exprs,
+)
+from bbt_etl_dw_spark.suite import register
+
+# --------------------------------------------------------------------------
+# Group-wise OLS: revenue trend per supplier nation (regr_slope shape)
+# --------------------------------------------------------------------------
+
+_OLS = sql_ols_exprs("order_year", "revenue")
+
+_TREND_ORACLE = f"""
+WITH yearly AS (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS order_year,
+         {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  GROUP BY nation, order_year
+)
+SELECT nation,
+       {_OLS['n_points']} AS n_points,
+       {_OLS['slope']} AS slope,
+       {_OLS['intercept']} AS intercept
+FROM yearly
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@register("nation_yearly_revenue_trend", oracle=_TREND_ORACLE)
+def nation_yearly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regr_slope shape: least-squares revenue-vs-year trend per supplier
+    nation. Stage 1 is the Q9-style star aggregation (supplier⋈nation
+    folded into one broadcast map, ONE fact shuffle on the group keys);
+    stage 2 fits the line from sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) — a second aggregation over nation×year rows, i.e. dim-scale
+    input. The sums are map-side combinable, which is the only
+    regression formulation that works at 100 TB: no per-group value
+    lists, just 5 numbers per group across the wire."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_nation = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", "n_name"
+        )
+    )
+    yearly = (
+        li.join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    return group_ols_slope(yearly, ["nation"], "order_year", "revenue").orderBy(
+        "nation"
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles per group (percentile_cont shape, sort-based)
+# --------------------------------------------------------------------------
+
+_PCTS = {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+
+_PCT_FRAGS = ",\n       ".join(sql_percentile_exprs(_PCTS))
+
+_PCT_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS _v,
+         ROW_NUMBER() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY CAST(o_totalprice AS DOUBLE)) - 1 AS _rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS _cnt
+  FROM orders
+)
+SELECT o_orderpriority,
+       {_PCT_FRAGS}
+FROM ranked
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("order_price_percentiles", oracle=_PCT_ORACLE)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile_cont(0.25/0.5/0.9) of order value per priority,
+    via distributed sort: ONE hash-partitioned sort on the group key
+    serves both window functions (rank + group size), then only the
+    floor/ceil-ranked rows of each percentile reach the closing
+    aggregate. The exact complement of the approx-sketch path
+    (order_quantile_sketch_check): same answer contract, full-precision,
+    at the cost of a sort instead of a mergeable sketch."""
+    o = table(spark, sf_dir, "orders")
+    return exact_group_percentiles(
+        o, ["o_orderpriority"], "o_totalprice", _PCTS
+    ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence over order lineitems
+# --------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+pairs AS (
+  SELECT a.i AS item_a, b2.i AS item_b, COUNT(*) AS pair_n
+  FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY item_a, item_b
+  HAVING COUNT(*) >= 2
+),
+freq AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY i),
+tot AS (SELECT COUNT(DISTINCT b) AS total FROM bi)
+SELECT p.item_a, p.item_b, p.pair_n, fa.n AS n_a, fb.n AS n_b,
+       CAST(p.pair_n AS DOUBLE) / CAST(t.total AS DOUBLE) AS support,
+       CAST(p.pair_n * t.total AS DOUBLE)
+         / CAST(fa.n * fb.n AS DOUBLE) AS lift
+FROM pairs p
+JOIN freq fa ON p.item_a = fa.i
+JOIN freq fb ON p.item_b = fb.i
+CROSS JOIN tot t
+ORDER BY p.pair_n DESC, p.item_a, p.item_b
+LIMIT 25
+"""
+
+
+@register("order_part_cooccurrence", oracle=_BASKET_ORACLE)
+def order_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: the 25 strongest part pairs by co-purchase
+    count, with support and lift. Pair generation is an equi-self-join
+    on orderkey whose fanout is C(basket,2) — bounded by order width,
+    never corpus² — and the (order, part) projection deduplicates first
+    so multi-line parts cannot inflate counts. Item frequencies are
+    dim-cardinality and broadcast; the basket total is a one-row
+    broadcast scalar. The LIMIT tie-breaks on (count desc, keys) so the
+    cut is deterministic."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_pair_count=2)
+        .orderBy(F.desc("pair_n"), "item_a", "item_b")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Trailing-window EWMA per user over purchase events
+# --------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       list_reduce(
+           l, (acc, x) -> CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * acc
+       ) AS ewma
+FROM (
+  SELECT event_id, user_id, ts, value,
+         list(CAST(value AS DOUBLE)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS l
+  FROM events
+  WHERE event_type = 'purchase'
+)
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+@register("events_purchase_ewma", oracle=_EWMA_ORACLE)
+def events_purchase_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA(α=0.5) of purchase value per user over the trailing 32
+    events — the recursive smoother no SQL frame expresses, computed as
+    a JVM array fold over a bounded sliding window (operators/smooth.py:
+    one shuffle, K doubles per row, bit-exact across engines because
+    α=0.5 makes both fold multiplications exact). Timestamps surface as
+    epoch microseconds per the repo's timezone discipline."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    sm = trailing_ewma(
+        e, ["user_id"], ["ts", "event_id"], "value", alpha=0.5, k=32
+    )
+    return sm.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "ewma",
+    ).orderBy("user_id", "ts_us", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy dimension matching (entity resolution)
+# --------------------------------------------------------------------------
+
+# Dirty aliases exercising each matcher path: exact hit, deletion /
+# insertion / substitution / punctuation typos, an equal-distance tie
+# (NATION__5 is distance 1 from both NATION_5 and NATION_15 — the
+# n_nationkey tie-break must pick NATION_5 deterministically), a
+# first-character typo (MATION_9: blocking recall miss by design), a
+# case mismatch (levenshtein is case-sensitive; distance 6 > max_dist),
+# and a no-candidate string.
+_ALIASES = (
+    "NATION_3",
+    "NATON_7",
+    "NATION-12",
+    "NATIONN_21",
+    "NATIPN_15",
+    "NATI0N_24",
+    "NATION__5",
+    "MATION_9",
+    "nation_4",
+    "ATLANTIS",
+)
+
+_ALIAS_VALUES = ", ".join(f"('{a}')" for a in _ALIASES)
+
+_FUZZY_ORACLE = f"""
+WITH aliases(alias) AS (VALUES {_ALIAS_VALUES}),
+cand AS (
+  SELECT a.alias, n.n_nationkey, n.n_name,
+         levenshtein(a.alias, n.n_name) AS d
+  FROM aliases a
+  JOIN nation n
+    ON substr(a.alias, 1, 1) = substr(n.n_name, 1, 1)
+   AND abs(CAST(FLOOR(CAST(LENGTH(a.alias) AS DOUBLE) / 4) AS BIGINT)
+         - CAST(FLOOR(CAST(LENGTH(n.n_name) AS DOUBLE) / 4) AS BIGINT)) <= 1
+  WHERE levenshtein(a.alias, n.n_name) <= 2
+),
+best AS (
+  SELECT alias, n_nationkey, n_name, d,
+         ROW_NUMBER() OVER (PARTITION BY alias ORDER BY d, n_nationkey) AS rk
+  FROM cand
+)
+SELECT a.alias, b.n_nationkey, b.n_name AS matched_nation,
+       b.d AS match_dist
+FROM aliases a
+LEFT JOIN best b ON a.alias = b.alias AND b.rk = 1
+ORDER BY a.alias
+"""
+
+
+@register("nation_fuzzy_aliases", oracle=_FUZZY_ORACLE)
+def nation_fuzzy_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dimension normalization: dirty nation aliases matched to
+    the canonical dim by blocked edit distance (operators/er.py). The
+    canonical side broadcasts with ±1 length-band expansion, so the
+    probe side — fact-proportional in production — joins on the block
+    key without shuffling and never sees a nested-loop comparison.
+    Unmatched aliases (first-char typo defeats blocking; case-sensitive
+    distance over budget; no candidate) surface with NULLs for audit
+    instead of dropping."""
+    aliases = spark.createDataFrame(
+        [(a,) for a in _ALIASES], "alias string"
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = blocked_fuzzy_lookup(
+        aliases, "alias", nation, "n_name", "n_nationkey",
+        max_dist=2, band_width=4,
+    )
+    return out.select(
+        "alias",
+        "n_nationkey",
+        F.col("n_name").alias("matched_nation"),
+        "match_dist",
+    ).orderBy("alias")

@@ -1,0 +1,231 @@
+"""Operator-level tests for the advanced-analytics family
+(operators/stats.py, basket.py, smooth.py, er.py) — hand-computed
+expectations on tiny frames, independent of the DuckDB oracle suite
+(tests/test_suite_oracle.py covers the end-to-end queries)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.operators.basket import cooccurrence_pairs
+from bbt_etl_dw_spark.operators.er import blocked_fuzzy_lookup
+from bbt_etl_dw_spark.operators.smooth import trailing_ewma
+from bbt_etl_dw_spark.operators.stats import (
+    exact_group_percentiles,
+    group_ols_slope,
+)
+
+
+# --- group_ols_slope ------------------------------------------------------
+
+
+def test_ols_recovers_exact_line(spark):
+    # y = 3x + 7 exactly: slope/intercept must come back bit-exact
+    rows = [("g", x, 3.0 * x + 7.0) for x in range(2000, 2008)]
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    out = group_ols_slope(df, ["g"], "x", "y").collect()[0]
+    assert out.n_points == 8
+    assert out.slope == 3.0
+    assert out.intercept == 7.0
+
+
+def test_ols_single_point_group_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", 2000, 5.0), ("b", 2000, 1.0), ("b", 2001, 2.0)],
+        "g string, x int, y double",
+    )
+    out = {r.g: r for r in group_ols_slope(df, ["g"], "x", "y").collect()}
+    assert out["a"].slope is None  # 0/0 denominator -> NULL, not NaN
+    assert out["b"].slope == 1.0
+
+
+def test_ols_constant_x_multi_point_is_null(spark):
+    # two points, same x: denominator n*Sxx - Sx^2 == 0
+    df = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 5, 9.0)], "g string, x int, y double"
+    )
+    out = group_ols_slope(df, ["g"], "x", "y").collect()[0]
+    assert out.slope is None
+
+
+# --- exact_group_percentiles ----------------------------------------------
+
+
+def test_percentiles_interpolation(spark):
+    # values 10,20,30,40 -> p50 idx = 1.5 -> 25.0; p25 idx 0.75 -> 17.5
+    rows = [("g", v) for v in (40.0, 10.0, 30.0, 20.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = exact_group_percentiles(
+        df, ["g"], "v", {"p25": 0.25, "p50": 0.5, "p100": 1.0}
+    ).collect()[0]
+    assert out.p50 == 25.0
+    assert out.p25 == 17.5
+    assert out.p100 == 40.0
+
+
+def test_percentiles_match_builtin(spark):
+    # cross-check the sort-based path against Spark's exact percentile()
+    import random
+
+    rng = random.Random(42)
+    rows = [(f"g{i % 3}", rng.uniform(0, 1000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ours = {
+        r.g: r
+        for r in exact_group_percentiles(
+            df, ["g"], "v", {"p50": 0.5, "p90": 0.9}
+        ).collect()
+    }
+    ref = {
+        r.g: r
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for g in ref:
+        assert ours[g].p50 == pytest.approx(ref[g].p50, rel=1e-12)
+        assert ours[g].p90 == pytest.approx(ref[g].p90, rel=1e-12)
+
+
+# --- cooccurrence_pairs ---------------------------------------------------
+
+
+def test_basket_counts_support_lift(spark):
+    # baskets: {A,B,C}, {A,B}, {B,C}, {A}; pair AB appears twice
+    rows = [
+        (1, "A"), (1, "B"), (1, "C"),
+        (2, "A"), (2, "B"),
+        (3, "B"), (3, "C"),
+        (4, "A"),
+    ]
+    df = spark.createDataFrame(rows, "b int, i string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in cooccurrence_pairs(df, "b", "i", min_pair_count=1).collect()
+    }
+    ab = out[("A", "B")]
+    assert ab.pair_n == 2 and ab.n_a == 3 and ab.n_b == 3
+    assert ab.support == 2.0 / 4.0
+    assert ab.lift == (2 * 4) / (3 * 3)
+    assert out[("B", "C")].pair_n == 2
+    assert out[("A", "C")].pair_n == 1
+
+
+def test_basket_dedups_multiline_items(spark):
+    # same item on two lines of one basket must count once
+    rows = [(1, "A"), (1, "A"), (1, "B")]
+    df = spark.createDataFrame(rows, "b int, i string")
+    out = cooccurrence_pairs(df, "b", "i", min_pair_count=1).collect()
+    assert len(out) == 1
+    assert out[0].pair_n == 1 and out[0].n_a == 1
+
+
+# --- trailing_ewma --------------------------------------------------------
+
+
+def _py_ewma(xs, alpha=0.5, k=32):
+    acc = None
+    out = []
+    hist = []
+    for x in xs:
+        hist.append(x)
+        acc = None
+        for v in hist[-k:]:
+            acc = v if acc is None else alpha * v + (1 - alpha) * acc
+        out.append(acc)
+    return out
+
+
+def test_ewma_matches_reference_fold(spark):
+    xs = [10.0, 20.0, 5.0, 80.0, 40.0]
+    rows = [("u", t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "u string, t int, v double")
+    out = (
+        trailing_ewma(df, ["u"], ["t"], "v", alpha=0.5, k=32)
+        .orderBy("t")
+        .collect()
+    )
+    expect = _py_ewma(xs)
+    for r, e in zip(out, expect):
+        assert r.ewma == e  # bit-exact: alpha=0.5 folds are exact scalings
+
+
+def test_ewma_window_truncates_at_k(spark):
+    # with k=2 only the last 2 values matter
+    xs = [100.0, 1.0, 3.0]
+    df = spark.createDataFrame(
+        [("u", t, x) for t, x in enumerate(xs)], "u string, t int, v double"
+    )
+    out = trailing_ewma(df, ["u"], ["t"], "v", alpha=0.5, k=2).orderBy("t").collect()
+    assert out[-1].ewma == 0.5 * 3.0 + 0.5 * 1.0  # 100.0 fell out of frame
+
+
+def test_ewma_partitions_independent(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 50.0), ("a", 2, 20.0)],
+        "u string, t int, v double",
+    )
+    out = {
+        (r.u, r.t): r.ewma
+        for r in trailing_ewma(df, ["u"], ["t"], "v").collect()
+    }
+    assert out[("a", 2)] == 15.0
+    assert out[("b", 1)] == 50.0
+
+
+# --- blocked_fuzzy_lookup -------------------------------------------------
+
+
+@pytest.fixture()
+def canon(spark):
+    return spark.createDataFrame(
+        [(1, "ALPHA"), (2, "ALPHAS"), (3, "BRAVO"), (4, "CHARLIE")],
+        "k int, name string",
+    )
+
+
+def test_fuzzy_exact_and_typo(spark, canon):
+    probes = spark.createDataFrame([("ALPHA",), ("BRAV0",)], "s string")
+    out = {
+        r.s: r
+        for r in blocked_fuzzy_lookup(
+            probes, "s", canon, "name", "k", max_dist=2
+        ).collect()
+    }
+    assert out["ALPHA"].k == 1 and out["ALPHA"].match_dist == 0
+    assert out["BRAV0"].k == 3 and out["BRAV0"].match_dist == 1
+
+
+def test_fuzzy_tie_breaks_on_key(spark, canon):
+    # ALPHAX is distance 1 from both ALPHA (sub) and ALPHAS (sub):
+    # deterministic winner is the lower key
+    probes = spark.createDataFrame([("ALPHAX",)], "s string")
+    r = blocked_fuzzy_lookup(probes, "s", canon, "name", "k", max_dist=2).collect()[0]
+    assert r.k == 1
+
+
+def test_fuzzy_band_expansion_across_boundary(spark, canon):
+    # CHARLIE has len 7 (band 1); CHARLIEXX len 9 (band 2): the +/-1 band
+    # expansion must still find it at distance 2
+    probes = spark.createDataFrame([("CHARLIEXX",)], "s string")
+    r = blocked_fuzzy_lookup(probes, "s", canon, "name", "k", max_dist=2).collect()[0]
+    assert r.k == 4 and r.match_dist == 2
+
+
+def test_fuzzy_unmatched_rows_survive_with_nulls(spark, canon):
+    # first-char typo (XLPHA) defeats blocking; ZULU has no candidate
+    probes = spark.createDataFrame([("XLPHA",), ("ZULU",)], "s string")
+    out = blocked_fuzzy_lookup(probes, "s", canon, "name", "k", max_dist=2).collect()
+    assert len(out) == 2
+    assert all(r.k is None and r.match_dist is None for r in out)
+
+
+def test_fuzzy_duplicate_probes_keep_cardinality(spark, canon):
+    probes = spark.createDataFrame([("ALPHA",), ("ALPHA",)], "s string")
+    out = blocked_fuzzy_lookup(probes, "s", canon, "name", "k", max_dist=2).collect()
+    assert len(out) == 2
+    assert all(r.k == 1 for r in out)

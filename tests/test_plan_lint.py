@@ -61,6 +61,9 @@ SCALAR_SUBQUERY_ALLOWED = {
     # in-plan because a driver collect/re-lit of the timestamp round-trips
     # through the OS timezone layer
     "inactive_parts_anti_join",
+    # basket-total scalar for support/lift denominators (one-row
+    # broadcast cross join in operators/basket.py)
+    "order_part_cooccurrence",
 }
 QUADRATIC_ALLOWED |= SCALAR_SUBQUERY_ALLOWED
 
