@@ -188,7 +188,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_ctes(
-    nlist: int, iters: int, train_pred: str | None = None
+    nlist: int,
+    iters: int,
+    train_pred: str | None = None,
+    vec_expr: str = "embedding",
+    prefix: str = "",
 ) -> tuple[str, str]:
     """CTE chain for deterministic md5-seeded k-means: seeds, ``iters``
     unrolled Lloyd steps, one final distance pass. Distances are
@@ -206,6 +210,11 @@ def _ivf_ctes(
     sample-trained k-means (operators/similarity.ivf_centroids on a
     filtered corpus + assign_centroid on the full one)."""
 
+    def n(x: str) -> str:
+        # CTE names take the prefix so several chains (e.g. one per PQ
+        # subspace) can coexist in a single WITH clause.
+        return f"{prefix}{x}"
+
     def dist(c: str) -> str:
         return (
             f"list_reduce(list_transform(range(1, len(v.e)+1),"
@@ -214,58 +223,58 @@ def _ivf_ctes(
 
     # Training relation: the full corpus, or the sampled subset (aliased
     # back to ``v`` in FROM clauses so the shared dist() text applies).
-    train = "v" if train_pred is None else "vt"
+    train = n("v") if train_pred is None else n("vt")
     ctes = f"""
-v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),"""
+{n("v")} AS (SELECT vec_id, list_transform({vec_expr}, x -> x::DOUBLE) AS e FROM embeddings),"""
     if train_pred is not None:
         ctes += f"""
-vt AS (SELECT * FROM v WHERE {train_pred}),"""
+{n("vt")} AS (SELECT * FROM {n("v")} WHERE {train_pred}),"""
     seed_src = (
         "embeddings"
         if train_pred is None
         else f"(SELECT * FROM embeddings WHERE {train_pred})"
     )
     ctes += f"""
-mx AS (
+{n("mx")} AS (
   SELECT vec_id,
          UNNEST(range(1, len(e)+1)) AS pos,
          UNNEST(e) AS x
   FROM {train}
 ),
-seeds AS (
+{n("seeds")} AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, vec_id
   FROM {seed_src} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {nlist}
 ),
-c0 AS (SELECT s.cid, v.e AS ce FROM seeds s JOIN v USING (vec_id))"""
-    prev = "c0"
+{n("c0")} AS (SELECT s.cid, v.e AS ce FROM {n("seeds")} s JOIN {n("v")} v USING (vec_id))"""
+    prev = n("c0")
     for it in range(1, iters + 1):
         ctes += f""",
-d{it} AS (
+{n(f"d{it}")} AS (
   SELECT v.vec_id, {prev}.cid, {dist(prev)} AS dist
   FROM {train} AS v CROSS JOIN {prev}
 ),
-a{it} AS (
-  SELECT vec_id, cid FROM d{it}
+{n(f"a{it}")} AS (
+  SELECT vec_id, cid FROM {n(f"d{it}")}
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
 ),
-m{it} AS (
-  SELECT a{it}.cid, mx.pos, {_dsum("mx.x")} / COUNT(mx.x) AS cx
-  FROM mx JOIN a{it} USING (vec_id) GROUP BY a{it}.cid, mx.pos
+{n(f"m{it}")} AS (
+  SELECT {n(f"a{it}")}.cid, {n("mx")}.pos, {_dsum(f'{n("mx")}.x')} / COUNT({n("mx")}.x) AS cx
+  FROM {n("mx")} JOIN {n(f"a{it}")} USING (vec_id) GROUP BY {n(f"a{it}")}.cid, {n("mx")}.pos
 ),
-c{it} AS (
-  SELECT cid, list(cx ORDER BY pos) AS ce FROM m{it} GROUP BY cid
+{n(f"c{it}")} AS (
+  SELECT cid, list(cx ORDER BY pos) AS ce FROM {n(f"m{it}")} GROUP BY cid
   UNION ALL
   SELECT cid, ce FROM {prev}
-  WHERE cid NOT IN (SELECT DISTINCT cid FROM a{it})
+  WHERE cid NOT IN (SELECT DISTINCT cid FROM {n(f"a{it}")})
 )"""
-        prev = f"c{it}"
+        prev = n(f"c{it}")
     fin = iters + 1
     ctes += f""",
-d{fin} AS (
+{n(f"d{fin}")} AS (
   SELECT v.vec_id, {prev}.cid, {dist(prev)} AS dist
-  FROM v CROSS JOIN {prev}
+  FROM {n("v")} AS v CROSS JOIN {prev}
 )"""
-    return ctes, f"d{fin}"
+    return ctes, n(f"d{fin}")
 
 
 def _ivf_topk_oracle(nlist: int, iters: int, nprobe: int, k: int) -> str:
@@ -826,3 +835,203 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings", spread=True)
     return semantic_dedup(emb, nlist=8, iters=2, threshold=0.25).orderBy("vec_id")
+
+
+# --- product quantization (PQ) ADC search ---------------------------------
+# The compressed-codes leg of the ANN family (operators/pq.py): per-
+# subspace codebooks trained with the SAME md5-seeded exact-decimal
+# trainer as IVF, codes assigned by per-subspace argmin, and ADC scoring
+# as LUT equi-join + exact-decimal sum of the m partials. The oracle
+# replays ALL of it: m independent k-means chains (the prefixed
+# _ivf_ctes), per-subspace assignment, the query LUTs (which are just
+# the final distance pass restricted to query ids), and the ADC
+# rank — end-to-end, value-exact.
+
+
+def _pq_adc_ctes(m: int, ksub: int, iters: int, dims: int, n_queries: int) -> str:
+    """WITH-clause body computing adc(query_id, corpus_id, adc_dist)."""
+    sub = dims // m
+    chains, parts = [], []
+    for j in range(m):
+        ctes, dfin = _ivf_ctes(
+            ksub,
+            iters,
+            vec_expr=f"embedding[{j * sub + 1}:{(j + 1) * sub}]",
+            prefix=f"p{j}",
+        )
+        chains.append(ctes if j == 0 else "," + ctes)
+        chains.append(f""",
+p{j}codes AS (
+  SELECT vec_id, cid FROM {dfin}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+p{j}lut AS (
+  SELECT vec_id AS query_id, cid, dist FROM {dfin} WHERE vec_id < {n_queries}
+),
+p{j}part AS (
+  SELECT l.query_id, c.vec_id AS corpus_id, l.dist AS pdist
+  FROM p{j}codes c JOIN p{j}lut l ON l.cid = c.cid
+)""")
+        parts.append(f"SELECT * FROM p{j}part")
+    union = "\n  UNION ALL\n  ".join(parts)
+    return (
+        "".join(chains)
+        + f""",
+pqparts AS (
+  {union}
+),
+adc AS (
+  SELECT query_id, corpus_id, {_dsum("pdist")} AS adc_dist
+  FROM pqparts GROUP BY query_id, corpus_id
+)"""
+    )
+
+
+def _pq_topk_oracle(m: int, ksub: int, iters: int, dims: int, k: int) -> str:
+    return f"""
+WITH {_pq_adc_ctes(m, ksub, iters, dims, n_queries=5).lstrip()},
+pqranked AS (
+  SELECT query_id, corpus_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc_dist, corpus_id) AS BIGINT) AS rank
+  FROM adc
+)
+SELECT query_id, corpus_id, adc_dist, rank FROM pqranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+@register("ann_pq_topk", oracle=_pq_topk_oracle(m=8, ksub=32, iters=2, dims=64, k=10))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed approximate top-10 (Jégou et al. ADC): 64-d vectors
+    → 8 subspace codes (32× storage compression — at 100 TB the scoring
+    pass reads the code table, never raw vectors), query LUTs broadcast,
+    scoring = equi-join + map-side-collapsing exact-decimal sum. The
+    oracle replays all eight per-subspace k-means chains, the encoding,
+    the LUTs and the ADC rank."""
+    from bbt_etl_dw_spark.operators.pq import pq_adc_topk, pq_codebooks, pq_encode
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    books = pq_codebooks(emb, m=8, ksub=32, iters=2)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(codes, queries, books, k=10).orderBy("query_id", "rank")
+
+
+# Recall against the EXACT L2 top-k (PQ approximates L2 distance, so the
+# ground truth must be the same metric — cosine would grade the wrong
+# target), for BOTH operating points: raw ADC top-10 and the production
+# path (ADC shortlist-100 → exact re-rank → top-10). The exact side is
+# the declared quadratic baseline shape: a 5-row broadcast query side
+# against the corpus (see tests/test_plan_lint.py QUADRATIC_ALLOWED).
+
+_PQ_SHORTLIST = 100
+
+_PQ_RECALL_ORACLE = f"""
+WITH {_pq_adc_ctes(8, 32, 2, 64, n_queries=5).lstrip()},
+pqshort AS (
+  SELECT query_id, corpus_id,
+         ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc_dist, corpus_id) AS rk
+  FROM adc
+  QUALIFY rk <= {_PQ_SHORTLIST}
+),
+ve AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+exact AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_reduce(list_transform(range(1, len(c.e)+1),
+                     i -> (c.e[i] - q.e[i]) * (c.e[i] - q.e[i])), (a, b) -> a + b) AS d
+  FROM ve c CROSS JOIN (SELECT * FROM ve WHERE vec_id < 5) q
+),
+exacttop AS (
+  SELECT query_id, corpus_id FROM exact
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, corpus_id) <= 10
+),
+rrtop AS (
+  SELECT e.query_id, e.corpus_id FROM exact e
+  JOIN pqshort s ON s.query_id = e.query_id AND s.corpus_id = e.corpus_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.query_id ORDER BY e.d, e.corpus_id) <= 10
+),
+hits AS (
+  SELECT
+    (SELECT COUNT(*) FROM pqshort p
+     JOIN exacttop e ON p.query_id = e.query_id AND p.corpus_id = e.corpus_id
+     WHERE p.rk <= 10) AS n_hits_adc,
+    (SELECT COUNT(*) FROM rrtop r
+     JOIN exacttop e ON r.query_id = e.query_id AND r.corpus_id = e.corpus_id
+    ) AS n_hits_rerank
+)
+SELECT CAST(5 AS BIGINT) AS n_queries,
+       CAST(50 AS BIGINT) AS n_expected,
+       n_hits_adc,
+       CAST(n_hits_adc AS DOUBLE) / CAST(50 AS DOUBLE) AS recall_adc,
+       n_hits_rerank,
+       CAST(n_hits_rerank AS DOUBLE) / CAST(50 AS DOUBLE) AS recall_rerank
+FROM hits
+"""
+
+
+@register("ann_pq_recall", oracle=_PQ_RECALL_ORACLE)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ against the exact L2 top-10, at both operating
+    points — raw ADC (codes only) and the production shortlist-100 →
+    exact re-rank path (operators/pq.pq_rerank_topk) — the measurement
+    every compressed index owes its user. The exact side is the bounded
+    quadratic baseline (5 broadcast queries × corpus, same declared
+    shape as ann_bruteforce_topk); both sides and the overlap counts are
+    replayed in the oracle."""
+    from bbt_etl_dw_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_rerank_topk,
+    )
+    from bbt_etl_dw_spark.operators.similarity import _l2sq
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    books = pq_codebooks(emb, m=8, ksub=32, iters=2)
+    codes = pq_encode(emb, books)
+    v = F.col("embedding").cast("array<double>")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adc_top = pq_adc_topk(codes, queries, books, k=10).select(
+        "query_id", "corpus_id"
+    )
+    rr_top = pq_rerank_topk(
+        emb, codes, queries, books, k=10, shortlist=_PQ_SHORTLIST
+    ).select("query_id", "corpus_id")
+
+    q = queries.select("query_id", v.alias("qv"))
+    c = emb.select(F.col("vec_id").alias("corpus_id"), v.alias("cv"))
+    from pyspark.sql import Window as _W
+
+    exact = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "corpus_id", _l2sq(F.col("cv"), F.col("qv")).alias("d")
+    )
+    w = _W.partitionBy("query_id").orderBy("d", "corpus_id")
+    exact_top = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "corpus_id")
+    )
+    h_adc = adc_top.join(exact_top, ["query_id", "corpus_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits_adc")
+    )
+    h_rr = rr_top.join(exact_top, ["query_id", "corpus_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits_rerank")
+    )
+    return h_adc.crossJoin(h_rr).select(
+        F.lit(5).cast("long").alias("n_queries"),
+        F.lit(50).cast("long").alias("n_expected"),
+        F.col("n_hits_adc"),
+        (F.col("n_hits_adc").cast("double") / F.lit(50).cast("double")).alias(
+            "recall_adc"
+        ),
+        F.col("n_hits_rerank"),
+        (F.col("n_hits_rerank").cast("double") / F.lit(50).cast("double")).alias(
+            "recall_rerank"
+        ),
+    )

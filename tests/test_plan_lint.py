@@ -44,6 +44,10 @@ QUADRATIC_ALLOWED = {
     "ann_bruteforce_topk",
     "embedding_cosine_exact_pairs",
     "cosine_pairs_precision",
+    # exact-L2 ground truth for PQ recall: 5-row broadcast query side
+    # against the corpus — the same bounded baseline shape as
+    # ann_bruteforce_topk
+    "ann_pq_recall",
 }
 
 # Scalar-subquery attaches (suite.classic._attach_scalar): a broadcast
