@@ -160,7 +160,7 @@ LIMIT 25
 """
 
 
-@register("order_part_cooccurrence", oracle=_BASKET_ORACLE)
+@register("order_part_cooccurrence", oracle=_BASKET_ORACLE, bench=True)
 def order_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket mining: the 25 strongest part pairs by co-purchase
     count, with support and lift. Pair generation is an equi-self-join
@@ -199,7 +199,7 @@ ORDER BY user_id, ts_us, event_id
 """
 
 
-@register("events_purchase_ewma", oracle=_EWMA_ORACLE)
+@register("events_purchase_ewma", oracle=_EWMA_ORACLE, bench=True)
 def events_purchase_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA(α=0.5) of purchase value per user over the trailing 32
     events — the recursive smoother no SQL frame expresses, computed as

@@ -24,6 +24,9 @@ NESTED_LOOP_OK = {
     "ann_bruteforce_topk",
     "embedding_cosine_exact_pairs",
     "cosine_pairs_precision",
+    # exact-L2 ground truth side of the PQ recall measurement (5-row
+    # broadcast query side, same declared baseline shape)
+    "ann_pq_recall",
 }
 
 # One-row scalar-subquery attaches are linear, not quadratic — shared
@@ -289,3 +292,56 @@ def test_local_supplier_volume_one_fact_shuffle(plans):
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_percentiles_single_sort_serves_both_windows(plans):
+    # exact_group_percentiles: row_number + count windows must share ONE
+    # hash partitioning on the group key — one Exchange total before the
+    # closing aggregate's
+    plan = plans["order_price_percentiles"]
+    assert plan.count("Exchange hashpartitioning(o_orderpriority") <= 2
+    assert plan.count("Window") >= 1
+
+
+def test_ewma_one_keyed_shuffle_no_python(plans):
+    # trailing_ewma: one hash partitioning on user_id for the window; the
+    # fold is a Catalyst `aggregate` expression, never Python
+    plan = plans["events_purchase_ewma"]
+    # one hash Exchange (the user_id window); the only other Exchange is
+    # the presentation orderBy's range partitioning
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert plan.count("+- Exchange") <= 2
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_cooccurrence_frequencies_broadcast(plans):
+    # item frequencies (dim-cardinality) broadcast onto pair counts; the
+    # pair self-join is a keyed join, not a nested loop
+    plan = plans["order_part_cooccurrence"]
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_lookup_broadcasts_canonical_side(plans):
+    # the canonical dimension (x3 band expansion) broadcasts; the probe
+    # side joins on the block key without a nested loop
+    plan = plans["nation_fuzzy_aliases"]
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_is_equijoin_plus_partial_agg(plans):
+    # ADC scoring: LUT broadcast equi-join + map-side partial aggregation
+    # (the m partial rows per pair collapse before the shuffle)
+    plan = plans["ann_pq_topk"]
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
+def test_ols_trend_two_level_aggregation(plans):
+    # stage 1: one fact shuffle on (nation, year); stage 2 (the fit) runs
+    # over dim-scale rows — sufficient-statistics sums, no value lists
+    plan = plans["nation_yearly_revenue_trend"]
+    assert "collect_list" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
