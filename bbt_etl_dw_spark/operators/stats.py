@@ -119,6 +119,56 @@ def sql_ols_exprs(x: str, y: str) -> dict[str, str]:
     }
 
 
+def pearson_corr(x_col: str, y_col: str) -> Column:
+    """Pearson correlation as ONE aggregate expression from sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) — map-side combinable, exactly
+    like :func:`group_ols_slope` (Spark's built-in ``corr`` uses a
+    streaming co-moment recurrence whose result depends on merge order —
+    not oracle-matchable). Rows where either side is NULL/NaN/Inf are
+    excluded from EVERY sum (pairwise deletion, applied consistently).
+    Zero variance on either side → NULL."""
+    xd = F.col(x_col).cast("double")
+    yd = F.col(y_col).cast("double")
+    x_dec = xd.try_cast(DEC)
+    y_dec = yd.try_cast(DEC)
+    both = x_dec.isNotNull() & y_dec.isNotNull()
+
+    n_d = F.count(F.when(both, x_dec)).cast("double")
+    sx = _dec_to_double(F.sum(F.when(both, x_dec)))
+    sy = _dec_to_double(F.sum(F.when(both, y_dec)))
+    sxy = _dec_to_double(F.sum(F.when(both, (xd * yd).try_cast(DEC))))
+    sxx = _dec_to_double(F.sum(F.when(both, (xd * xd).try_cast(DEC))))
+    syy = _dec_to_double(F.sum(F.when(both, (yd * yd).try_cast(DEC))))
+
+    num = n_d * sxy - sx * sy
+    den = F.sqrt(n_d * sxx - sx * sx) * F.sqrt(n_d * syy - sy * sy)
+    return F.when(den != 0.0, num / den)
+
+
+def sql_pearson_corr(x: str, y: str) -> str:
+    """Oracle-SQL twin of :func:`pearson_corr` (same sums, same closing
+    IEEE sequence)."""
+    xd, yd = f"CAST(({x}) AS DOUBLE)", f"CAST(({y}) AS DOUBLE)"
+    x_dec = f"TRY_CAST(CAST({xd} AS VARCHAR) AS {SQL_DEC})"
+    y_dec = f"TRY_CAST(CAST({yd} AS VARCHAR) AS {SQL_DEC})"
+    both = f"({x_dec} IS NOT NULL AND {y_dec} IS NOT NULL)"
+
+    def gsum(e: str) -> str:
+        return (
+            f"CAST(CAST(SUM(CASE WHEN {both} THEN "
+            f"TRY_CAST(CAST(({e}) AS VARCHAR) AS {SQL_DEC}) END) AS VARCHAR) AS DOUBLE)"
+        )
+
+    n_d = f"CAST(COUNT(CASE WHEN {both} THEN 1 END) AS DOUBLE)"
+    sx, sy = gsum(xd), gsum(yd)
+    sxy = gsum(f"{xd} * {yd}")
+    sxx = gsum(f"{xd} * {xd}")
+    syy = gsum(f"{yd} * {yd}")
+    num = f"({n_d} * {sxy} - {sx} * {sy})"
+    den = f"(sqrt({n_d} * {sxx} - {sx} * {sx}) * sqrt({n_d} * {syy} - {sy} * {sy}))"
+    return f"(CASE WHEN {den} <> 0.0 THEN {num} / {den} END)"
+
+
 def exact_group_percentiles(
     df: DataFrame,
     group_cols: list[str],
@@ -177,3 +227,44 @@ def sql_percentile_exprs(percentiles: dict[str, float]) -> list[str]:
         v_hi = f"MAX(CASE WHEN _rn = {hi} THEN _v END)"
         outs.append(f"{v_lo} + ({v_hi} - {v_lo}) * MAX({frac}) AS {name}")
     return outs
+
+
+def mad_outlier_summary(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier profile per group: median / MAD (median absolute
+    deviation) and the count of rows with ``|x - median| > k·MAD``.
+
+    The robust complement of z-score anomaly rules (operators/anomalies)
+    and winsorize capping (operators/clean): median and MAD are immune
+    to the outliers they measure, where mean/stddev are dragged by them.
+    Two ranked shuffles (one per percentile pass —
+    :func:`exact_group_percentiles`), with the group-level medians
+    broadcast back onto the rows (group cardinality is dim-scale by
+    construction). Raw MAD is reported (multiply by 1.4826 for the
+    normal-consistent sigma estimate); a group where >50% of values are
+    identical has MAD 0, making every deviating row an outlier — that
+    is the standard MAD failure mode, surfaced rather than hidden.
+
+    Output: group_cols + (n_rows, median, mad, n_outliers).
+    """
+    v = F.col(value_col).cast("double")
+    med = exact_group_percentiles(df, group_cols, value_col, {"median": 0.5})
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "_absdev", F.abs(v - F.col("median"))
+    )
+    mad = exact_group_percentiles(dev, group_cols, "_absdev", {"mad": 0.5})
+    scored = dev.join(F.broadcast(mad), group_cols)
+    return scored.groupBy(*group_cols).agg(
+        F.count(v).alias("n_rows"),
+        F.max("median").alias("median"),
+        F.max("mad").alias("mad"),
+        F.sum(
+            F.when(F.col("_absdev") > F.lit(float(k)) * F.col("mad"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )

@@ -295,3 +295,112 @@ def nation_fuzzy_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("matched_nation"),
         "match_dist",
     ).orderBy("alias")
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation per group (sufficient-statistics, regr family)
+# --------------------------------------------------------------------------
+
+from bbt_etl_dw_spark.operators.stats import (  # noqa: E402
+    mad_outlier_summary,
+    pearson_corr,
+    sql_pearson_corr,
+)
+
+_CORR_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(CASE WHEN TRY_CAST(CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR)
+                        AS DECIMAL(38,18)) IS NOT NULL THEN 1 END) AS n_lines,
+       {sql_pearson_corr('l_quantity', 'l_extendedprice')} AS corr_qty_price,
+       {sql_pearson_corr('l_quantity', 'l_discount')} AS corr_qty_discount
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("lineitem_correlations", oracle=_CORR_ORACLE)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per return flag: quantity↔extended-price and
+    quantity↔discount (this synthetic lake generates the three columns
+    independently, so both are ≈0 — the independence finding is the
+    point; tests/test_analytics_ops.py proves ±1/0 recovery on
+    constructed data). Computed from sufficient statistics in ONE
+    map-side-combinable aggregation pass (operators/stats.pearson_corr)
+    — Spark's built-in ``corr`` is a merge-order-dependent co-moment
+    recurrence, unusable under the engine's bit-reproducibility
+    contract."""
+    li = table(spark, sf_dir, "lineitem")
+    n_lines = F.count(
+        F.when(
+            F.col("l_quantity").cast("double").try_cast("decimal(38,18)").isNotNull(),
+            1,
+        )
+    ).alias("n_lines")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n_lines,
+            pearson_corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+            pearson_corr("l_quantity", "l_discount").alias("corr_qty_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust outlier profile: median / MAD per group
+# --------------------------------------------------------------------------
+
+_MED_FRAG = sql_percentile_exprs({"median": 0.5})[0]
+_MAD_FRAG = sql_percentile_exprs({"mad": 0.5})[0]
+
+_MAD_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type,
+         CAST(value AS DOUBLE) AS _v,
+         ROW_NUMBER() OVER (
+             PARTITION BY event_type
+             ORDER BY CAST(value AS DOUBLE)) - 1 AS _rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS _cnt
+  FROM events
+),
+med AS (SELECT event_type, {_MED_FRAG} FROM ranked GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, CAST(e.value AS DOUBLE) AS v,
+         ABS(CAST(e.value AS DOUBLE) - m.median) AS adev, m.median
+  FROM events e JOIN med m USING (event_type)
+),
+ranked2 AS (
+  SELECT event_type, adev AS _v,
+         ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY adev) - 1 AS _rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS _cnt
+  FROM dev
+),
+madt AS (SELECT event_type, {_MAD_FRAG} FROM ranked2 GROUP BY event_type)
+SELECT d.event_type,
+       COUNT(d.v) AS n_rows,
+       MAX(d.median) AS median,
+       MAX(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > CAST(3.0 AS DOUBLE) * m.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN madt m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register("events_value_outliers_mad", oracle=_MAD_ORACLE)
+def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier profile of event value per type — the
+    data-quality complement of z-score anomaly rules: median and MAD
+    cannot be dragged by the very outliers being counted (events.value
+    is heavy-tailed, so the counts are non-trivially exercised: ~11% of
+    rows sit beyond 3 MAD at sf0.01). Two ranked shuffles (one per
+    percentile pass), group-level medians broadcast back onto the rows
+    (operators/stats.mad_outlier_summary)."""
+    e = table(spark, sf_dir, "events")
+    return mad_outlier_summary(
+        e, ["event_type"], "value", k=3.0
+    ).orderBy("event_type")

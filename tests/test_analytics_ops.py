@@ -229,3 +229,66 @@ def test_fuzzy_duplicate_probes_keep_cardinality(spark, canon):
     out = blocked_fuzzy_lookup(probes, "s", canon, "name", "k", max_dist=2).collect()
     assert len(out) == 2
     assert all(r.k == 1 for r in out)
+
+
+# --- pearson_corr ---------------------------------------------------------
+
+
+def test_corr_recovers_signs(spark):
+    from bbt_etl_dw_spark.operators.stats import pearson_corr
+
+    rows = []
+    for x in range(20):
+        rows.append(("pos", float(x), 2.0 * x + 1.0))
+        rows.append(("neg", float(x), -3.0 * x + 40.0))
+        rows.append(("flat", float(x), 7.0))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {
+        r.g: r.c
+        for r in df.groupBy("g").agg(pearson_corr("x", "y").alias("c")).collect()
+    }
+    assert out["pos"] == pytest.approx(1.0, abs=1e-12)
+    assert out["neg"] == pytest.approx(-1.0, abs=1e-12)
+    assert out["flat"] is None  # zero variance -> NULL, not NaN/error
+
+
+def test_corr_pairwise_deletion(spark):
+    from bbt_etl_dw_spark.operators.stats import pearson_corr
+
+    # the (None, 999) row must drop out of EVERY sum: remaining points
+    # are perfectly linear
+    rows = [("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", None, 999.0), ("g", 3.0, 6.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = df.groupBy("g").agg(pearson_corr("x", "y").alias("c")).collect()[0]
+    assert out.c == pytest.approx(1.0, abs=1e-12)
+
+
+# --- mad_outlier_summary --------------------------------------------------
+
+
+def test_mad_hand_computed(spark):
+    from bbt_etl_dw_spark.operators.stats import mad_outlier_summary
+
+    # values 1..9 plus a wild 1000: median 5.5, adevs of 1..9 are
+    # 0.5..4.5 and 994.5 for the outlier -> MAD = median of
+    # [0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5] = 2.5;
+    # threshold 3*2.5=7.5 -> only 1000 exceeds it
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outlier_summary(df, ["g"], "v", k=3.0).collect()[0]
+    assert out.n_rows == 10
+    assert out.median == 5.5
+    assert out.mad == 2.5
+    assert out.n_outliers == 1
+
+
+def test_mad_zero_on_majority_constant(spark):
+    from bbt_etl_dw_spark.operators.stats import mad_outlier_summary
+
+    # >50% identical values -> MAD 0 -> every deviating row is an
+    # outlier (the documented failure mode, surfaced not hidden)
+    rows = [("g", 5.0)] * 6 + [("g", 5.1), ("g", 4.9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outlier_summary(df, ["g"], "v", k=3.0).collect()[0]
+    assert out.mad == 0.0
+    assert out.n_outliers == 2
