@@ -160,3 +160,92 @@ def funnel_progress_stream(events: DataFrame, steps: tuple[str, ...]) -> DataFra
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming EWMA (recursive smoother as keyed state) -------------------
+
+EWMA_OUTPUT_SCHEMA = "user_id long, n_events long, ewma double"
+# acc is a plain double: with alpha = 0.5 both fold multiplications are
+# EXACT (scaling by a power of two), so the only rounding per step is the
+# one correctly rounded addition — the stream state equals the batch fold
+# bit-for-bit at any micro-batch slicing (same argument as
+# operators/smooth.trailing_ewma, which is the bounded-window batch
+# variant of this operator).
+EWMA_STATE_SCHEMA = "n long, acc double"
+
+
+def _make_update_ewma(alpha: float):
+    a = float(alpha)
+    b = 1.0 - a
+
+    def update_ewma(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        n, acc = state.get if state.exists else (0, None)
+        batch = _pd.concat(list(pdfs), ignore_index=True)
+        # events arrive per micro-batch unordered within the batch: the
+        # recursion is order-sensitive, so impose the same total order
+        # the batch twin folds in (ts, then event_id tie-break)
+        batch = batch.sort_values(["ts", "event_id"])
+        for v in batch["value"]:
+            # skip BOTH null and NaN: pandas folds SQL NULL into NaN
+            # (float64 column), so the stream cannot tell them apart —
+            # the batch twin filters the same pair for lock-step
+            if v is None or v != v:
+                continue
+            fv = float(v)
+            acc = fv if n == 0 else a * fv + b * acc
+            n += 1
+        state.update((n, acc))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [acc]}
+        )
+
+    return update_ewma
+
+
+def ewma_stream(events: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Streaming full-history EWMA per user — the recursive smoother as a
+    custom stateful operator (state: one (n, acc) pair per key, O(#users)
+    cluster-wide). Emits the updated smoothed value per touched user per
+    micro-batch. The bounded-window batch variant is
+    operators/smooth.trailing_ewma; the exact batch twin of the FINAL
+    state is :func:`final_ewma_batch`."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_update_ewma(alpha),
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def final_ewma_batch(events: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Batch twin of the stream's final EWMA state: sort each user's
+    (non-null) values into one array and fold the recursion over it.
+    The per-key collect is bounded by events-per-user (a per-entity
+    history, not the corpus); for a corpus-bounded formulation use
+    trailing_ewma."""
+    a = F.lit(float(alpha))
+    b = F.lit(1.0 - float(alpha))
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.col("value").cast("double").alias("v")
+            )
+        )
+    )
+    vals = F.filter(
+        F.transform(arr, lambda s: s["v"]),
+        lambda v: v.isNotNull() & ~F.isnan(v),
+    )
+
+    def step(acc, x):
+        return F.when(acc.isNull(), x).otherwise(a * x + b * acc)
+
+    return events.groupBy("user_id").agg(
+        F.size(vals).cast("long").alias("n_events"),
+        F.aggregate(vals, F.lit(None).cast("double"), step).alias("ewma"),
+    )

@@ -351,3 +351,33 @@ def events_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_summary(
         spark, path, ["event_type"], _SUMMARY_SPECS
     ).orderBy("event_type")
+
+
+_EWMA_FINAL_ORACLE = """
+SELECT user_id,
+       CAST(len(l) AS BIGINT) AS n_events,
+       list_reduce(l, (acc, x) -> CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * acc) AS ewma
+FROM (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id)
+           FILTER (value IS NOT NULL AND NOT ISNAN(CAST(value AS DOUBLE))) AS l
+  FROM events GROUP BY user_id
+)
+ORDER BY user_id
+"""
+
+
+@register("events_user_value_ewma", oracle=_EWMA_FINAL_ORACLE)
+def events_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final full-history EWMA(α=0.5) per user — the batch twin of the
+    streaming stateful smoother (streaming/stateful.ewma_stream, state =
+    one (n, acc) double per key), asserted stream==batch bit-exact in
+    tests/test_streaming.py. The per-key collect is bounded by
+    events-per-user (an entity history); the corpus-bounded variant is
+    events_purchase_ewma (trailing window). α=0.5 keeps every fold step
+    exact-scaling + one rounded add, so any engine replays it
+    bit-identically."""
+    from bbt_etl_dw_spark.streaming.stateful import final_ewma_batch
+
+    ev = table(spark, sf_dir, "events")
+    return final_ewma_batch(ev, alpha=0.5).orderBy("user_id")

@@ -993,3 +993,30 @@ def test_compact_epochs_folds_baseline_and_preserves_rows(spark, tmp_path):
     )
     _epoch_write(df3, path, 3, idempotent=True)
     assert sorted(r.doc_id for r in read_epoch_sink(spark, path).collect()) == before
+
+
+def test_stateful_ewma_final_state_equals_batch(spark, events_batch, chunked_dir):
+    from bbt_etl_dw_spark.streaming.stateful import ewma_stream, final_ewma_batch
+
+    stream = events_file_stream(spark, chunked_dir)
+    got = _run_stream(spark, ewma_stream(stream, alpha=0.5), "t_ewma", "update")
+    # last emitted row per user (highest n_events) == final state
+    final = {
+        r["user_id"]: r
+        for r in got.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    want = {r["user_id"]: r for r in final_ewma_batch(events_batch, 0.5).collect()}
+    assert set(final) == set(want)
+    for uid, row in want.items():
+        assert final[uid]["n_events"] == row["n_events"]
+        # EXACT equality: alpha=0.5 fold steps are exact scalings + one
+        # correctly rounded add, identical in pandas-land and the JVM
+        # fold, at any micro-batch slicing
+        assert final[uid]["ewma"] == row["ewma"], uid
