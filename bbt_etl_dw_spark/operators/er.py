@@ -65,10 +65,14 @@ def blocked_fuzzy_lookup(
         .withColumn("_bb", F.explode(F.sequence(cb - 1, cb + 1)))
     )
 
-    dist = F.levenshtein(F.col(col), F.col(canon_col))
+    # threshold variant: the DP early-exits once the running distance
+    # exceeds max_dist (returns -1) — O(max_dist·len) per comparison
+    # instead of O(len²), the difference that matters inside big blocks.
+    # Kept distances are the true distances, so oracle parity holds.
+    dist = F.levenshtein(F.col(col), F.col(canon_col), max_dist)
     matched = (
         probe.join(F.broadcast(cand), ["_bc", "_bb"])
-        .filter(dist <= max_dist)
+        .filter(dist >= 0)
         .withColumn("_dist", dist)
     )
     w = Window.partitionBy(*[F.col(c) for c in df.columns]).orderBy(
