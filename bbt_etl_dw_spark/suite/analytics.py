@@ -404,3 +404,105 @@ def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outlier_summary(
         e, ["event_type"], "value", k=3.0
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# PageRank over the nation trade-flow graph (iterative linear algebra)
+# --------------------------------------------------------------------------
+
+def _pagerank_oracle(damping: float, iters: int) -> str:
+    """Unrolled replay of operators/pagerank.pagerank: every iteration's
+    contributions, dangling mass, and update arithmetic mirrored
+    operation-for-operation (the kmeans-replay technique applied to a
+    second iterative algorithm). Literals carry Python's exact double
+    repr — e.g. 1-0.85 is 0.15000000000000002, not 0.15."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    base = f"CAST({1.0 - damping!r} AS DOUBLE)"
+    zero = "CAST(0 AS DOUBLE)"
+    sql = f"""
+WITH geo_s AS (
+  SELECT s.s_suppkey, n.n_name AS supp_nation
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+), geo_c AS (
+  SELECT c.c_custkey, n.n_name AS cust_nation
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+), e AS (
+  SELECT gs.supp_nation AS src, gc.cust_nation AS dst,
+         {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'w')}
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN geo_s gs ON l.l_suppkey = gs.s_suppkey
+  JOIN geo_c gc ON o.o_custkey = gc.c_custkey
+  GROUP BY src, dst
+),
+outw AS (SELECT src, {sql_dsum('w', 'out_w')} FROM e GROUP BY src),
+frac AS (SELECT e.src, e.dst, e.w / o2.out_w AS f FROM e JOIN outw o2 USING (src)),
+v AS (SELECT n_name AS vid FROM nation),
+nn AS (SELECT COUNT(*) AS n FROM v),
+srcs AS (SELECT DISTINCT src FROM e),
+p0 AS (SELECT vid, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS p FROM v, nn)"""
+    prev = "p0"
+    for it in range(1, iters + 1):
+        sql += f""",
+c{it} AS (
+  SELECT f.dst, {sql_dsum('p.p * f.f', 'inw')}
+  FROM frac f JOIN {prev} p ON p.vid = f.src GROUP BY f.dst
+),
+d{it} AS (
+  SELECT {sql_dsum('p.p', 'dm')}
+  FROM {prev} p LEFT JOIN srcs s ON p.vid = s.src WHERE s.src IS NULL
+),
+p{it} AS (
+  SELECT p.vid,
+         ({base} + {d} * COALESCE(dd.dm, {zero})) / CAST(nn.n AS DOUBLE)
+           + {d} * COALESCE(c.inw, {zero}) AS p
+  FROM {prev} p
+  LEFT JOIN c{it} c ON p.vid = c.dst
+  CROSS JOIN d{it} dd CROSS JOIN nn
+)"""
+        prev = f"p{it}"
+    sql += f"""
+SELECT vid AS nation, p AS pagerank FROM {prev} ORDER BY nation
+"""
+    return sql
+
+
+@register("nation_trade_pagerank", oracle=_pagerank_oracle(0.85, 3))
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the directed nation→nation trade-flow
+    graph (edge weight = exact-decimal revenue supplier-nation →
+    customer-nation), damping 0.85, 3 iterations, dangling mass
+    redistributed uniformly. The engine's second iterative-algorithm
+    family (operators/pagerank.py — the Pregel-in-DataFrames pattern:
+    one keyed edges⋈ranks join + one dst aggregation per iteration);
+    the oracle replays all three iterations bit-exactly."""
+    from bbt_etl_dw_spark.operators.pagerank import pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    geo_s = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    geo_c = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            "c_custkey", F.col("n_name").alias("cust_nation")
+        )
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(geo_s, li.l_suppkey == geo_s.s_suppkey)
+        .join(geo_c, o.o_custkey == geo_c.c_custkey)
+        .groupBy(
+            F.col("supp_nation").alias("src"),
+            F.col("cust_nation").alias("dst"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "weight"))
+    )
+    verts = n.select(F.col("n_name").alias("id"))
+    pr = pagerank(verts, edges, damping=0.85, iters=3)
+    return pr.select(F.col("id").alias("nation"), "pagerank").orderBy("nation")

@@ -292,3 +292,65 @@ def test_mad_zero_on_majority_constant(spark):
     out = mad_outlier_summary(df, ["g"], "v", k=3.0).collect()[0]
     assert out.mad == 0.0
     assert out.n_outliers == 2
+
+
+# --- pagerank -------------------------------------------------------------
+
+
+def _py_pagerank(vids, edges, d=0.85, iters=3):
+    # reference implementation mirroring the operator's arithmetic order
+    n = len(vids)
+    out = {}
+    for s_, _t, w in edges:
+        out[s_] = out.get(s_, 0.0) + w
+    p = {v: 1.0 / n for v in vids}
+    srcs = set(out)
+    for _ in range(iters):
+        contrib = {}
+        for s_, t, w in edges:
+            contrib[t] = contrib.get(t, 0.0) + p[s_] * (w / out[s_])
+        dm = sum(p[v] for v in vids if v not in srcs)
+        p = {
+            v: ((1.0 - d) + d * dm) / n + d * contrib.get(v, 0.0)
+            for v in vids
+        }
+    return p
+
+
+def test_pagerank_matches_reference_and_sums_to_one(spark):
+    from bbt_etl_dw_spark.operators.pagerank import pagerank
+
+    vids = ["a", "b", "c", "d"]
+    # d is dangling (no out-edges); weighted edges incl. a self-loop
+    edges = [
+        ("a", "b", 3.0),
+        ("a", "c", 1.0),
+        ("b", "c", 2.0),
+        ("c", "a", 1.0),
+        ("c", "c", 1.0),
+        ("b", "d", 2.0),
+    ]
+    v = spark.createDataFrame([(x,) for x in vids], "id string")
+    e = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {r.id: r.pagerank for r in pagerank(v, e, iters=3).collect()}
+    want = _py_pagerank(vids, edges)
+    assert set(got) == set(vids)
+    for k in vids:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    # the dangling sink still receives rank mass (from b) and keeps it
+    # only through the uniform redistribution term
+    assert got["d"] > (1.0 - 0.85) / 4
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    from bbt_etl_dw_spark.operators.pagerank import pagerank
+
+    # a -> b -> c -> a with equal weights: ranks stay exactly uniform
+    v = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, weight double",
+    )
+    got = [r.pagerank for r in pagerank(v, e, iters=4).collect()]
+    assert all(p == pytest.approx(1.0 / 3.0, rel=1e-12) for p in got)

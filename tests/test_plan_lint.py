@@ -68,6 +68,9 @@ SCALAR_SUBQUERY_ALLOWED = {
     # basket-total scalar for support/lift denominators (one-row
     # broadcast cross join in operators/basket.py)
     "order_part_cooccurrence",
+    # per-iteration N / dangling-mass scalars (one-row broadcast cross
+    # joins in operators/pagerank.py)
+    "nation_trade_pagerank",
 }
 QUADRATIC_ALLOWED |= SCALAR_SUBQUERY_ALLOWED
 
