@@ -506,3 +506,74 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = n.select(F.col("n_name").alias("id"))
     pr = pagerank(verts, edges, damping=0.85, iters=3)
     return pr.select(F.col("id").alias("nation"), "pagerank").orderBy("nation")
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram per group (optimizer-statistics shape)
+# --------------------------------------------------------------------------
+
+_NBUCKETS = 8
+_HIST_QS = {f"q{j}": j / _NBUCKETS for j in range(1, _NBUCKETS)}
+
+_HIST_FRAGS = ",\n       ".join(sql_percentile_exprs(_HIST_QS))
+
+_HIST_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN CAST(o.o_totalprice AS DOUBLE) > b.q{j} THEN 1 ELSE 0 END)"
+    for j in range(1, _NBUCKETS)
+)
+
+_HIST_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS _v,
+         ROW_NUMBER() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY CAST(o_totalprice AS DOUBLE)) - 1 AS _rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS _cnt
+  FROM orders
+),
+bnd AS (
+  SELECT o_orderpriority,
+       {_HIST_FRAGS}
+  FROM ranked GROUP BY o_orderpriority
+),
+assigned AS (
+  SELECT o.o_orderpriority,
+         CAST(o.o_totalprice AS DOUBLE) AS v,
+         1 + {_HIST_BUCKET_SQL} AS bucket
+  FROM orders o JOIN bnd b USING (o_orderpriority)
+)
+SELECT o_orderpriority, CAST(bucket AS INT) AS bucket,
+       COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+FROM assigned
+GROUP BY o_orderpriority, bucket
+ORDER BY o_orderpriority, bucket
+"""
+
+
+@register("order_price_equidepth_histogram", oracle=_HIST_ORACLE)
+def order_price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order value per priority —
+    the statistic a cost-based optimizer keeps for selectivity
+    estimation, built from the exact-percentile machinery: 7 interior
+    boundaries per group from ONE ranked shuffle, broadcast back onto
+    the rows, bucket = 1 + Σ[v > qⱼ] (ties land in the lower bucket on
+    both engines). Per-bucket counts plus observed [lo, hi] — the
+    payload a planner needs."""
+    o = table(spark, sf_dir, "orders")
+    bnd = exact_group_percentiles(o, ["o_orderpriority"], "o_totalprice", _HIST_QS)
+    v = F.col("o_totalprice").cast("double")
+    bucket = F.lit(1)
+    for j in range(1, _NBUCKETS):
+        bucket = bucket + F.when(v > F.col(f"q{j}"), 1).otherwise(0)
+    return (
+        o.join(F.broadcast(bnd), "o_orderpriority")
+        .select("o_orderpriority", v.alias("v"), bucket.cast("int").alias("bucket"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("o_orderpriority", "bucket")
+    )

@@ -278,3 +278,91 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", zorder_key(ev, ["user_id", "value"], bits=8).alias("zkey")
     ).orderBy("event_id")
+
+
+# --- conversion latency percentiles per signup cohort ---------------------
+
+from bbt_etl_dw_spark.operators.stats import (  # noqa: E402
+    exact_group_percentiles,
+    sql_percentile_exprs,
+)
+
+_LAT_FRAGS = ",\n       ".join(
+    sql_percentile_exprs({"p50_latency_us": 0.5, "p90_latency_us": 0.9})
+)
+
+# cohort = epoch-week integer of the FIRST signup (pure epoch-µs
+# arithmetic — no date_trunc, per the module's timezone discipline)
+_WEEK_US = 7 * 24 * 3600 * 1000000
+
+_CONVERSION_LATENCY_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS st FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS pt
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.st
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+lat AS (
+  SELECT epoch_us(s.st) // {_WEEK_US} AS cohort_week,
+         CAST(epoch_us(p.pt) - epoch_us(s.st) AS DOUBLE) AS latency_us
+  FROM p JOIN s USING (user_id)
+),
+ranked AS (
+  SELECT cohort_week, latency_us AS _v,
+         ROW_NUMBER() OVER (
+             PARTITION BY cohort_week ORDER BY latency_us) - 1 AS _rn,
+         COUNT(*) OVER (PARTITION BY cohort_week) AS _cnt
+  FROM lat
+)
+SELECT cohort_week,
+       CAST(MAX(_cnt) AS BIGINT) AS n_converted,
+       {_LAT_FRAGS}
+FROM ranked
+GROUP BY cohort_week
+ORDER BY cohort_week
+"""
+
+
+@register("signup_conversion_latency", oracle=_CONVERSION_LATENCY_ORACLE)
+def signup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per signup cohort: for each user the
+    first purchase STRICTLY AFTER the first signup, latency in epoch
+    microseconds, then exact p50/p90 per signup epoch-week. Composes the
+    funnel's min-over-user pattern with the exact-percentile machinery
+    (one keyed shuffle for the mins, one ranked shuffle per-cohort —
+    cohort cardinality is calendar-scale, users never collect). All time
+    arithmetic is epoch-µs (timezone-immune)."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    lat = p.join(s, "user_id").select(
+        F.expr(f"unix_micros(st) div {_WEEK_US}").alias("cohort_week"),
+        (F.unix_micros("pt") - F.unix_micros("st"))
+        .cast("double")
+        .alias("latency_us"),
+    )
+    pcts = exact_group_percentiles(
+        lat, ["cohort_week"], "latency_us",
+        {"p50_latency_us": 0.5, "p90_latency_us": 0.9},
+    )
+    counts = lat.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_converted")
+    )
+    return (
+        counts.join(pcts, "cohort_week")
+        .select("cohort_week", "n_converted", "p50_latency_us", "p90_latency_us")
+        .orderBy("cohort_week")
+    )
