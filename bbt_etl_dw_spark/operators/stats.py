@@ -268,3 +268,114 @@ def mad_outlier_summary(
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between two groups, in
+    ONE aggregation pass over conditional sufficient statistics (n, Σx,
+    Σx² per side — map-side combinable; nothing but six numbers crosses
+    the wire). The inferential-stats sibling of :func:`pearson_corr`.
+
+        s²ᵢ = (Σx²ᵢ - Σxᵢ²/nᵢ) / (nᵢ - 1)          (sample variance)
+        t   = (m₁ - m₂) / sqrt(s²₁/n₁ + s²₂/n₂)
+        dof = (s²₁/n₁ + s²₂/n₂)² /
+              ((s²₁/n₁)²/(n₁-1) + (s²₂/n₂)²/(n₂-1))   (Welch–Satterthwaite)
+
+    Sums are exact-decimal; the closing arithmetic is a fixed IEEE
+    sequence (mirrored by :func:`sql_welch_t_test`), so t and dof are
+    bit-reproducible. Either side with n < 2 or zero variance on both
+    sides → NULL t/dof. Returns one row:
+    (n_a, n_b, mean_a, mean_b, t_stat, dof).
+    """
+    v = F.col(value_col).cast("double")
+    v_dec = v.try_cast(DEC)
+
+    def side(name: str):
+        cond = F.col(group_col) == name
+        n = F.count(F.when(cond, v_dec))
+        s = F.sum(F.when(cond, v_dec))
+        ss = F.sum(F.when(cond, (v * v).try_cast(DEC)))
+        return n, s, ss
+
+    na, sa, ssa = side(group_a)
+    nb, sb, ssb = side(group_b)
+    agg = df.agg(
+        na.alias("_na"), sa.alias("_sa"), ssa.alias("_ssa"),
+        nb.alias("_nb"), sb.alias("_sb"), ssb.alias("_ssb"),
+    )
+
+    def finish(n_col: str, s_col: str, ss_col: str):
+        n_d = F.col(n_col).cast("double")
+        s_d = _dec_to_double(F.col(s_col))
+        ss_d = _dec_to_double(F.col(ss_col))
+        mean = s_d / n_d
+        var = (ss_d - s_d * s_d / n_d) / (n_d - F.lit(1.0))
+        return n_d, mean, var
+
+    na_d, ma, va = finish("_na", "_sa", "_ssa")
+    nb_d, mb, vb = finish("_nb", "_sb", "_ssb")
+    sea = va / na_d
+    seb = vb / nb_d
+    se2 = sea + seb
+    ok = (F.col("_na") >= 2) & (F.col("_nb") >= 2) & (se2 > 0.0)
+    t = F.when(ok, (ma - mb) / F.sqrt(se2))
+    dof = F.when(
+        ok,
+        (se2 * se2)
+        / (sea * sea / (na_d - F.lit(1.0)) + seb * seb / (nb_d - F.lit(1.0))),
+    )
+    return agg.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.when(F.col("_na") > 0, ma).alias("mean_a"),
+        F.when(F.col("_nb") > 0, mb).alias("mean_b"),
+        t.alias("t_stat"),
+        dof.alias("dof"),
+    )
+
+
+def sql_welch_t_test(
+    group_expr: str, value_expr: str, group_a: str, group_b: str
+) -> str:
+    """Oracle-SQL twin of :func:`welch_t_test` — a SELECT-list body (no
+    FROM) mirroring every sum and every closing IEEE operation."""
+    v = f"CAST(({value_expr}) AS DOUBLE)"
+    v_dec = f"TRY_CAST(CAST({v} AS VARCHAR) AS {SQL_DEC})"
+    vv_dec = f"TRY_CAST(CAST(({v} * {v}) AS VARCHAR) AS {SQL_DEC})"
+
+    def side(name: str):
+        cond = f"({group_expr}) = '{name}'"
+        n = f"COUNT(CASE WHEN {cond} THEN {v_dec} END)"
+        s = f"CAST(CAST(SUM(CASE WHEN {cond} THEN {v_dec} END) AS VARCHAR) AS DOUBLE)"
+        ss = f"CAST(CAST(SUM(CASE WHEN {cond} THEN {vv_dec} END) AS VARCHAR) AS DOUBLE)"
+        return n, s, ss
+
+    na, sa, ssa = side(group_a)
+    nb, sb, ssb = side(group_b)
+
+    def finish(n, s, ss):
+        n_d = f"CAST({n} AS DOUBLE)"
+        mean = f"({s} / {n_d})"
+        var = f"(({ss} - {s} * {s} / {n_d}) / ({n_d} - 1.0))"
+        return n_d, mean, var
+
+    na_d, ma, va = finish(na, sa, ssa)
+    nb_d, mb, vb = finish(nb, sb, ssb)
+    sea = f"({va} / {na_d})"
+    seb = f"({vb} / {nb_d})"
+    se2 = f"({sea} + {seb})"
+    ok = f"({na} >= 2 AND {nb} >= 2 AND {se2} > 0.0)"
+    return f"""
+       {na} AS n_a,
+       {nb} AS n_b,
+       (CASE WHEN {na} > 0 THEN {ma} END) AS mean_a,
+       (CASE WHEN {nb} > 0 THEN {mb} END) AS mean_b,
+       (CASE WHEN {ok} THEN ({ma} - {mb}) / sqrt({se2}) END) AS t_stat,
+       (CASE WHEN {ok} THEN ({se2} * {se2})
+          / ({sea} * {sea} / ({na_d} - 1.0) + {seb} * {seb} / ({nb_d} - 1.0)) END) AS dof"""

@@ -577,3 +577,32 @@ def order_price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderpriority", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Welch two-sample t-test (A/B-test shape)
+# --------------------------------------------------------------------------
+
+from bbt_etl_dw_spark.operators.stats import (  # noqa: E402
+    sql_welch_t_test,
+    welch_t_test,
+)
+
+_TTEST_ORACLE = f"""
+SELECT{sql_welch_t_test("event_type", "value", "purchase", "click")}
+FROM events
+WHERE event_type IN ('purchase', 'click')
+"""
+
+
+@register("purchase_click_value_ttest", oracle=_TTEST_ORACLE)
+def purchase_click_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test shape: Welch's unequal-variance t between purchase and
+    click event values — ONE aggregation pass over six conditional
+    sufficient statistics (operators/stats.welch_t_test), nothing but
+    those six numbers crossing the wire; t and Welch–Satterthwaite dof
+    in a fixed IEEE sequence the oracle replays bit-exactly."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return welch_t_test(ev, "event_type", "value", "purchase", "click")

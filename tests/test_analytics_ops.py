@@ -354,3 +354,42 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     )
     got = [r.pagerank for r in pagerank(v, e, iters=4).collect()]
     assert all(p == pytest.approx(1.0 / 3.0, rel=1e-12) for p in got)
+
+
+# --- welch_t_test ---------------------------------------------------------
+
+
+def test_welch_t_hand_computed(spark):
+    from bbt_etl_dw_spark.operators.stats import welch_t_test
+
+    a = [1.0, 2.0, 3.0, 4.0]      # mean 2.5, var 5/3
+    b = [10.0, 12.0, 14.0]        # mean 12, var 4
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_t_test(df, "g", "v", "a", "b").collect()[0]
+    va, vb = 5.0 / 3.0, 4.0
+    se2 = va / 4 + vb / 3
+    t = (2.5 - 12.0) / math.sqrt(se2)
+    dof = se2 * se2 / ((va / 4) ** 2 / 3 + (vb / 3) ** 2 / 2)
+    assert r.n_a == 4 and r.n_b == 3
+    assert r.mean_a == 2.5 and r.mean_b == 12.0
+    assert r.t_stat == pytest.approx(t, rel=1e-12)
+    assert r.dof == pytest.approx(dof, rel=1e-12)
+
+
+def test_welch_t_degenerate_sides_null(spark):
+    from bbt_etl_dw_spark.operators.stats import welch_t_test
+
+    # n_b = 1: variance undefined -> NULL t/dof, means still reported
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "g string, v double"
+    )
+    r = welch_t_test(df, "g", "v", "a", "b").collect()[0]
+    assert r.t_stat is None and r.dof is None
+    assert r.mean_b == 5.0
+    # both sides constant: se2 == 0 -> NULL (not a division error)
+    df2 = spark.createDataFrame(
+        [("a", 3.0), ("a", 3.0), ("b", 7.0), ("b", 7.0)], "g string, v double"
+    )
+    r2 = welch_t_test(df2, "g", "v", "a", "b").collect()[0]
+    assert r2.t_stat is None
