@@ -606,3 +606,121 @@ def purchase_click_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("purchase", "click")
     )
     return welch_t_test(ev, "event_type", "value", "purchase", "click")
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection over a daily revenue series
+# --------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+from bbt_etl_dw_spark.functions.numeric import sql_davg  # noqa: E402
+
+_DAY_US = 24 * 3600 * 1000000
+
+_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT n.n_name AS nation,
+         epoch_us(o.o_orderdate) // {_DAY_US} AS day,
+         {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+  GROUP BY nation, day
+),
+mu AS (
+  SELECT nation, {sql_davg('revenue', 'mu')} FROM daily GROUP BY nation
+),
+walk AS (
+  SELECT d.nation, d.day, m.mu,
+         CAST(ROW_NUMBER() OVER w AS DOUBLE) AS t,
+         CAST(CAST(SUM(TRY_CAST(CAST(d.revenue AS VARCHAR) AS DECIMAL(38,18))) OVER w
+              AS VARCHAR) AS DOUBLE) AS cum
+  FROM daily d JOIN mu m USING (nation)
+  WINDOW w AS (PARTITION BY d.nation ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT nation, day, ABS(cum - t * mu) AS cusum,
+         COUNT(*) OVER (PARTITION BY nation) AS n_days
+  FROM walk
+)
+SELECT nation, day AS changepoint_day, cusum AS cusum_peak,
+       CAST(n_days AS BIGINT) AS n_days
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY nation ORDER BY cusum DESC, day) = 1
+ORDER BY nation
+"""
+
+
+@register("nation_revenue_changepoint", oracle=_CUSUM_ORACLE)
+def nation_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per supplier nation over the 1997
+    daily revenue series: S_t = |Σ_{i≤t}(x_i) − t·x̄| peaks at the most
+    likely mean-shift point. Entirely window-expressible (the
+    non-clamped CUSUM statistic is a prefix sum minus a ramp — no
+    recursion): one fact shuffle to daily grain, one keyed window for
+    the exact-decimal cumulative sum, argmax by (statistic, day). Day
+    keys are epoch-day integers (timezone-immune)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_nation = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", "n_name"
+        )
+    )
+    daily = (
+        li.join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.expr(f"unix_micros(o_orderdate) div {_DAY_US}").alias("day"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    from bbt_etl_dw_spark.functions.numeric import davg
+
+    mu = daily.groupBy("nation").agg(davg("revenue", "mu"))
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        F.sum(F.col("revenue").try_cast("decimal(38,18)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
+    )
+    walk = (
+        daily.join(F.broadcast(mu), "nation")
+        .select(
+            "nation",
+            "day",
+            (cum - F.row_number().over(w).cast("double") * F.col("mu")).alias("_s"),
+        )
+        .withColumn("cusum", F.abs(F.col("_s")))
+        .withColumn(
+            "n_days", F.count(F.lit(1)).over(Window.partitionBy("nation"))
+        )
+    )
+    wpick = Window.partitionBy("nation").orderBy(F.col("cusum").desc(), "day")
+    return (
+        walk.withColumn("_rk", F.row_number().over(wpick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "nation",
+            F.col("day").alias("changepoint_day"),
+            F.col("cusum").alias("cusum_peak"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+        .orderBy("nation")
+    )
