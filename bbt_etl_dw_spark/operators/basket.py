@@ -85,3 +85,53 @@ def cooccurrence_pairs(
         support.alias("support"),
         lift.alias("lift"),
     )
+
+
+def item_cosine_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Item-to-item cosine similarity neighbors — the "customers also
+    bought" primitive: cos(a,b) = pair_n / sqrt(n_a · n_b) over binary
+    basket membership, top-k neighbors per item.
+
+    Reuses :func:`cooccurrence_pairs` (one basket-keyed self-join, pair
+    fanout bounded by basket width), symmetrizes the a<b pair list with
+    a union (no second join), and ranks inside an item-partitioned
+    window — the window input is pairs that SURVIVED min_pair_count,
+    itemᵢ × neighbors, not baskets. sqrt is an IEEE-correctly-rounded
+    required op, so cosine is bit-reproducible cross-engine (unlike
+    log-based scores); ties break on the neighbor id.
+
+    Output: (item, neighbor, pair_n, cos_sim, rank), rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    pairs = cooccurrence_pairs(df, basket_col, item_col, min_pair_count)
+    fwd = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "pair_n",
+        F.col("n_a").alias("n_self"),
+        F.col("n_b").alias("n_other"),
+    )
+    rev = pairs.select(
+        F.col("item_b").alias("item"),
+        F.col("item_a").alias("neighbor"),
+        "pair_n",
+        F.col("n_b").alias("n_self"),
+        F.col("n_a").alias("n_other"),
+    )
+    both = fwd.unionAll(rev)
+    cos = F.col("pair_n").cast("double") / F.sqrt(
+        (F.col("n_self") * F.col("n_other")).cast("double")
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cos_sim").desc(), F.col("neighbor"))
+    return (
+        both.select("item", "neighbor", "pair_n", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -379,3 +379,282 @@ def sql_welch_t_test(
        (CASE WHEN {ok} THEN ({ma} - {mb}) / sqrt({se2}) END) AS t_stat,
        (CASE WHEN {ok} THEN ({se2} * {se2})
           / ({sea} * {sea} / ({na_d} - 1.0) + {seb} * {seb} / ({nb_d} - 1.0)) END) AS dof"""
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
+    nonparametric sibling of :func:`welch_t_test` for the heavy-tailed
+    columns where a mean comparison misleads.
+
+    Rank computation is VALUE-BINNED, not row-ranked: the fact reduces
+    to per-distinct-value counts in one hash aggregation (map-side
+    combinable), and the rank window runs over the distinct-value table
+    only — at 100 TB the billion-row sample never passes through a
+    global sort, only its (value → count-per-side) histogram does. Ties
+    fall out naturally: every row of a bin shares the bin's midrank.
+
+    Exactness: midranks are half-integers, so the sums carry DOUBLED
+    ranks as DECIMAL(38,0) (bit-exact at any n; BIGINT would overflow
+    near n ~ 3e9 since R ~ n²); the closing z arithmetic — including the
+    tie-correction Σ(t³-t) — is a fixed IEEE sequence with an exact
+    sqrt. No continuity correction (documented; both engines agree).
+
+    Returns one row: (n_a, n_b, u_a, u_b, z_stat); z NULL when either
+    side is empty or every value ties (zero variance).
+    """
+    v = F.col(value_col).cast("double")
+    side = F.col(group_col)
+    rows = df.filter(
+        side.isin([group_a, group_b]) & v.isNotNull() & ~F.isnan(v)
+    ).select(v.alias("val"), side.alias("_side"))
+    bins = rows.groupBy("val").agg(
+        F.sum(F.when(F.col("_side") == group_a, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("_side") == group_b, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    wcum = (
+        Window.orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = (F.col("ca") + F.col("cb")).alias("t")
+    ranked = bins.select(
+        "val", "ca", "cb", t,
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(wcum), F.lit(0)).alias("cum"),
+    )
+    # doubled midrank of the bin: 2*cum + t + 1 (always integral)
+    rank2 = (F.lit(2) * F.col("cum") + F.col("t") + F.lit(1)).cast("long")
+    D0 = "decimal(38,0)"
+    agg = ranked.agg(
+        F.sum("ca").alias("_na"),
+        F.sum("cb").alias("_nb"),
+        F.sum((F.col("ca") * rank2).cast(D0)).alias("_r2a"),
+        F.sum(
+            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(D0)
+        ).alias("_ties"),
+    )
+    na_d = F.coalesce(F.col("_na"), F.lit(0)).cast("double")
+    nb_d = F.coalesce(F.col("_nb"), F.lit(0)).cast("double")
+    n_d = na_d + nb_d
+    r2a_d = _dec_to_double(F.col("_r2a"))
+    ties_d = _dec_to_double(F.col("_ties"))
+    u_a = na_d * nb_d + (na_d * (na_d + F.lit(1.0))) / F.lit(2.0) - r2a_d / F.lit(2.0)
+    u_b = na_d * nb_d - u_a
+    mu = (na_d * nb_d) / F.lit(2.0)
+    sigma2 = (
+        (na_d * nb_d) / F.lit(12.0)
+        * ((n_d + F.lit(1.0)) - ties_d / (n_d * (n_d - F.lit(1.0))))
+    )
+    ok = (F.col("_na") > 0) & (F.col("_nb") > 0)
+    return agg.select(
+        F.coalesce(F.col("_na"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("_nb"), F.lit(0)).cast("long").alias("n_b"),
+        F.when(ok, u_a).alias("u_a"),
+        F.when(ok, u_b).alias("u_b"),
+        F.when(ok & (sigma2 > 0.0), (u_a - mu) / F.sqrt(sigma2)).alias("z_stat"),
+    )
+
+
+def sql_mann_whitney_ctes(
+    source_sql: str, group_sql: str, value_sql: str, group_a: str, group_b: str
+) -> str:
+    """DuckDB CTE chain replaying :func:`mann_whitney_u` over
+    ``{source_sql}`` operation-for-operation; yields relation ``mwu``
+    with the operator's one-row output."""
+    v = f"CAST(({value_sql}) AS DOUBLE)"
+    dec2dbl = lambda e: f"CAST(CAST(({e}) AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+mwu_rows AS (
+  SELECT {v} AS val, ({group_sql}) AS side FROM ({source_sql})
+  WHERE ({group_sql}) IN ('{group_a}', '{group_b}')
+    AND {v} IS NOT NULL AND NOT isnan({v})
+),
+mwu_bins AS (
+  SELECT val,
+         CAST(SUM(CASE WHEN side = '{group_a}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN side = '{group_b}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM mwu_rows GROUP BY val
+),
+mwu_ranked AS (
+  SELECT val, ca, cb, ca + cb AS t,
+         COALESCE(SUM(ca + cb) OVER (ORDER BY val
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM mwu_bins
+),
+mwu_agg AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb,
+         SUM(CAST(ca * (2 * cum + t + 1) AS DECIMAL(38,0))) AS r2a,
+         SUM(CAST(t * t * t - t AS DECIMAL(38,0))) AS ties
+  FROM mwu_ranked
+),
+mwu AS (
+  SELECT CAST(COALESCE(na, 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(nb, 0) AS BIGINT) AS n_b,
+         (CASE WHEN COALESCE(na, 0) > 0 AND COALESCE(nb, 0) > 0 THEN u_a END) AS u_a,
+         (CASE WHEN COALESCE(na, 0) > 0 AND COALESCE(nb, 0) > 0
+               THEN na_d * nb_d - u_a END) AS u_b,
+         (CASE WHEN COALESCE(na, 0) > 0 AND COALESCE(nb, 0) > 0 AND sigma2 > 0.0
+               THEN (u_a - (na_d * nb_d) / CAST(2.0 AS DOUBLE)) / sqrt(sigma2) END) AS z_stat
+  FROM (
+    SELECT na, nb,
+           na_d, nb_d,
+           na_d * nb_d + (na_d * (na_d + CAST(1.0 AS DOUBLE))) / CAST(2.0 AS DOUBLE)
+             - {dec2dbl('r2a')} / CAST(2.0 AS DOUBLE) AS u_a,
+           (na_d * nb_d) / CAST(12.0 AS DOUBLE)
+             * (((na_d + nb_d) + CAST(1.0 AS DOUBLE))
+                - {dec2dbl('ties')} / ((na_d + nb_d) * ((na_d + nb_d) - CAST(1.0 AS DOUBLE)))) AS sigma2
+    FROM (
+      SELECT na, nb, r2a, ties,
+             CAST(COALESCE(na, 0) AS DOUBLE) AS na_d,
+             CAST(COALESCE(nb, 0) AS DOUBLE) AS nb_d
+      FROM mwu_agg
+    )
+  )
+)"""
+
+
+# first-digit occurrence probabilities under Benford's law, log10(1+1/d)
+# precomputed host-side: embedding the same repr literal in the builder
+# and the oracle sidesteps the no-log-in-oracles rule (a literal parses
+# to the same double in both engines; a runtime log10 need not).
+BENFORD_P = {
+    1: 0.30102999566398114,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_digit_audit(
+    df: DataFrame, value_col: str, *, max_pow: int = 7
+) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric column
+    against Benford's law — the forensic-accounting screen for fabricated
+    or truncated money columns, as a data-quality audit.
+
+    Digit extraction is a power-of-ten CASE ladder (floor of v/10^k on
+    the branch where v ∈ [10^k, 10^k+1)): division and floor are
+    correctly-rounded IEEE ops, so the digit is bit-deterministic —
+    deliberately NOT log10 (libm drift) and NOT string formatting
+    (engine-dependent rendering). Values outside [1, 10^max_pow) are
+    counted in the out_of_range row (digit 0) rather than silently
+    dropped. One hash aggregation over the fact; the 9-digit frame and
+    chi-square close at driver scale.
+
+    Output: one row per digit 1..9 (+ digit 0 for out-of-range when any)
+    with (digit, n_obs, share_obs, benford_share, chisq_term). The
+    chi-square statistic is SUM(chisq_term) over digits 1..9; terms use
+    in-range N only.
+    """
+    v = F.col(value_col).cast("double")
+    in_range = v.isNotNull() & ~F.isnan(v) & (v >= 1.0) & (v < float(10 ** max_pow))
+    # build ascending so the HIGHEST power ends outermost: the CASE must
+    # test v >= 10^6 before v >= 10^5, or every large value matches the
+    # small-power branch and reads the wrong digit
+    ladder = F.floor(v).cast("long")
+    for k in range(1, max_pow):
+        p = float(10 ** k)
+        ladder = F.when(v >= F.lit(p), F.floor(v / F.lit(p)).cast("long")).otherwise(
+            ladder
+        )
+    counts = (
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .select(F.when(in_range, ladder).otherwise(F.lit(0)).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spark = df.sparkSession
+    frame = spark.range(1, 10).select(F.col("id").cast("long").alias("digit"))
+    full = frame.join(counts, "digit", "left").select(
+        "digit", F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs")
+    )
+    oor = counts.filter(F.col("digit") == 0).select(
+        "digit", F.col("n_obs").cast("long").alias("n_obs")
+    )
+    full = full.unionAll(oor)
+    total_in = full.filter(F.col("digit") >= 1).agg(
+        F.sum("n_obs").alias("n_in_range")
+    )
+    p_expr = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        p_expr = F.when(F.col("digit") == d, F.lit(BENFORD_P[d])).otherwise(p_expr)
+    n_d = F.col("n_obs").cast("double")
+    nt_d = F.col("n_in_range").cast("double")
+    expected = p_expr * nt_d
+    chisq = F.when(
+        (F.col("digit") >= 1) & (expected > 0.0),
+        (n_d - expected) * (n_d - expected) / expected,
+    )
+    return full.crossJoin(F.broadcast(total_in)).select(
+        "digit",
+        "n_obs",
+        F.when(F.col("digit") >= 1, n_d / nt_d).alias("share_obs"),
+        p_expr.alias("benford_share"),
+        chisq.alias("chisq_term"),
+    )
+
+
+def sql_benford_ctes(source_sql: str, value_sql: str, *, max_pow: int = 7) -> str:
+    """DuckDB CTE chain replaying :func:`benford_digit_audit`; yields
+    relation ``benford`` with the operator's output columns."""
+    v = f"CAST(({value_sql}) AS DOUBLE)"
+    hi = float(10 ** max_pow)
+    ladder = "CASE"
+    for k in range(max_pow - 1, 0, -1):
+        p = float(10 ** k)
+        ladder += (
+            f" WHEN {v} >= CAST({p!r} AS DOUBLE)"
+            f" THEN CAST(FLOOR({v} / CAST({p!r} AS DOUBLE)) AS BIGINT)"
+        )
+    ladder += f" ELSE CAST(FLOOR({v}) AS BIGINT) END"
+    in_range = (
+        f"({v} IS NOT NULL AND NOT isnan({v})"
+        f" AND {v} >= CAST(1.0 AS DOUBLE) AND {v} < CAST({hi!r} AS DOUBLE))"
+    )
+    p_case = "CASE " + " ".join(
+        f"WHEN digit = {d} THEN CAST({BENFORD_P[d]!r} AS DOUBLE)"
+        for d in range(1, 10)
+    ) + " END"
+    return f"""
+benford_counts AS (
+  SELECT (CASE WHEN {in_range} THEN {ladder} ELSE 0 END) AS digit,
+         COUNT(*) AS n_obs
+  FROM ({source_sql})
+  WHERE {v} IS NOT NULL AND NOT isnan({v})
+  GROUP BY 1
+),
+benford_frame AS (
+  SELECT CAST(d AS BIGINT) AS digit,
+         CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs
+  FROM generate_series(1, 9) AS g(d)
+  LEFT JOIN benford_counts c ON c.digit = CAST(d AS BIGINT)
+  UNION ALL
+  SELECT digit, CAST(n_obs AS BIGINT) FROM benford_counts WHERE digit = 0
+),
+benford_total AS (
+  SELECT SUM(n_obs) AS n_in_range FROM benford_frame WHERE digit >= 1
+),
+benford AS (
+  SELECT digit, n_obs,
+         (CASE WHEN digit >= 1
+               THEN CAST(n_obs AS DOUBLE) / CAST(t.n_in_range AS DOUBLE) END) AS share_obs,
+         {p_case} AS benford_share,
+         (CASE WHEN digit >= 1 AND ({p_case}) * CAST(t.n_in_range AS DOUBLE) > 0.0
+               THEN (CAST(n_obs AS DOUBLE) - ({p_case}) * CAST(t.n_in_range AS DOUBLE))
+                  * (CAST(n_obs AS DOUBLE) - ({p_case}) * CAST(t.n_in_range AS DOUBLE))
+                  / (({p_case}) * CAST(t.n_in_range AS DOUBLE)) END) AS chisq_term
+  FROM benford_frame CROSS JOIN benford_total t
+)"""

@@ -9,7 +9,7 @@ no shuffle, no Python. The one corpus-level op here
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language marker vocabularies for the n-gram/stopword heuristic
@@ -474,3 +474,55 @@ def apply_token_mix(
         .filter(hash_uniform(id_col, salt) < F.col("keep_rate"))
         .drop("keep_rate")
     )
+
+
+def collocation_lift(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram collocation strength as LIFT — observed bigram probability
+    over the independence expectation of its two words:
+
+        lift(x,y) = (n_xy / N_bigrams) / ((n_x / N_tokens) · (n_y / N_tokens))
+
+    This is PMI without the closing log: log is monotone, so the
+    collocation RANKING is identical to PMI's, and the ratio stays inside
+    correctly-rounded IEEE ops — the same no-log-in-oracles discipline as
+    doc_token_drift_chisq / BM25-odds. Callers wanting textbook PMI take
+    log2(lift) themselves (one map; not oracle-able).
+
+    Scale: one explode for bigrams + one for unigrams, each reducing in
+    hash aggregation; the min_count filter prunes the bigram table BEFORE
+    its two vocabulary joins; corpus totals attach as one-row broadcast
+    scalars. Nothing is ever quadratic in vocabulary or corpus.
+
+    Output: (bigram, n_xy, n_x, n_y, lift), one row per surviving bigram.
+    """
+    grams = docs.select(F.explode(word_ngrams(text_col, 2)).alias("bigram"))
+    big = (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    toks = docs.select(F.explode(words(text_col)).alias("word"))
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    totals = grams.agg(F.count(F.lit(1)).alias("nb")).crossJoin(
+        toks.agg(F.count(F.lit(1)).alias("nt"))
+    )
+    x = F.split(F.col("bigram"), " ")[0]
+    y = F.split(F.col("bigram"), " ")[1]
+    joined = (
+        big.withColumn("_x", x)
+        .withColumn("_y", y)
+        .join(uni.select(F.col("word").alias("_x"), F.col("n_w").alias("n_x")), "_x")
+        .join(uni.select(F.col("word").alias("_y"), F.col("n_w").alias("n_y")), "_y")
+        .crossJoin(F.broadcast(totals))
+    )
+    nxy_d = F.col("n_xy").cast("double")
+    nb_d = F.col("nb").cast("double")
+    nt_d = F.col("nt").cast("double")
+    nx_d = F.col("n_x").cast("double")
+    ny_d = F.col("n_y").cast("double")
+    lift = ((nxy_d * nt_d) * nt_d) / ((nb_d * nx_d) * ny_d)
+    return joined.select("bigram", "n_xy", "n_x", "n_y", lift.alias("lift"))

@@ -21,12 +21,15 @@ from pyspark.sql import functions as F
 
 from bbt_etl_dw_spark.catalog import table
 from bbt_etl_dw_spark.functions.numeric import dsum, sql_dsum
-from bbt_etl_dw_spark.operators.basket import cooccurrence_pairs
+from bbt_etl_dw_spark.operators.basket import cooccurrence_pairs, item_cosine_topk
+from bbt_etl_dw_spark.operators.graphstats import sql_triangle_ctes, triangle_stats
 from bbt_etl_dw_spark.operators.er import blocked_fuzzy_lookup
 from bbt_etl_dw_spark.operators.smooth import trailing_ewma
 from bbt_etl_dw_spark.operators.stats import (
     exact_group_percentiles,
     group_ols_slope,
+    mann_whitney_u,
+    sql_mann_whitney_ctes,
     sql_ols_exprs,
     sql_percentile_exprs,
 )
@@ -724,3 +727,273 @@ def nation_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (quantile-boundary scoring)
+# --------------------------------------------------------------------------
+
+_RFM_PCTS = {"b20": 0.2, "b40": 0.4, "b60": 0.6, "b80": 0.8}
+
+_DAY_IDX_SQL = "(epoch_us(o_orderdate) // 86400000000)"
+
+
+def _rfm_bnd_ctes(metric_sql: str, prefix: str) -> str:
+    """Ranked CTE + 1-row boundary CTE for one RFM metric over the
+    per-customer aggregate (the sql_percentile_exprs contract)."""
+    pct = ",\n         ".join(sql_percentile_exprs(_RFM_PCTS))
+    return f"""
+{prefix}_rank AS (
+  SELECT CAST({metric_sql} AS DOUBLE) AS _v,
+         ROW_NUMBER() OVER (ORDER BY CAST({metric_sql} AS DOUBLE)) - 1 AS _rn,
+         COUNT(*) OVER () AS _cnt
+  FROM per_cust
+),
+{prefix}_bnd AS (
+  SELECT {pct}
+  FROM {prefix}_rank
+)"""
+
+
+def _rfm_score_sql(metric_sql: str, bnd: str) -> str:
+    v = f"CAST({metric_sql} AS DOUBLE)"
+    terms = " + ".join(
+        f"(CASE WHEN {v} > {bnd}.{b} THEN 1 ELSE 0 END)" for b in _RFM_PCTS
+    )
+    return f"(1 + {terms})"
+
+
+_RFM_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX({_DAY_IDX_SQL}) AS last_day,
+         COUNT(*) AS frequency,
+         {sql_dsum('o_totalprice', 'monetary')}
+  FROM orders GROUP BY o_custkey
+),{_rfm_bnd_ctes('last_day', 'r')},{_rfm_bnd_ctes('frequency', 'f')},{_rfm_bnd_ctes('monetary', 'm')},
+scored AS (
+  SELECT c.o_custkey, c.monetary,
+         {_rfm_score_sql('c.last_day', 'r')} AS r_score,
+         {_rfm_score_sql('c.frequency', 'f')} AS f_score,
+         {_rfm_score_sql('c.monetary', 'm')} AS m_score
+  FROM per_cust c CROSS JOIN r_bnd r CROSS JOIN f_bnd f CROSS JOIN m_bnd m
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       {sql_dsum('monetary', 'segment_monetary')},
+       MIN(o_custkey) AS min_custkey
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+@register("customer_rfm_segments", oracle=_RFM_ORACLE, bench=True)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation: per-customer
+    order aggregates scored 1-5 against their own quintile boundaries,
+    rolled up to segment counts. The fact reduces to the per-customer
+    table in ONE shuffle; each metric's boundaries come from ONE ranked
+    pass over that table (exact percentile_cont — at crawl scale the
+    drop-in is the mergeable quantile sketch, same contract as
+    order_quantile_sketch_check) and re-attach as 1-row broadcasts, so
+    scoring is a map stage — no per-row rank window over customers.
+    Recency is an epoch-day index (unix_micros div), immune to session
+    timezones; monetary sums are exact-decimal."""
+    o = table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(o_orderdate) div 86400000000")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice"), "monetary"),
+    )
+
+    def bounds(metric: str, prefix: str) -> DataFrame:
+        b = exact_group_percentiles(
+            per_cust.withColumn("_g", F.lit(1)), ["_g"], metric, _RFM_PCTS
+        ).drop("_g")
+        return b.select(
+            *[F.col(k).alias(f"{prefix}_{k}") for k in _RFM_PCTS]
+        )
+
+    def score(metric: str, prefix: str):
+        v = F.col(metric).cast("double")
+        s = F.lit(1)
+        for k in _RFM_PCTS:
+            s = s + F.when(v > F.col(f"{prefix}_{k}"), 1).otherwise(0)
+        return s
+
+    scored = (
+        per_cust.crossJoin(F.broadcast(bounds("last_day", "r")))
+        .crossJoin(F.broadcast(bounds("frequency", "f")))
+        .crossJoin(F.broadcast(bounds("monetary", "m")))
+        .select(
+            "o_custkey",
+            "monetary",
+            score("last_day", "r").alias("r_score"),
+            score("frequency", "f").alias("f_score"),
+            score("monetary", "m").alias("m_score"),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("monetary"), "segment_monetary"),
+            F.min("o_custkey").alias("min_custkey"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting / clustering coefficients on the nation trade graph
+# --------------------------------------------------------------------------
+
+_TRADE_EDGE_SQL = """
+SELECT gs.supp_nation AS src, gc.cust_nation AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN (SELECT s.s_suppkey, n.n_name AS supp_nation
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey) gs
+    ON l.l_suppkey = gs.s_suppkey
+  JOIN (SELECT c.c_custkey, n.n_name AS cust_nation
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey) gc
+    ON o.o_custkey = gc.c_custkey
+"""
+
+_TRIANGLES_ORACLE = f"""
+WITH {sql_triangle_ctes(_TRADE_EDGE_SQL)}
+SELECT vertex AS nation, degree, n_triangles, clustering
+FROM tri_stats
+ORDER BY nation
+"""
+
+
+@register("nation_trade_triangles", oracle=_TRIANGLES_ORACLE)
+def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle count and local clustering coefficient over
+    the supplier-nation ⋈ customer-nation trade graph — the third graph
+    operator (after pagerank and dedup-cluster label propagation), and
+    the non-iterative one. The fact reduces to a distinct nation-pair
+    edge list first (one shuffle); triangle enumeration is the
+    DEGREE-ORDERED wedge join (operators/graphstats.py) whose candidate
+    count is O(|E|^1.5) regardless of hubs — the formulation that holds
+    on a billion-edge co-occurrence graph, exercised here on the
+    dim-scale trade graph where an exact SQL replay exists."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    geo_s = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("src")
+        )
+    )
+    geo_c = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            "c_custkey", F.col("n_name").alias("dst")
+        )
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(geo_s, li.l_suppkey == geo_s.s_suppkey)
+        .join(geo_c, o.o_custkey == geo_c.c_custkey)
+        .select("src", "dst")
+    )
+    return (
+        triangle_stats(edges)
+        .select(
+            F.col("vertex").alias("nation"), "degree", "n_triangles", "clustering"
+        )
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U: returned vs delivered quantity distributions
+# --------------------------------------------------------------------------
+
+_MWU_ORACLE = f"""
+WITH {sql_mann_whitney_ctes(
+    source_sql="SELECT l_returnflag, l_quantity FROM lineitem",
+    group_sql="l_returnflag",
+    value_sql="l_quantity",
+    group_a="R",
+    group_b="N",
+)}
+SELECT n_a, n_b, u_a, u_b, z_stat FROM mwu
+"""
+
+
+@register("lineitem_quantity_mannwhitney", oracle=_MWU_ORACLE)
+def lineitem_quantity_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do returned lineitems (R) ship
+    different quantities than delivered ones (N)? The nonparametric
+    partner of purchase_click_value_ttest, on a column where ties are
+    the NORM (50 integral quantity values), so the midrank + tie
+    correction path is non-trivially exercised. The fact collapses to
+    its value histogram in one hash-agg; ranks come from a window over
+    DISTINCT VALUES only — a billion-row sample never global-sorts
+    (operators/stats.mann_whitney_u), and the doubled-rank sums ride
+    DECIMAL(38,0) so no n² overflow exists at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    return mann_whitney_u(li, "l_returnflag", "l_quantity", "R", "N")
+
+
+# --------------------------------------------------------------------------
+# Item-to-item cosine neighbors (collaborative filtering primitive)
+# --------------------------------------------------------------------------
+
+_NEIGHBORS_K = 3
+_NEIGHBORS_MIN_PAIR = 2
+
+_NEIGHBORS_ORACLE = f"""
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+pairs AS (
+  SELECT a.i AS item_a, b2.i AS item_b, COUNT(*) AS pair_n
+  FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY a.i, b2.i
+  HAVING COUNT(*) >= {_NEIGHBORS_MIN_PAIR}
+),
+freq AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY i),
+both_dirs AS (
+  SELECT p.item_a AS item, p.item_b AS neighbor, p.pair_n,
+         fa.n AS n_self, fb.n AS n_other
+  FROM pairs p JOIN freq fa ON p.item_a = fa.i JOIN freq fb ON p.item_b = fb.i
+  UNION ALL
+  SELECT p.item_b, p.item_a, p.pair_n, fb.n, fa.n
+  FROM pairs p JOIN freq fa ON p.item_a = fa.i JOIN freq fb ON p.item_b = fb.i
+),
+scored AS (
+  SELECT item, neighbor, pair_n,
+         CAST(pair_n AS DOUBLE) / sqrt(CAST(n_self * n_other AS DOUBLE)) AS cos_sim
+  FROM both_dirs
+)
+SELECT item, neighbor, pair_n, cos_sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY item ORDER BY cos_sim DESC, neighbor) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {_NEIGHBORS_K}
+ORDER BY item, rank
+"""
+
+
+@register("part_basket_neighbors", oracle=_NEIGHBORS_ORACLE, bench=True)
+def part_basket_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 "bought together" neighbors per part by binary-basket
+    cosine — the item-item collaborative-filtering primitive layered on
+    the co-occurrence operator (one basket-keyed self-join bounded by
+    order width; operators/basket.item_cosine_topk). The symmetrize step
+    is a union, not a second join; the rank window sees only surviving
+    pairs. sqrt is correctly rounded by IEEE-754 decree, so cosine
+    scores carry a bit-exact oracle — the reason this family scores with
+    cosine and the log-family scores stay pytest-only."""
+    li = table(spark, sf_dir, "lineitem")
+    return item_cosine_topk(
+        li, "l_orderkey", "l_partkey", k=_NEIGHBORS_K,
+        min_pair_count=_NEIGHBORS_MIN_PAIR,
+    ).orderBy("item", "rank")

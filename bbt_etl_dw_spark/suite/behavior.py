@@ -366,3 +366,113 @@ def signup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cohort_week", "n_converted", "p50_latency_us", "p90_latency_us")
         .orderBy("cohort_week")
     )
+
+
+# --- last-touch attribution ----------------------------------------------
+
+from bbt_etl_dw_spark.functions.numeric import dsum as _dsum, sql_dsum as _sql_dsum
+from bbt_etl_dw_spark.operators.attribution import (
+    attribute_conversions,
+    sql_attribution_cte,
+)
+
+_ATTR_LOOKBACK_DAYS = 7
+
+_ATTRIBUTION_ORACLE = f"""
+WITH {sql_attribution_cte(
+    touch_sql="event_type IN ('click', 'view')",
+    conv_sql="event_type = 'purchase'",
+    label_sql="event_type",
+    lookback_days=_ATTR_LOOKBACK_DAYS,
+    position="last",
+)}
+SELECT channel,
+       COUNT(*) AS n_conversions,
+       {_sql_dsum('value', 'attributed_value')}
+FROM attributed
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@register("events_last_touch_attribution", oracle=_ATTRIBUTION_ORACLE)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credits the latest
+    click/view by the same user within a 7-day lookback, else 'direct'.
+    ONE user-keyed shuffle — the nearest-preceding-touch is a running
+    ignorenulls-last over a rows frame sharing the funnel queries'
+    partitioning, NOT an events⋈events self-join (which shuffles the
+    fact twice and explodes on active users); the channel rollup is
+    channels-sized. Lookback compares epoch microseconds, immune to
+    session timezones; attributed revenue is an exact-decimal sum
+    (operators/attribution.py)."""
+    ev = table(spark, sf_dir, "events")
+    attr = attribute_conversions(
+        ev,
+        touch_pred=F.col("event_type").isin("click", "view"),
+        conv_pred=F.col("event_type") == "purchase",
+        touch_label=F.col("event_type"),
+        lookback_days=_ATTR_LOOKBACK_DAYS,
+        keep_cols=("value",),
+    )
+    return (
+        attr.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            _dsum(F.col("value"), "attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --- Markov event-transition matrix --------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY event_type) AS DOUBLE)
+         AS p_transition
+FROM c
+ORDER BY event_type, next_type
+"""
+
+
+@register("events_markov_transitions", oracle=_TRANSITIONS_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: counts
+    and row-normalized probabilities of event_type → next event_type per
+    user session order (ts, event_id tie-break). ONE user-keyed shuffle
+    for the lead window — same partitioning family as the funnel — then
+    a hash-agg onto the types×types matrix; the normalizing window runs
+    over that dim-sized matrix, never the fact. The single division is
+    one correctly-rounded IEEE op (bit-exact oracle)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    c = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wt = Window.partitionBy("event_type")
+    p = F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wt).cast(
+        "double"
+    )
+    return c.select(
+        "event_type", "next_type", "n_transitions", p.alias("p_transition")
+    ).orderBy("event_type", "next_type")

@@ -99,3 +99,30 @@ def orders_violations_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return violations(o, rules, "o_orderkey").orderBy("id", "column")
+
+
+# --- Benford first-digit audit -------------------------------------------
+
+from bbt_etl_dw_spark.operators.stats import benford_digit_audit, sql_benford_ctes
+
+_BENFORD_ORACLE = f"""
+WITH {sql_benford_ctes("SELECT l_extendedprice FROM lineitem", "l_extendedprice")}
+SELECT digit, n_obs, share_obs, benford_share, chisq_term
+FROM benford
+ORDER BY digit
+"""
+
+
+@register("lineitem_benford_audit", oracle=_BENFORD_ORACLE)
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of extended price against
+    Benford's law — the forensic screen for fabricated or truncated
+    money columns, as a quality-audit query. Digit extraction is a
+    power-of-ten CASE ladder (correctly-rounded divide + floor — no
+    log10, no string formatting, both engine-divergent); the Benford
+    probabilities are host-precomputed double literals shared by builder
+    and oracle. One hash-agg over the fact; out-of-range values surface
+    as the digit-0 row instead of silently dropping
+    (operators/stats.benford_digit_audit)."""
+    li = table(spark, sf_dir, "lineitem")
+    return benford_digit_audit(li, "l_extendedprice").orderBy("digit")

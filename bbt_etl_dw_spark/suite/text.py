@@ -1521,3 +1521,86 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.alias(n) for n, c in counts.items()],
         F.md5(redact_pii("text")).alias("scrubbed_fp"),
     ).orderBy("doc_id")
+
+
+# --- BM25 ranked retrieval ------------------------------------------------
+
+from bbt_etl_dw_spark.operators.search import bm25_topk, sql_bm25_ctes
+from bbt_etl_dw_spark.operators.textstats import collocation_lift
+
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_K = 10
+
+_BM25_ORACLE = f"""
+WITH {sql_bm25_ctes(_BM25_TERMS, words_sql=_WORDS_SQL)}
+SELECT doc_id, score, n_terms_hit FROM bm25
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+@register("doc_bm25_search", oracle=_BM25_ORACLE)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a 3-term query (odds-ratio idf — the
+    pre-log BM25 quantity, same per-term ranking, chosen so every step
+    is a correctly-rounded IEEE op and the oracle is bit-exact; see
+    operators/search.py). The corpus explodes once with the term IN-list
+    applied BEFORE any shuffle; corpus-global state is two scalars + one
+    df row per query term, all broadcast; the top-k is
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver),
+    not a global sort. The per-term score fold is a fixed-order column
+    pivot, not an order-free SUM."""
+    docs = table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+# --- bigram collocations (PMI ranking, log-free) --------------------------
+
+_PMI_MIN_COUNT = 30
+_PMI_K = 20
+
+_PMI_ORACLE = f"""
+WITH w AS (SELECT {_WORDS_SQL} AS ws FROM documents),
+grams_src AS (SELECT {_ngrams_sql(2)} AS grams FROM w),
+grams AS (SELECT g.bigram FROM grams_src, UNNEST(grams) AS g(bigram)),
+big AS (
+  SELECT bigram, COUNT(*) AS n_xy FROM grams
+  GROUP BY bigram HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+),
+toks AS (SELECT t.word FROM w, UNNEST(ws) AS t(word)),
+uni AS (SELECT word, COUNT(*) AS n_w FROM toks GROUP BY word),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM grams) AS nb,
+         (SELECT COUNT(*) FROM toks) AS nt
+),
+joined AS (
+  SELECT b.bigram, b.n_xy, ux.n_w AS n_x, uy.n_w AS n_y, t.nb, t.nt
+  FROM big b
+  JOIN uni ux ON string_split(b.bigram, ' ')[1] = ux.word
+  JOIN uni uy ON string_split(b.bigram, ' ')[2] = uy.word
+  CROSS JOIN tot t
+)
+SELECT bigram, n_xy, n_x, n_y,
+       ((CAST(n_xy AS DOUBLE) * CAST(nt AS DOUBLE)) * CAST(nt AS DOUBLE))
+       / ((CAST(nb AS DOUBLE) * CAST(n_x AS DOUBLE)) * CAST(n_y AS DOUBLE)) AS lift
+FROM joined
+ORDER BY lift DESC, bigram
+LIMIT {_PMI_K}
+"""
+
+
+@register("doc_pmi_collocations", oracle=_PMI_ORACLE)
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations ranked by lift — PMI minus its
+    monotone log, so the ranking is PMI's while every op stays
+    correctly-rounded IEEE (operators/textstats.collocation_lift; the
+    doc_token_drift_chisq / BM25-odds discipline). Two explode +
+    hash-agg passes; min-count prunes the bigram table before its two
+    vocabulary joins; totals attach as a 1-row broadcast; the final
+    top-k is TakeOrderedAndProject."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        collocation_lift(docs, min_count=_PMI_MIN_COUNT)
+        .orderBy(F.col("lift").desc(), "bigram")
+        .limit(_PMI_K)
+    )

@@ -1,0 +1,235 @@
+"""Operator-level tests for the round-6 behavioral/graph/search family
+(operators/attribution.py, graphstats.py, search.py, basket.py
+item_cosine_topk, textstats.collocation_lift, stats.mann_whitney_u /
+benford_digit_audit) — hand-computed expectations on tiny frames,
+independent of the DuckDB oracle suite."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.operators.attribution import attribute_conversions
+from bbt_etl_dw_spark.operators.basket import item_cosine_topk
+from bbt_etl_dw_spark.operators.graphstats import triangle_stats
+from bbt_etl_dw_spark.operators.search import bm25_topk
+from bbt_etl_dw_spark.operators.stats import benford_digit_audit, mann_whitney_u
+from bbt_etl_dw_spark.operators.textstats import collocation_lift
+
+EV_SCHEMA = "user_id long, event_id long, ts timestamp, event_type string, value double"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+# --- attribution ----------------------------------------------------------
+
+
+def _attr(spark, rows, position="last", lookback_days=7):
+    ev = _events(spark, rows)
+    out = attribute_conversions(
+        ev,
+        touch_pred=F.col("event_type").isin("click", "view"),
+        conv_pred=F.col("event_type") == "purchase",
+        touch_label=F.col("event_type"),
+        lookback_days=lookback_days,
+        position=position,
+        keep_cols=("value",),
+    )
+    return {r.event_id: r.channel for r in out.collect()}
+
+
+def test_attribution_last_touch_within_window(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "click", None),
+        (1, 2, t0 + dt.timedelta(days=1), "purchase", 10.0),
+        # second purchase 8 days after the click: outside the 7d lookback
+        (1, 3, t0 + dt.timedelta(days=8, seconds=1), "purchase", 5.0),
+        # user 2 never touched
+        (2, 4, t0, "purchase", 1.0),
+    ]
+    ch = _attr(spark, rows)
+    assert ch == {2: "click", 3: "direct", 4: "direct"}
+
+
+def test_attribution_last_vs_first_touch(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "click", None),
+        (1, 2, t0 + dt.timedelta(hours=1), "view", None),
+        (1, 3, t0 + dt.timedelta(hours=2), "purchase", 4.0),
+    ]
+    assert _attr(spark, rows, "last") == {3: "view"}
+    assert _attr(spark, rows, "first") == {3: "click"}
+
+
+def test_attribution_ts_tie_breaks_on_event_id(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # click and view at the SAME timestamp: higher event_id wins "last"
+    rows = [
+        (1, 1, t0, "click", None),
+        (1, 2, t0, "view", None),
+        (1, 3, t0 + dt.timedelta(hours=1), "purchase", 4.0),
+    ]
+    assert _attr(spark, rows, "last") == {3: "view"}
+
+
+# --- triangle_stats -------------------------------------------------------
+
+
+def test_triangles_square_with_diagonal(spark):
+    # A-B-C-D square + diagonal A-C: triangles ABC and ACD
+    edges = [("A", "B"), ("B", "C"), ("C", "D"), ("D", "A"), ("A", "C")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.vertex: r for r in triangle_stats(df).collect()}
+    assert {v: r.n_triangles for v, r in out.items()} == {
+        "A": 2, "B": 1, "C": 2, "D": 1
+    }
+    assert out["A"].degree == 3 and out["B"].degree == 2
+    # clustering: A has 3 neighbors, 2 closed pairs of 3 possible
+    assert out["A"].clustering == (2.0 * 2.0) / (3.0 * 2.0)
+    assert out["B"].clustering == 1.0
+
+
+def test_triangles_ignore_duplicates_loops_orientation(spark):
+    edges = [
+        ("A", "B"), ("B", "A"), ("A", "B"),  # duplicate + reversed
+        ("A", "A"),  # loop
+        ("B", "C"), ("C", "A"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.vertex: r for r in triangle_stats(df).collect()}
+    assert all(r.n_triangles == 1 for r in out.values())
+    assert all(r.degree == 2 for r in out.values())
+
+
+def test_star_graph_has_no_triangles_and_null_leaf_clustering(spark):
+    edges = [("HUB", x) for x in ("A", "B", "C", "D")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.vertex: r for r in triangle_stats(df).collect()}
+    assert all(r.n_triangles == 0 for r in out.values())
+    assert out["HUB"].clustering == 0.0  # degree 4, no closed wedges
+    assert out["A"].clustering is None  # degree 1: undefined, not 0.0
+
+
+# --- mann_whitney_u -------------------------------------------------------
+
+
+def test_mwu_separated_groups(spark):
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [("b", v) for v in (4.0, 5.0, 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert (out.n_a, out.n_b) == (3, 3)
+    assert out.u_a == 9.0 and out.u_b == 0.0
+
+
+def test_mwu_with_ties_hand_computed(spark):
+    # a=[1,2,2], b=[2,3]: midrank of the 2-tie block is 3 -> R_a = 7
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert out.u_a == 5.0 and out.u_b == 1.0
+    # z replayed with the operator's exact IEEE op order
+    na, nb, n, ties = 3.0, 2.0, 5.0, 24.0
+    mu = (na * nb) / 2.0
+    sigma2 = (na * nb) / 12.0 * ((n + 1.0) - ties / (n * (n - 1.0)))
+    assert out.z_stat == (5.0 - mu) / math.sqrt(sigma2)
+
+
+def test_mwu_degenerate_all_tied_and_empty_side(spark):
+    allsame = spark.createDataFrame(
+        [("a", 2.0), ("a", 2.0), ("b", 2.0)], "g string, v double"
+    )
+    out = mann_whitney_u(allsame, "g", "v", "a", "b").collect()[0]
+    assert out.z_stat is None  # zero variance
+    assert out.u_a == out.u_b == (2 * 1) / 2.0
+    onesided = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    out2 = mann_whitney_u(onesided, "g", "v", "a", "b").collect()[0]
+    assert (out2.n_a, out2.n_b) == (1, 0)
+    assert out2.u_a is None and out2.z_stat is None
+
+
+# --- benford_digit_audit --------------------------------------------------
+
+
+def test_benford_digits_and_out_of_range(spark):
+    vals = [1.5, 19.0, 2.0, 250.0, 950000.0, 0.5, 2.0e7, float("nan")]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r.digit: r for r in benford_digit_audit(df, "v").collect()}
+    counts = {d: r.n_obs for d, r in out.items()}
+    # NaN dropped entirely; 0.5 and 2e7 fall in the out-of-range row
+    assert counts == {0: 2, 1: 2, 2: 2, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1}
+    assert out[1].share_obs == 2.0 / 5.0
+    assert out[0].share_obs is None and out[0].chisq_term is None
+    # expected share literals are the Benford probabilities
+    assert out[1].benford_share == 0.30102999566398114
+    exp = 0.30102999566398114 * 5.0
+    assert out[1].chisq_term == (2.0 - exp) * (2.0 - exp) / exp
+
+
+def test_benford_large_digit_reads_leading_not_trailing(spark):
+    # the CASE ladder must test big powers first: 9.5e6 -> digit 9
+    df = spark.createDataFrame([(9.5e6,), (1.0e6,), (12.0,)], "v double")
+    out = {r.digit: r.n_obs for r in benford_digit_audit(df, "v").collect()}
+    assert out[9] == 1 and out[1] == 2
+
+
+# --- item_cosine_topk -----------------------------------------------------
+
+
+def test_item_cosine_neighbors(spark):
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = item_cosine_topk(df, "b", "i", k=5, min_pair_count=2).collect()
+    got = {(r.item, r.neighbor): r for r in out}
+    assert set(got) == {("x", "y"), ("y", "x")}  # (x,z) pruned at min count
+    assert got[("x", "y")].cos_sim == 2.0 / math.sqrt(6.0)
+    assert got[("x", "y")].rank == 1
+
+
+# --- collocation_lift -----------------------------------------------------
+
+
+def test_collocation_lift_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = collocation_lift(docs, min_count=2).collect()
+    assert len(out) == 1 and out[0].bigram == "a b"
+    # n_xy=3, NB=4, n_a=n_b=3, N=6 -> lift = (3*6*6)/(4*3*3) = 3.0
+    assert out[0].n_xy == 3 and out[0].n_x == 3 and out[0].n_y == 3
+    assert out[0].lift == 3.0
+
+
+# --- bm25_topk ------------------------------------------------------------
+
+
+def test_bm25_ranks_heavier_term_use_and_excludes_nonmatching(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark join"),
+            (2, "spark data data"),
+            (3, "data data data"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ("spark", "join"), k=10).collect()
+    assert [r.doc_id for r in out] == [1, 2]  # doc 3 has no query term
+    assert out[0].n_terms_hit == 2 and out[1].n_terms_hit == 1
+    assert out[0].score > out[1].score
+
+
+def test_bm25_log_idf_variant_runs_and_preserves_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark join"), (2, "spark data data")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ("spark", "join"), k=10, idf="log").collect()
+    assert [r.doc_id for r in out] == [1, 2]

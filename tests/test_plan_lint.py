@@ -71,6 +71,19 @@ SCALAR_SUBQUERY_ALLOWED = {
     # per-iteration N / dangling-mass scalars (one-row broadcast cross
     # joins in operators/pagerank.py)
     "nation_trade_pagerank",
+    # corpus scalars (N docs / avgdl; bigram + token totals) attached as
+    # one-row broadcasts in operators/search.py / textstats.collocation_lift
+    "doc_bm25_search",
+    "doc_pmi_collocations",
+    # in-range total scalar for expected counts (operators/stats
+    # .benford_digit_audit)
+    "lineitem_benford_audit",
+    # three 1-row quantile-boundary frames broadcast onto the
+    # per-customer aggregate (quantile-boundary scoring, no rank window)
+    "customer_rfm_segments",
+    # basket-total scalar inside operators/basket.cooccurrence_pairs
+    # (same shape as order_part_cooccurrence)
+    "part_basket_neighbors",
 }
 QUADRATIC_ALLOWED |= SCALAR_SUBQUERY_ALLOWED
 

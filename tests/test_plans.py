@@ -345,3 +345,56 @@ def test_ols_trend_two_level_aggregation(plans):
     plan = plans["nation_yearly_revenue_trend"]
     assert "collect_list" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_attribution_single_user_window_no_self_join(plans):
+    # nearest-preceding-touch is a running window over ONE user_id
+    # partitioning — not an events x events self-join (no SortMergeJoin
+    # of the fact against itself, no Python)
+    plan = plans["events_last_touch_attribution"]
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_markov_window_then_dim_sized_normalizer(plans):
+    # lead window on the user partitioning; the normalizing window runs
+    # AFTER the types x types aggregation (input is dim-sized)
+    plan = plans["events_markov_transitions"]
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert plan.count("hashpartitioning(event_type") >= 1
+
+
+def test_bm25_topk_is_heap_not_global_sort(plans):
+    # the final top-k must plan TakeOrderedAndProject (per-partition
+    # heaps + driver merge of k rows), never a global Sort+Limit
+    plan = plans["doc_bm25_search"]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pmi_topk_is_heap_not_global_sort(plans):
+    plan = plans["doc_pmi_collocations"]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_triangles_all_joins_keyed(plans):
+    # wedge + closing joins are equi-joins; geo dims broadcast
+    plan = plans["nation_trade_triangles"]
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_mannwhitney_bins_before_ranking(plans):
+    # the fact collapses to its value histogram (hash partitioning on
+    # the value) BEFORE any window: the rank pass sees distinct values
+    plan = plans["lineitem_quantity_mannwhitney"]
+    assert plan.count("hashpartitioning(val") >= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_rfm_one_customer_shuffle_boundaries_broadcast(plans):
+    # fact reduces on o_custkey once; quantile boundaries re-attach as
+    # one-row broadcasts (scoring is a map stage over customers)
+    plan = plans["customer_rfm_segments"]
+    assert plan.count("hashpartitioning(o_custkey") >= 1
+    assert plan.count("BroadcastNestedLoopJoin") >= 3
