@@ -476,3 +476,224 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "event_type", "next_type", "n_transitions", p.alias("p_transition")
     ).orderBy("event_type", "next_type")
+
+
+# --- gap-based batch sessionization --------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+_SESSIONS_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us, value,
+         CASE WHEN prev_us IS NULL OR us - prev_us > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+numbered AS (
+  SELECT user_id, event_id, us, value,
+         SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       MIN(us) AS start_us,
+       MAX(us) AS end_us,
+       MAX(us) - MIN(us) AS duration_us,
+       {_sql_dsum('value', 'session_value')}
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+@register("events_gap_sessionization", oracle=_SESSIONS_ORACLE)
+def events_gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 30-minute inactivity gap: the batch
+    twin of the streaming session windows (events_session_windows),
+    computed as lag-flag + running-sum session numbering — BOTH windows
+    and the closing per-session aggregation share ONE user_id hash
+    partitioning (a single Exchange; gaps-and-islands without a
+    self-join). All time arithmetic is epoch-µs (session-TZ immune);
+    per-session value is an exact-decimal sum."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    worder = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        "value",
+        F.when(
+            F.lag(us).over(worder).isNull()
+            | ((us - F.lag(us).over(worder)) > _SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn(
+        "session_seq", F.sum("new_s").over(wrun).cast("long")
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+            _dsum(F.col("value"), "session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# --- day-of-week seasonality ---------------------------------------------
+
+# epoch day 0 (1970-01-01) was a Thursday; (day + 3) % 7 makes Monday 0.
+_SEASON_DAY_SQL = "(epoch_us(ts) // 86400000000)"
+
+_SEASONALITY_ORACLE = f"""
+WITH daily AS (
+  SELECT {_SEASON_DAY_SQL} AS day,
+         CAST((({_SEASON_DAY_SQL}) + 3) % 7 AS BIGINT) AS dow,
+         {_sql_dsum('value', 'day_value')}
+  FROM events GROUP BY day, dow
+),
+overall AS (
+  SELECT {_sql_dsum('day_value', 'tot')}, COUNT(*) AS n_days FROM daily
+),
+per_dow AS (
+  SELECT dow, COUNT(*) AS n_days, {_sql_dsum('day_value', 'dow_tot')}
+  FROM daily GROUP BY dow
+)
+SELECT p.dow, p.n_days,
+       p.dow_tot / CAST(p.n_days AS DOUBLE) AS dow_mean,
+       (p.dow_tot / CAST(p.n_days AS DOUBLE))
+         / (o.tot / CAST(o.n_days AS DOUBLE)) AS seasonal_index
+FROM per_dow p CROSS JOIN overall o
+ORDER BY p.dow
+"""
+
+
+@register("events_dow_seasonality", oracle=_SEASONALITY_ORACLE)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices of event value: per-dow mean daily
+    total over the grand mean daily total — the multiplicative seasonal
+    profile a forecaster divides out first. ONE fact shuffle to daily
+    grain (epoch-day integer arithmetic — no date functions, no session
+    TZ exposure; dow from (day+3)%7 on the nonnegative day index);
+    everything after is 7-row / 1-row scale with exact-decimal sums and
+    a fixed IEEE closing sequence."""
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    daily = ev.groupBy(
+        day.alias("day"), ((day + 3) % 7).cast("long").alias("dow")
+    ).agg(_dsum(F.col("value"), "day_value"))
+    overall = daily.agg(
+        _dsum(F.col("day_value"), "tot"), F.count(F.lit(1)).alias("n_days")
+    )
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"), _dsum(F.col("day_value"), "dow_tot")
+    )
+    dow_mean = F.col("dow_tot") / F.col("n_days").cast("double")
+    grand_mean = F.col("tot") / F.col("n_days_overall").cast("double")
+    return (
+        per_dow.crossJoin(
+            F.broadcast(
+                overall.select(
+                    "tot", F.col("n_days").alias("n_days_overall")
+                )
+            )
+        )
+        .select(
+            "dow",
+            "n_days",
+            dow_mean.alias("dow_mean"),
+            (dow_mean / grand_mean).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+# --- chi-square independence: event_type x day-of-week --------------------
+
+_INDEP_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST((({_SEASON_DAY_SQL}) + 3) % 7 AS BIGINT) AS dow,
+         COUNT(*) AS n_obs
+  FROM events GROUP BY event_type, dow
+),
+tot AS (
+  SELECT event_type, dow, n_obs,
+         SUM(n_obs) OVER (PARTITION BY event_type) AS row_tot,
+         SUM(n_obs) OVER (PARTITION BY dow) AS col_tot,
+         SUM(n_obs) OVER () AS grand_tot
+  FROM cells
+)
+SELECT event_type, dow, n_obs,
+       CAST(row_tot * col_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE) AS expected,
+       (CAST(n_obs AS DOUBLE)
+          - CAST(row_tot * col_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE))
+       * (CAST(n_obs AS DOUBLE)
+          - CAST(row_tot * col_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE))
+       / (CAST(row_tot * col_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE)) AS chisq_term
+FROM tot
+ORDER BY event_type, dow
+"""
+
+
+@register("events_type_dow_independence", oracle=_INDEP_ORACLE)
+def events_type_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and day of
+    week: the contingency-table sibling of the goodness-of-fit drift
+    check (doc_token_drift_chisq). One hash-agg collapses the fact to
+    the types×7 cell matrix; row/column/grand totals are windows over
+    that matrix (dim-sized, no second fact pass); expected counts and
+    chi-square terms are exact-integer products until one division —
+    every step correctly rounded, bit-exact oracle. The statistic is
+    SUM(chisq_term); dof = (types-1)*(dows-1)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    cells = ev.groupBy(
+        "event_type", ((day + 3) % 7).cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wg = Window.partitionBy()
+    tot = cells.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        F.sum("n_obs").over(wr).alias("row_tot"),
+        F.sum("n_obs").over(wc).alias("col_tot"),
+        F.sum("n_obs").over(wg).alias("grand_tot"),
+    )
+    n_d = F.col("n_obs").cast("double")
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col(
+        "grand_tot"
+    ).cast("double")
+    return tot.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        e.alias("expected"),
+        ((n_d - e) * (n_d - e) / e).alias("chisq_term"),
+    ).orderBy("event_type", "dow")

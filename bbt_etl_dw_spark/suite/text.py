@@ -1604,3 +1604,59 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "bigram")
         .limit(_PMI_K)
     )
+
+
+# --- prefix-filtered exact Jaccard join (PPJoin family) -------------------
+
+from bbt_etl_dw_spark.operators.dedup import prefix_jaccard_pairs
+
+# The oracle is the NAIVE all-pairs inverted-index Jaccard: prefix
+# filtering is LOSSLESS, so the production-shaped plan must reproduce the
+# brute-force answer bit-for-bit — a stronger statement than an oracle
+# that replays the optimization. k=2 / t=0.4 differentiates from
+# doc_ngram_jaccard_pairs (k=3 / t=0.5) and admits more boundary pairs.
+_PREFIX_JACCARD_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+sh_list AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 2
+              THEN list_distinct([array_to_string(ws[i:i+1], ' ')
+                                  FOR i IN generate_series(1, len(ws)-1)])
+              ELSE [norm] END AS shs
+  FROM w
+),
+sh AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM sh_list),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS inter, any_value(a.n) AS n_a, any_value(b.n) AS n_b
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard
+FROM pairs
+WHERE inter / (n_a + n_b - inter) >= CAST({2 / 5!r} AS DOUBLE)
+ORDER BY id_a, id_b
+"""
+
+
+@register("doc_prefix_jaccard_pairs", oracle=_PREFIX_JACCARD_ORACLE)
+def doc_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-2-gram Jaccard >= 0.4 join via PREFIX FILTERING
+    (operators/dedup.prefix_jaccard_pairs): shingles ranked rarest-first
+    by global df, only the first n - ceil(t*n) + 1 explode into the
+    inverted index (integer-exact prefix length from the rational
+    threshold 2/5), size-compatibility residual in the join, exact
+    verify on candidates only. The oracle is the NAIVE all-pairs
+    Jaccard — prefix filtering is lossless, so the fast plan must match
+    brute force exactly; the frequent shingles that ngram_jaccard_pairs
+    can only stop-gram away (changing its answer) here never fan out
+    while the answer is unchanged."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    return prefix_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=2, threshold_num=2, threshold_den=5
+    ).orderBy("id_a", "id_b")

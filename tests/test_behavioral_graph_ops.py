@@ -233,3 +233,82 @@ def test_bm25_log_idf_variant_runs_and_preserves_order(spark):
     )
     out = bm25_topk(docs, ("spark", "join"), k=10, idf="log").collect()
     assert [r.doc_id for r in out] == [1, 2]
+
+
+# --- prefix_jaccard_pairs (losslessness) ----------------------------------
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    from bbt_etl_dw_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox leaps over the lazy dog"),
+        (3, "the quick brown fox jumps over a lazy dog"),
+        (4, "completely different content with no overlap at all"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (6, "short"),
+        (7, "short"),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fast = prefix_jaccard_pairs(
+        df, "doc_id", "text", shingle_k=2, threshold_num=2, threshold_den=5
+    )
+    brute = ngram_jaccard_pairs(df, "doc_id", "text", shingle_k=2, threshold=2 / 5)
+    f = {(r.id_a, r.id_b): r.jaccard for r in fast.collect()}
+    b = {(r.id_a, r.id_b): r.jaccard for r in brute.collect()}
+    assert f == b and len(f) > 0
+    assert (1, 5) in f and f[(1, 5)] == 1.0  # exact dup pair survives
+    assert (6, 7) in f  # short-text fallback shingle pair
+
+
+def test_prefix_candidates_size_filter_prunes(spark):
+    from bbt_etl_dw_spark.operators.dedup import prefix_jaccard_candidates
+
+    # doc 2 shares a rare token with doc 1 but is 10x the size: the
+    # integral size-compatibility residual must prune the pair at t=1/2
+    docs = [
+        (1, "alpha beta"),
+        (2, "alpha " + " ".join(f"w{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cands = prefix_jaccard_candidates(
+        df, "doc_id", "text", shingle_k=1, threshold_num=1, threshold_den=2
+    ).collect()
+    assert cands == []
+
+
+# --- gap sessionization / seasonality / independence invariants ----------
+
+
+def test_sessionization_splits_on_gap_only(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "click", 1.0),
+        (1, 2, t0 + dt.timedelta(minutes=10), "view", 2.0),
+        (1, 3, t0 + dt.timedelta(minutes=50), "click", 3.0),  # 40min gap
+        (2, 4, t0, "view", 4.0),
+    ]
+    ev = _events(spark, rows)
+    from bbt_etl_dw_spark.suite.behavior import events_gap_sessionization
+    import bbt_etl_dw_spark.catalog as catalog
+
+    # drive the suite logic directly on a local frame via the operator
+    # shape: reuse the registered builder against a temp parquet dir
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(os.path.join(td, "events.parquet"))
+        out = events_gap_sessionization(spark, td).collect()
+    sessions = {(r.user_id, r.session_seq): r for r in out}
+    assert set(sessions) == {(1, 1), (1, 2), (2, 1)}
+    assert sessions[(1, 1)].n_events == 2
+    assert sessions[(1, 1)].duration_us == 10 * 60 * 1_000_000
+    assert sessions[(1, 2)].n_events == 1
+    assert sessions[(1, 1)].session_value == 3.0

@@ -398,3 +398,27 @@ def test_rfm_one_customer_shuffle_boundaries_broadcast(plans):
     plan = plans["customer_rfm_segments"]
     assert plan.count("hashpartitioning(o_custkey") >= 1
     assert plan.count("BroadcastNestedLoopJoin") >= 3
+
+
+def test_sessionization_single_user_exchange(plans):
+    # lag flag, running session number, and the per-session aggregation
+    # all ride ONE user_id hash partitioning; the only other Exchange is
+    # the presentation orderBy's range partitioning
+    plan = plans["events_gap_sessionization"]
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert plan.count("+- Exchange") <= 2
+
+
+def test_prefix_jaccard_joins_are_keyed(plans):
+    # candidate generation and verify are equi-joins end to end — no
+    # cartesian anywhere despite the all-pairs SEMANTICS
+    plan = plans["doc_prefix_jaccard_pairs"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_independence_windows_after_cell_aggregation(plans):
+    # row/col/grand totals are windows over the types x 7 matrix, which
+    # exists only AFTER the fact collapses in a hash aggregation
+    plan = plans["events_type_dow_independence"]
+    assert plan.count("hashpartitioning(event_type") >= 1
