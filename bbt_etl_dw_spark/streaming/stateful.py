@@ -249,3 +249,82 @@ def final_ewma_batch(events: DataFrame, alpha: float = 0.5) -> DataFrame:
         F.size(vals).cast("long").alias("n_events"),
         F.aggregate(vals, F.lit(None).cast("double"), step).alias("ewma"),
     )
+
+
+# --- streaming last-touch attribution -------------------------------------
+
+ATTR_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, conv_us long, channel string, value double"
+)
+# "no touch yet" encodes as (\"\", -1): GroupState round-trips of typed
+# None fields are avoided the same way the EWMA state avoids them
+ATTR_STATE_SCHEMA = "t_label string, t_us long"
+
+ATTR_DIRECT = "direct"
+
+
+def _make_update_attribution(
+    touch_types: tuple[str, ...], conv_type: str, lookback_us: int
+):
+    touch = frozenset(touch_types)
+    lb = int(lookback_us)
+
+    def update_attribution(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        t_label, t_us = state.get if state.exists else ("", -1)
+        out: dict[str, list] = {
+            "user_id": [], "event_id": [], "conv_us": [], "channel": [],
+            "value": [],
+        }
+        batch = _pd.concat(list(pdfs), ignore_index=True)
+        # same total order the batch twin's window folds in; within a
+        # micro-batch rows arrive unordered
+        batch = batch.sort_values(["ts", "event_id"])
+        for row in batch.itertuples():
+            us = _pd.Timestamp(row.ts).value // 1000  # ns -> µs, integer
+            et = row.event_type
+            if et in touch:
+                t_label, t_us = et, us
+            if et == conv_type:
+                if t_us >= 0 and us - t_us <= lb:
+                    ch = t_label
+                else:
+                    ch = ATTR_DIRECT
+                out["user_id"].append(key[0])
+                out["event_id"].append(row.event_id)
+                out["conv_us"].append(us)
+                out["channel"].append(ch)
+                out["value"].append(row.value)
+        state.update((t_label, t_us))
+        yield _pd.DataFrame(out)
+
+    return update_attribution
+
+
+def attribution_stream(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("click", "view"),
+    conv_type: str = "purchase",
+    lookback_days: int = 7,
+) -> DataFrame:
+    """Streaming last-touch attribution as a custom stateful operator:
+    state is ONE (label, epoch-µs) pair per user — O(#users) cluster-wide,
+    partitioned on the grouping key — and each conversion is emitted
+    exactly once, in the micro-batch it arrives in. The bit-exact batch
+    twin is operators/attribution.attribute_conversions: all decisions
+    are integer epoch-µs comparisons and string equality, so stream and
+    batch agree exactly (not within tolerance) when events arrive in
+    event-time order across micro-batches — the streaming contract the
+    stream-equals-batch pytest pins."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_update_attribution(
+            touch_types, conv_type, lookback_days * 86_400_000_000
+        ),
+        ATTR_OUTPUT_SCHEMA,
+        ATTR_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1035,3 +1035,48 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_rerank"
         ),
     )
+
+
+# --- exact covariance matrix + PCA projection -----------------------------
+
+from bbt_etl_dw_spark.operators.pca import (
+    covariance_matrix,
+    pca_project,
+    sql_covariance_ctes,
+)
+
+_EMB_DIMS = 64
+
+_COV_ORACLE = f"""
+WITH {sql_covariance_ctes(_EMB_DIMS)}
+SELECT dim_i, dim_j, n, cov FROM covmat
+ORDER BY dim_i, dim_j
+"""
+
+
+@register("embedding_covariance", oracle=_COV_ORACLE)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact upper-triangle sample covariance of the 64-d embedding
+    column — the statistics pass under PCA / whitening / Mahalanobis.
+    The n·d²/2 second-moment products reduce MAP-SIDE into d(d+1)/2
+    exact-decimal cells per task, so the shuffle carries O(tasks·d²),
+    not O(n·d²); per-dimension sums share the first explode; closing
+    covariance arithmetic is a fixed IEEE sequence (bit-exact oracle).
+    Driver sees nothing — this is the distributed half of PCA; the d×d
+    eigh collect lives in operators/pca.pca_components (bounded by
+    dimensionality, pytest-propertied)."""
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    return covariance_matrix(emb, "embedding").orderBy("dim_i", "dim_j")
+
+
+@register("embedding_pca_projection", oracle=None)
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 principal-component projection of the embeddings (rows-only
+    driver check: the LAPACK eigendecomposition is not SQL-replayable —
+    libm-class drift — but its INPUT is the bit-exact oracled
+    embedding_covariance, and the components obey pytest properties:
+    orthonormal, descending explained variance matching the projected
+    sample variance, deterministic sign convention). Projection inlines
+    components as literal arrays: zero Python per row."""
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    return pca_project(emb, "embedding", k=4).orderBy("vec_id")

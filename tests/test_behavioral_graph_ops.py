@@ -312,3 +312,46 @@ def test_sessionization_splits_on_gap_only(spark):
     assert sessions[(1, 1)].duration_us == 10 * 60 * 1_000_000
     assert sessions[(1, 2)].n_events == 1
     assert sessions[(1, 1)].session_value == 3.0
+
+
+# --- PCA (covariance + projection properties) -----------------------------
+
+
+def test_pca_components_properties(spark, sf_dir):
+    import math
+
+    from bbt_etl_dw_spark.catalog import table as _table
+    from bbt_etl_dw_spark.operators.pca import pca_components, pca_project
+
+    emb = _table(spark, sf_dir, "embeddings")
+    means, comps, eigs = pca_components(emb, "embedding", k=3)
+    d = len(means)
+    assert len(comps) == 3 and all(len(c) == d for c in comps)
+    # descending explained variance
+    assert eigs[0] >= eigs[1] >= eigs[2] > 0
+    # orthonormal components
+    for a in range(3):
+        for b in range(3):
+            dot = sum(comps[a][i] * comps[b][i] for i in range(d))
+            assert abs(dot - (1.0 if a == b else 0.0)) < 1e-9
+    # sign convention: the largest-|entry| coordinate is positive
+    for c in comps:
+        j = max(range(d), key=lambda i: abs(c[i]))
+        assert c[j] > 0
+    # projected sample variance along pc0 equals the top eigenvalue
+    rows = pca_project(emb, "embedding", k=1).collect()
+    n = len(rows)
+    mean0 = sum(r.pc0 for r in rows) / n
+    var0 = sum((r.pc0 - mean0) ** 2 for r in rows) / (n - 1)
+    assert math.isclose(var0, eigs[0], rel_tol=1e-6)
+
+
+def test_pca_covariance_diagonal_is_variance(spark):
+    from bbt_etl_dw_spark.operators.pca import covariance_matrix
+
+    rows = [(1, [1.0, 10.0]), (2, [2.0, 10.0]), (3, [3.0, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r.dim_i, r.dim_j): r.cov for r in covariance_matrix(df, "embedding").collect()}
+    assert out[(0, 0)] == 1.0  # var of 1,2,3
+    assert out[(1, 1)] == 0.0  # constant dim
+    assert out[(0, 1)] == 0.0  # no covariance with a constant

@@ -1020,3 +1020,35 @@ def test_stateful_ewma_final_state_equals_batch(spark, events_batch, chunked_dir
         # correctly rounded add, identical in pandas-land and the JVM
         # fold, at any micro-batch slicing
         assert final[uid]["ewma"] == row["ewma"], uid
+
+
+def test_stateful_attribution_stream_equals_batch(spark, events_batch, chunked_dir):
+    from bbt_etl_dw_spark.operators.attribution import attribute_conversions
+    from bbt_etl_dw_spark.streaming.ops import events_file_stream
+    from bbt_etl_dw_spark.streaming.stateful import attribution_stream
+
+    stream = events_file_stream(spark, chunked_dir)
+    got = _run_stream(
+        spark, attribution_stream(stream), "t_attr", "update"
+    )
+    # every conversion is emitted exactly once, in its arrival batch
+    emitted = {r["event_id"]: r for r in got.collect()}
+    assert len(emitted) == got.count()
+
+    want = {
+        r["event_id"]: r
+        for r in attribute_conversions(
+            events_batch,
+            touch_pred=F.col("event_type").isin("click", "view"),
+            conv_pred=F.col("event_type") == "purchase",
+            touch_label=F.col("event_type"),
+            lookback_days=7,
+        ).collect()
+    }
+    assert set(emitted) == set(want)
+    for eid, row in want.items():
+        # EXACT equality: channel + epoch-us are integer/string decisions,
+        # identical at any micro-batch slicing when arrival is time-ordered
+        assert emitted[eid]["channel"] == row["channel"], eid
+        assert emitted[eid]["conv_us"] == row["conv_us"], eid
+        assert emitted[eid]["user_id"] == row["user_id"], eid
