@@ -39,11 +39,16 @@ def funnel_stage_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_us: int | None = None,
 ) -> DataFrame:
     """Users reaching each funnel stage, where stage k requires an event
     of type ``steps[k]`` STRICTLY AFTER the time stage k-1 was reached
-    (stage 0 = earliest event of its type). Returns
-    ``(stage_idx, stage, n_users)`` ordered by stage.
+    (stage 0 = earliest event of its type). With ``max_gap_us`` the step
+    must also land within that many epoch-microseconds of the previous
+    stage — the time-boxed conversion funnel (note the earliest
+    qualifying event is taken per stage, so a user whose only in-window
+    step-k event follows a faster out-of-window one still converts).
+    Returns ``(stage_idx, stage, n_users)`` ordered by stage.
 
     One exchange on ``user_col`` regardless of funnel depth — each step
     adds a Window over the same partitioning, not a join."""
@@ -56,6 +61,10 @@ def funnel_stage_counts(
         reached = (F.col(type_col) == step) if prev is None else (
             (F.col(type_col) == step) & (t > prev)
         )
+        if prev is not None and max_gap_us is not None:
+            reached = reached & (
+                (F.unix_micros(t) - F.unix_micros(prev)) <= int(max_gap_us)
+            )
         name = f"__t{i}"
         ev = ev.withColumn(name, F.min(F.when(reached, t)).over(w))
         prev = F.col(name)

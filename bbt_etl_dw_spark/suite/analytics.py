@@ -997,3 +997,70 @@ def part_basket_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_orderkey", "l_partkey", k=_NEIGHBORS_K,
         min_pair_count=_NEIGHBORS_MIN_PAIR,
     ).orderBy("item", "rank")
+
+
+# --------------------------------------------------------------------------
+# Time-decay weighted customer revenue (recency-scored LTV shape)
+# --------------------------------------------------------------------------
+
+_DECAY_HALF_LIFE_DAYS = 180
+
+_DECAY_ORACLE = f"""
+WITH days AS (
+  SELECT o_custkey, o_totalprice,
+         (epoch_us(o_orderdate) // 86400000000) AS day
+  FROM orders
+),
+ref AS (SELECT MAX(day) AS ref_day FROM days),
+weighted AS (
+  SELECT d.o_custkey,
+         d.o_totalprice,
+         CAST((r.ref_day - d.day) // {_DECAY_HALF_LIFE_DAYS} AS BIGINT) AS k
+  FROM days d CROSS JOIN ref r
+)
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'raw_revenue')},
+       {sql_dsum(
+           f"(CASE WHEN k >= 63 THEN CAST(0.0 AS DOUBLE) "
+           f"ELSE CAST(o_totalprice AS DOUBLE) "
+           f"/ CAST((CAST(1 AS BIGINT) << k) AS DOUBLE) END)",
+           'decayed_revenue',
+       )}
+FROM weighted
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@register("customer_decayed_revenue", oracle=_DECAY_ORACLE)
+def customer_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed customer revenue: each order's value halves every
+    180 days of age relative to the newest order — the exponential-decay
+    LTV score, computed WITHOUT pow/exp (libm, not oracle-able): the
+    half-life decay 2^-k for integral k is an exact bit-shift
+    (1<<k, capped at 63 where the weight underflows to an exact 0), and
+    the single weight division + product are correctly-rounded IEEE ops
+    feeding an exact-decimal sum. The reference day attaches as a 1-row
+    broadcast scalar; one customer-keyed shuffle; epoch-day integer
+    arithmetic throughout."""
+    o = table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(o_orderdate) div 86400000000")
+    days = o.select("o_custkey", "o_totalprice", day.alias("day"))
+    ref = days.agg(F.max("day").alias("ref_day"))
+    k = F.expr(f"(ref_day - day) div {_DECAY_HALF_LIFE_DAYS}").cast("long")
+    weight_div = F.col("o_totalprice").cast("double") / F.expr(
+        "cast(shiftleft(cast(1 as bigint), cast(k as int)) as double)"
+    )
+    decayed = F.when(F.col("k") >= 63, F.lit(0.0)).otherwise(weight_div)
+    return (
+        days.crossJoin(F.broadcast(ref))
+        .withColumn("k", k)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "raw_revenue"),
+            dsum(decayed, "decayed_revenue"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -697,3 +697,49 @@ def events_type_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.alias("expected"),
         ((n_d - e) * (n_d - e) / e).alias("chisq_term"),
     ).orderBy("event_type", "dow")
+
+
+# --- time-boxed conversion funnel ----------------------------------------
+
+_DAY_US = 86_400_000_000
+
+_FUNNEL_24H_ORACLE = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+   AND e.ts > s1.t1
+   AND epoch_us(e.ts) - epoch_us(s1.t1) <= {_DAY_US}
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+   AND e.ts > s2.t2
+   AND epoch_us(e.ts) - epoch_us(s2.t2) <= {_DAY_US}
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 1 AS stage_idx, 'signup' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+ORDER BY stage_idx
+"""
+
+
+@register("events_funnel_24h", oracle=_FUNNEL_24H_ORACLE)
+def events_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed ordered funnel: signup → click → purchase where every
+    step must land within 24 HOURS of the previous stage (the
+    conversion-window variant of events_funnel — the number product
+    teams actually quote). Same single-exchange plan: the gap test is an
+    epoch-µs comparison added to each chained min-over-user window, not
+    a join; the oracle replays the equivalent chained-CTE formulation."""
+    from bbt_etl_dw_spark.operators.behavior import funnel_stage_counts
+
+    ev = table(spark, sf_dir, "events")
+    return funnel_stage_counts(ev, _FUNNEL_STEPS, max_gap_us=_DAY_US)

@@ -355,3 +355,39 @@ def test_pca_covariance_diagonal_is_variance(spark):
     assert out[(0, 0)] == 1.0  # var of 1,2,3
     assert out[(1, 1)] == 0.0  # constant dim
     assert out[(0, 1)] == 0.0  # no covariance with a constant
+
+
+# --- time-boxed funnel ----------------------------------------------------
+
+
+def test_funnel_max_gap_constraint(spark):
+    import datetime as dt
+
+    from bbt_etl_dw_spark.operators.behavior import funnel_stage_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1 converts within the window at every step
+        (1, 1, t0, "signup", None),
+        (1, 2, t0 + dt.timedelta(hours=2), "click", None),
+        (1, 3, t0 + dt.timedelta(hours=4), "purchase", 1.0),
+        # user 2's click comes 3 days after signup: stage 2 fails
+        (2, 4, t0, "signup", None),
+        (2, 5, t0 + dt.timedelta(days=3), "click", None),
+        (2, 6, t0 + dt.timedelta(days=3, hours=1), "purchase", 1.0),
+    ]
+    ev = _events(spark, rows)
+    day_us = 86_400_000_000
+    out = {
+        r.stage: r.n_users
+        for r in funnel_stage_counts(
+            ev, ("signup", "click", "purchase"), max_gap_us=day_us
+        ).collect()
+    }
+    assert out == {"signup": 2, "click": 1, "purchase": 1}
+    # without the gap both users convert fully
+    out2 = {
+        r.stage: r.n_users
+        for r in funnel_stage_counts(ev, ("signup", "click", "purchase")).collect()
+    }
+    assert out2 == {"signup": 2, "click": 2, "purchase": 2}

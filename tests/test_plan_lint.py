@@ -84,6 +84,10 @@ SCALAR_SUBQUERY_ALLOWED = {
     # basket-total scalar inside operators/basket.cooccurrence_pairs
     # (same shape as order_part_cooccurrence)
     "part_basket_neighbors",
+    # newest-order reference day attached as a 1-row broadcast scalar
+    "customer_decayed_revenue",
+    # grand-mean daily total attached as a 1-row broadcast scalar
+    "events_dow_seasonality",
 }
 QUADRATIC_ALLOWED |= SCALAR_SUBQUERY_ALLOWED
 
