@@ -1,0 +1,160 @@
+"""Series-level time-series diagnostics: autocorrelation (ACF) and
+linear gap-fill (interpolation over a generated day spine).
+
+Companions to the row-level smoothers (``operators/smooth.trailing_ewma``,
+``operators/ffill.forward_fill``): these two operate on an already
+AGGREGATED series (one row per time bucket, typically the output of a
+fact-table rollup), which is how a warehouse actually computes them —
+the fact table reduces once, and every lag/spine manipulation happens on
+the bucket-level frame that is orders of magnitude smaller than the
+fact. The reference (BBT-ETL-DW) has no time-series diagnostics at all;
+these extend its date-dimension handling (see ``transform/date_utils``
+semantics mapped in SURVEY.md §2.7) to the analysis layer.
+
+Scale notes:
+
+- ``autocorrelation`` never sorts or windows the series globally: each
+  lag is an EQUI-join of the series against itself on
+  ``bucket + lag`` (the lag dimension is a broadcast literal frame), so
+  the plan is fact-rollup → one small shuffle per self-join side. The
+  global mean/denominator attach as 1-row broadcast scalars — linear,
+  not quadratic (plan-lint ``SCALAR_SUBQUERY_ALLOWED``).
+- ``gap_fill_linear`` builds the per-key spine with ``sequence()`` +
+  ``explode`` bounded by each key's own [min, max] bucket (never a
+  global calendar cross join), then fills with two frame-bounded
+  windows over ONE hash partitioning on the key. Memory per row is
+  O(1); no collect, no UDF.
+
+Cross-engine determinism: bucket ids are epoch-day integers
+(``unix_micros DIV 86_400_000_000`` — no session-timezone exposure);
+all sums are exact string-mediated decimals (functions/numeric);
+the closing divisions/interpolations are fixed IEEE sequences on
+identical inputs, bit-equal in any IEEE-754 engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.functions.numeric import dsum
+
+
+def autocorrelation(
+    series: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    lags: Sequence[int],
+) -> DataFrame:
+    """Sample autocorrelation of ``value_col`` at each of ``lags``.
+
+    ``series`` must hold ONE row per ``bucket_col`` value (integer
+    buckets; gaps allowed — a (t, t+k) pair only forms when both buckets
+    exist, the standard irregular-series convention). Returns
+    ``(lag, n_pairs, acf)`` ordered by lag, with the textbook estimator
+
+        r_k = sum_t (x_t - mean)(x_{t+k} - mean) / sum_t (x_t - mean)^2
+
+    where mean and the denominator range over the FULL series (constant
+    across lags), so r_0 would be exactly 1.
+    """
+    spark = series.sparkSession
+    b, v = F.col(bucket_col), F.col(value_col)
+    base = series.select(b.alias("__b"), v.cast("double").alias("__x"))
+
+    stats = base.agg(
+        (dsum(F.col("__x"), "s").cast("double") / F.count("__x")).alias("__mean")
+    )
+    dev = (
+        base.crossJoin(F.broadcast(stats))
+        .select("__b", (F.col("__x") - F.col("__mean")).alias("__d"))
+    )
+    denom = dev.agg(dsum(F.col("__d") * F.col("__d"), "__den"))
+
+    lag_dim = spark.createDataFrame(
+        [(int(k),) for k in lags], "lag bigint"
+    )
+    left = dev.crossJoin(F.broadcast(lag_dim)).select(
+        "lag", (F.col("__b") + F.col("lag")).alias("__b2"), F.col("__d").alias("__d1")
+    )
+    right = dev.select(F.col("__b").alias("__b2"), F.col("__d").alias("__d2"))
+    return (
+        left.join(right, "__b2")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dsum(F.col("__d1") * F.col("__d2"), "__num"),
+        )
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            "n_pairs",
+            (F.col("__num") / F.col("__den")).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def gap_fill_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    out_col: str = "filled",
+) -> DataFrame:
+    """Densify an integer-bucketed series per key and linearly
+    interpolate the missing buckets.
+
+    ``df`` must hold at most one row per (key, bucket). For every key
+    the output covers every bucket in that key's own [min, max] span
+    (no extrapolation beyond observed ends). Returns the key columns
+    plus ``(bucket_col, out_col, interpolated)`` where ``interpolated``
+    marks generated rows. Observed values pass through bit-unchanged;
+    a generated bucket gets
+
+        prev + (next - prev) * (bucket - prev_bucket) / (next_bucket - prev_bucket)
+
+    from its nearest observed neighbours on each side.
+    """
+    keys = list(key_cols)
+    b = F.col(bucket_col)
+    observed = df.select(*keys, b.alias(bucket_col), F.col(value_col).alias("__v"))
+
+    spine = (
+        observed.groupBy(*keys)
+        .agg(F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
+        .select(
+            *keys,
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(bucket_col),
+        )
+    )
+    joined = spine.join(observed, [*keys, bucket_col], "left")
+
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_b = F.when(F.col("__v").isNotNull(), F.col(bucket_col))
+    prev_v = F.last("__v", ignorenulls=True).over(w_prev)
+    prev_b = F.last(known_b, ignorenulls=True).over(w_prev)
+    next_v = F.first("__v", ignorenulls=True).over(w_next)
+    next_b = F.first(known_b, ignorenulls=True).over(w_next)
+
+    frac = (F.col(bucket_col) - prev_b).cast("double") / (
+        (next_b - prev_b).cast("double")
+    )
+    interp = prev_v + (next_v - prev_v) * frac
+    return joined.select(
+        *keys,
+        bucket_col,
+        F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(interp).alias(out_col),
+        F.col("__v").isNull().alias("interpolated"),
+    )

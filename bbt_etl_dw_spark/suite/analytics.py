@@ -1064,3 +1064,94 @@ def customer_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Linear gap-fill of per-nation daily revenue (densified 1995 series)
+# --------------------------------------------------------------------------
+
+# epoch days for 1995-01-01 .. 1995-12-31 (integer day arithmetic only —
+# no session-timezone exposure on either engine)
+_GAPFILL_DAY_LO = 9131
+_GAPFILL_DAY_HI = 9495
+
+_GAPFILL_ORACLE = f"""
+WITH daily AS (
+  SELECT n.n_name,
+         (epoch_us(o.o_orderdate) // 86400000000) AS day,
+         {sql_dsum('o.o_totalprice', 'rev')}
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE (epoch_us(o.o_orderdate) // 86400000000)
+        BETWEEN {_GAPFILL_DAY_LO} AND {_GAPFILL_DAY_HI}
+  GROUP BY n.n_name, day
+),
+bounds AS (
+  SELECT n_name, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY n_name
+),
+spine AS (
+  SELECT n_name, CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS day
+  FROM bounds
+),
+j AS (
+  SELECT s.n_name, s.day, d.rev
+  FROM spine s LEFT JOIN daily d ON s.n_name = d.n_name AND s.day = d.day
+),
+f AS (
+  SELECT n_name, day, rev,
+         last_value(rev IGNORE NULLS) OVER w_prev AS pv,
+         last_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS)
+           OVER w_prev AS pb,
+         first_value(rev IGNORE NULLS) OVER w_next AS nv,
+         first_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS)
+           OVER w_next AS nb
+  FROM j
+  WINDOW
+    w_prev AS (PARTITION BY n_name ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY n_name ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT n_name, day,
+       CASE WHEN rev IS NOT NULL THEN rev
+            ELSE pv + (nv - pv)
+                 * (CAST(day - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+       END AS filled,
+       rev IS NULL AS interpolated
+FROM f
+ORDER BY n_name, day
+"""
+
+
+@register("nation_revenue_gapfill", oracle=_GAPFILL_ORACLE)
+def nation_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified per-nation daily revenue for 1995: every nation's
+    series covers every day in its own observed [min, max] span, with
+    missing days LINEARLY INTERPOLATED between the nearest observed
+    neighbours (``operators/timeseries.gap_fill_linear``) — the step a
+    forecasting pipeline runs before any model that assumes a regular
+    grid. The fact reduces FIRST (one shuffle to the (nation, day)
+    rollup — the frame every later step touches is dim x days, not the
+    fact); the spine is per-key ``sequence``+``explode`` (never a global
+    calendar cross join); both fill windows share ONE hash partitioning
+    on the nation key. Observed revenues pass through bit-unchanged;
+    interpolation is a fixed IEEE sequence on exact-decimal sums."""
+    from bbt_etl_dw_spark.operators.timeseries import gap_fill_linear
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+    ).filter(F.col("day").between(_GAPFILL_DAY_LO, _GAPFILL_DAY_HI))
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "day")
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+    )
+    return gap_fill_linear(daily, ["n_name"], "day", "rev", out_col="filled").orderBy(
+        "n_name", "day"
+    )

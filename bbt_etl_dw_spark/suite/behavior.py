@@ -743,3 +743,57 @@ def events_funnel_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return funnel_stage_counts(ev, _FUNNEL_STEPS, max_gap_us=_DAY_US)
+
+
+# --- daily autocorrelation -------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT {_SEASON_DAY_SQL} AS day, CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY day
+),
+stats AS (
+  SELECT {_sql_dsum('x', 's')}, COUNT(*) AS n FROM daily
+),
+dev AS (
+  SELECT day, x - (s / n) AS d FROM daily CROSS JOIN stats
+),
+den AS (SELECT {_sql_dsum('d * d', 'den')} FROM dev),
+lags AS (SELECT CAST(unnest(generate_series(1, {_ACF_MAX_LAG})) AS BIGINT) AS lag),
+pairs AS (
+  SELECT l.lag, a.d AS d1, b.d AS d2
+  FROM dev a CROSS JOIN lags l JOIN dev b ON b.day = a.day + l.lag
+),
+nums AS (
+  SELECT lag, COUNT(*) AS n_pairs, {_sql_dsum('d1 * d2', 'num')}
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n_pairs, num / den AS acf
+FROM nums CROSS JOIN den
+ORDER BY lag
+"""
+
+
+@register("events_daily_acf", oracle=_ACF_ORACLE)
+def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..7 — the diagnostic that tells a pipeline owner whether traffic
+    has weekly structure before they commit to a seasonal model (its
+    partner ``events_dow_seasonality`` then quantifies the shape).
+    Never sorts the series globally: each lag is an EQUI self-join of
+    the 30-row daily rollup on ``day + lag`` with the lag dimension
+    broadcast, and the full-series mean/denominator attach as 1-row
+    broadcast scalars (textbook estimator: constant denominator, so
+    lag 0 would read exactly 1). Exact-decimal sums throughout; the
+    closing division is one IEEE op."""
+    from bbt_etl_dw_spark.operators.timeseries import autocorrelation
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    return autocorrelation(daily, "day", "x", range(1, _ACF_MAX_LAG + 1))

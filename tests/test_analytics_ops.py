@@ -393,3 +393,56 @@ def test_welch_t_degenerate_sides_null(spark):
     )
     r2 = welch_t_test(df2, "g", "v", "a", "b").collect()[0]
     assert r2.t_stat is None
+
+
+# --- time-series diagnostics (operators/timeseries.py) ---------------------
+
+
+def test_autocorrelation_alternating_series(spark):
+    """x = +1,-1,+1,... has mean 0, acf(1) = -1 (up to the n-k/n pair
+    truncation: with the textbook constant denominator, r_k =
+    (n-k)/n * (-1)^k exactly for this series)."""
+    from bbt_etl_dw_spark.operators.timeseries import autocorrelation
+
+    n = 10
+    rows = [(t, 1.0 if t % 2 == 0 else -1.0) for t in range(n)]
+    df = spark.createDataFrame(rows, "b bigint, x double")
+    out = {r.lag: (r.n_pairs, r.acf) for r in
+           autocorrelation(df, "b", "x", [1, 2, 3]).collect()}
+    assert out[1] == (9, -0.9)
+    assert out[2] == (8, 0.8)
+    assert out[3] == (7, -0.7)
+
+
+def test_autocorrelation_skips_gap_pairs(spark):
+    """A missing bucket forms pairs only where both ends exist."""
+    from bbt_etl_dw_spark.operators.timeseries import autocorrelation
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 3.0), (3, 1.0), (4, 3.0)], "b bigint, x double"
+    )
+    out = {r.lag: r.n_pairs for r in
+           autocorrelation(df, "b", "x", [1, 2]).collect()}
+    assert out[1] == 2  # (0,1) and (3,4); (1,3)/(3,?) gaps drop out
+    assert out[2] == 1  # (1,3)
+
+
+def test_gap_fill_linear_interpolates_and_passes_through(spark):
+    from bbt_etl_dw_spark.operators.timeseries import gap_fill_linear
+
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 4, 18.0), ("b", 2, 5.0)],
+        "k string, b bigint, v double",
+    )
+    rows = {(r.k, r.b): (r.filled, r.interpolated) for r in
+            gap_fill_linear(df, ["k"], "b", "v").collect()}
+    # observed rows pass through, flagged False
+    assert rows[("a", 0)] == (10.0, False)
+    assert rows[("a", 4)] == (18.0, False)
+    assert rows[("b", 2)] == (5.0, False)
+    # interior days interpolate linearly on the slope 2.0/day
+    assert rows[("a", 1)] == (12.0, True)
+    assert rows[("a", 2)] == (14.0, True)
+    assert rows[("a", 3)] == (16.0, True)
+    # no extrapolation beyond each key's own observed span
+    assert len(rows) == 6

@@ -88,6 +88,11 @@ SCALAR_SUBQUERY_ALLOWED = {
     "customer_decayed_revenue",
     # grand-mean daily total attached as a 1-row broadcast scalar
     "events_dow_seasonality",
+    # series mean + ACF denominator as 1-row broadcast scalars, plus the
+    # 7-row lag dimension broadcast onto the DAY-LEVEL rollup (constant
+    # fan-out over a dim-scale frame — the fact reduced one shuffle
+    # earlier); every fact-touching join stays equi-keyed
+    "events_daily_acf",
 }
 QUADRATIC_ALLOWED |= SCALAR_SUBQUERY_ALLOWED
 
