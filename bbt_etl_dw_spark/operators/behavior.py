@@ -146,3 +146,47 @@ def retention_cohorts(
         "n_users",
         "n_cohort",
     )
+
+
+def user_event_sequences(
+    events: DataFrame,
+    type_map: dict[str, str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "seq",
+) -> DataFrame:
+    """Per-user chronological event-type string: each event becomes the
+    single character ``type_map[event_type]`` (unmapped types DROP — the
+    alphabet is the contract), concatenated in (ts, id) order. The id
+    tie-break makes the string deterministic under same-microsecond
+    events. Returns ``(user_col, out_col)``.
+
+    This is the sequence-mining substrate (MATCH_RECOGNIZE-lite):
+    downstream pattern queries are plain regexes over ``out_col``. One
+    user-keyed shuffle; ordering happens INSIDE each aggregated array
+    (``array_sort`` over (epoch-µs, id, char) structs — epoch-µs so no
+    session timezone can reorder ties), never as a global sort. Per-user
+    memory is the user's own event count — the same bound every
+    sessionization/funnel window in this module already carries."""
+    ch = None
+    for t, c in type_map.items():
+        ch = (F.when(F.col("__t") == t, F.lit(c)) if ch is None
+              else ch.when(F.col("__t") == t, F.lit(c)))
+    mapped = events.select(
+        F.col(user_col),
+        F.col("event_type").alias("__t"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.col(id_col).alias("__id"),
+    ).withColumn("__c", ch).filter(F.col("__c").isNotNull())
+    return mapped.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__us", "__id", "__c"))
+                ),
+                lambda x: x["__c"],
+            ),
+            "",
+        ).alias(out_col)
+    )

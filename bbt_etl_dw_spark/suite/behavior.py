@@ -797,3 +797,121 @@ def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("x"))
     )
     return autocorrelation(daily, "day", "x", range(1, _ACF_MAX_LAG + 1))
+
+
+# --- sequence-pattern mining (MATCH_RECOGNIZE-lite) ------------------------
+
+# single-char alphabet for the per-user chronological type string
+_SEQ_ALPHABET = {
+    "signup": "s", "click": "c", "view": "v", "purchase": "p", "error": "e",
+}
+
+# (name, regex) — regexes restricted to constructs with identical
+# non-overlapping leftmost-match semantics in java.util.regex and RE2
+_SEQ_PATTERNS = (
+    ("browse_burst", "v{3,}"),
+    ("error_streak", "e{2,}"),
+    ("error_then_purchase", "ep"),
+    ("signup_to_first_purchase", "s[^p]*p"),
+)
+
+_SEQ_CASE_SQL = "CASE event_type " + " ".join(
+    f"WHEN '{t}' THEN '{c}'" for t, c in _SEQ_ALPHABET.items()
+) + " END"
+
+_SEQ_PATTERN_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg({_SEQ_CASE_SQL}, '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+),
+m AS (
+  {" UNION ALL ".join(
+      f"SELECT '{name}' AS pattern, "
+      f"CAST(len(regexp_extract_all(s, '{rx}')) AS BIGINT) AS c FROM seq"
+      for name, rx in _SEQ_PATTERNS
+  )}
+)
+SELECT pattern,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+       CAST(SUM(c) AS BIGINT) AS n_matches
+FROM m GROUP BY pattern ORDER BY pattern
+"""
+
+
+@register("events_sequence_patterns", oracle=_SEQ_PATTERN_ORACLE)
+def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex sequence mining over per-user chronological event strings
+    (MATCH_RECOGNIZE-lite): each user's history collapses to a
+    single-char-per-event string once
+    (``operators/behavior.user_event_sequences`` — ONE user-keyed
+    shuffle, ordering inside the aggregated array, epoch-µs + event-id
+    tie-break), then every pattern is a constant-cost ``regexp_count``
+    map stage unpivoted with ``stack`` — adding a pattern adds zero
+    shuffles. Patterns stay inside the regex subset whose
+    non-overlapping leftmost-match counts agree between java.util.regex
+    and RE2, so the DuckDB replay is exact."""
+    from bbt_etl_dw_spark.operators.behavior import user_event_sequences
+
+    ev = table(spark, sf_dir, "events")
+    seqs = user_event_sequences(ev, _SEQ_ALPHABET)
+    stack_args = ", ".join(
+        f"'{name}', cast(regexp_count(seq, '{rx}') as bigint)"
+        for name, rx in _SEQ_PATTERNS
+    )
+    per_user = seqs.select(
+        F.expr(f"stack({len(_SEQ_PATTERNS)}, {stack_args}) as (pattern, c)")
+    )
+    return (
+        per_user.groupBy("pattern")
+        .agg(
+            F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).cast("bigint")
+            .alias("n_users"),
+            F.sum("c").cast("bigint").alias("n_matches"),
+        )
+        .orderBy("pattern")
+    )
+
+
+# --- cumulative distinct users ---------------------------------------------
+
+_CUMULATIVE_USERS_ORACLE = f"""
+WITH fd AS (
+  SELECT user_id, MIN({_SEASON_DAY_SQL}) AS day
+  FROM events GROUP BY user_id
+),
+per AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY day)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM per ORDER BY day
+"""
+
+
+@register("events_cumulative_users", oracle=_CUMULATIVE_USERS_ORACLE)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve. Expanding
+    COUNT(DISTINCT) is unshuffleable as stated; the standard rewrite
+    charges each user to their FIRST-seen day (one user-keyed shuffle,
+    same substrate as retention) and runs one running sum over the
+    DAY-level rollup. That final window is single-partition by
+    construction but dim-scale (days, not users — the same bounded
+    global window as nation_ordered_ids); everything user-scale is
+    hash-partitioned. Epoch-day integers end-to-end."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    fd = (
+        ev.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+    )
+    per = fd.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    ).orderBy("day")

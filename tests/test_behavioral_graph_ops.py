@@ -391,3 +391,46 @@ def test_funnel_max_gap_constraint(spark):
         for r in funnel_stage_counts(ev, ("signup", "click", "purchase")).collect()
     }
     assert out2 == {"signup": 2, "click": 2, "purchase": 2}
+
+
+# --- sequence mining --------------------------------------------------------
+
+
+def test_user_event_sequences_order_and_alphabet(spark):
+    import datetime as dt
+
+    from bbt_etl_dw_spark.operators.behavior import user_event_sequences
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # same-microsecond tie broken by event_id (2 before 3)
+        (1, 3, t0, "click", None),
+        (1, 2, t0, "signup", None),
+        (1, 4, t0 + dt.timedelta(minutes=1), "purchase", 1.0),
+        # unmapped type drops, not blanks
+        (2, 5, t0, "view", None),
+        (2, 6, t0 + dt.timedelta(seconds=1), "bot_ping", None),
+        (2, 7, t0 + dt.timedelta(seconds=2), "view", None),
+    ]
+    ev = _events(spark, rows)
+    out = {r.user_id: r.seq for r in user_event_sequences(
+        ev, {"signup": "s", "click": "c", "purchase": "p", "view": "v"}
+    ).collect()}
+    assert out == {1: "scp", 2: "vv"}
+
+
+def test_sequence_pattern_counts_nonoverlapping(spark):
+    """regexp_count must count leftmost non-overlapping matches: the
+    'eeee' streak is ONE e{2,} match, not three."""
+    import datetime as dt
+
+    from bbt_etl_dw_spark.operators.behavior import user_event_sequences
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, i, t0 + dt.timedelta(seconds=i), "error", None)
+            for i in range(4)]
+    ev = _events(spark, rows)
+    seqs = user_event_sequences(ev, {"error": "e"})
+    n = seqs.select(F.expr("regexp_count(seq, 'e{2,}')").alias("c")).head().c
+    assert n == 1
