@@ -1,0 +1,71 @@
+"""Graph traversal: multi-source breadth-first hop distances.
+
+The third leg of the graph family — pagerank (global importance,
+fixed-round iteration), dedup_clusters (connected components,
+min-label propagation), and now BFS (distance-bounded reachability:
+"everything within K hops of these nodes", the shape behind blast-radius
+and recommendation-expansion queries).
+
+Execution model is frontier expansion — the Pregel pattern expressed in
+DataFrames: each round joins the CURRENT frontier (nodes first reached
+last round) against the edge list, anti-joins the visited set, and
+appends the survivors at hops+1. Per round that is one equi-join keyed
+on the node id plus one anti-join; the frontier and visited frames are
+localCheckpoint()ed every round so lineage stays O(1) instead of
+O(rounds) (same discipline as ``operators/dedup.dedup_clusters``, which
+also documents the HDFS-reliable variant for real clusters). Round
+count is bounded by ``max_hops`` AND by frontier exhaustion — on a
+graph with diameter d the loop runs min(d, max_hops) rounds regardless
+of edge count.
+
+Scale: the edge list shuffles on its join key once per round (or zero
+times if pre-bucketed on src); the frontier/visited frames are at most
+node-scale. No global window, no collect of anything node- or
+edge-scale — the only driver-side values are the per-round emptiness
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Hop distance from the nearest of ``sources`` for every node
+    within ``max_hops`` — ``(node, hops)`` with hops 0 for the sources
+    themselves. ``edges`` is DIRECTED as given; pass both orientations
+    for an undirected walk. Unreachable nodes are absent (distance is
+    undefined, not sentinel-coded).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    frontier = (
+        sources.select(F.col(node_col).alias(node_col))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint()
+    )
+    visited = frontier
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier[node_col] == e["__s"])
+            .select(F.col("__d").alias(node_col))
+            .distinct()
+            .join(visited.select(node_col), node_col, "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint()
+        )
+        if nxt.rdd.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

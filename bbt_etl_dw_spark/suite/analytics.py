@@ -1155,3 +1155,66 @@ def nation_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_linear(daily, ["n_name"], "day", "rev", out_col="filled").orderBy(
         "n_name", "day"
     )
+
+
+# --------------------------------------------------------------------------
+# BFS hop distances over the supplier-customer trade graph
+# --------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 4
+_BFS_SOURCE = "s1"
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS s_node,
+                  'c' || CAST(o.o_custkey AS VARCHAR) AS c_node
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT s_node AS src, c_node AS dst FROM pairs
+  UNION
+  SELECT c_node AS src, s_node AS dst FROM pairs
+),
+bfs(node, hops) AS (
+  SELECT '{_BFS_SOURCE}' AS node, 0 AS hops
+  UNION
+  SELECT e.dst, b.hops + 1
+  FROM edges e JOIN bfs b ON e.src = b.node
+  WHERE b.hops < {_BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(hops) AS INT) AS hops
+FROM bfs GROUP BY node ORDER BY node
+"""
+
+
+@register("trade_graph_bfs_hops", oracle=_BFS_ORACLE)
+def trade_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from supplier s1 over the bipartite supplier-customer
+    trade graph (an edge per distinct supplier/customer pair that shares
+    a lineitem): hops 1 = s1's customers, 2 = co-suppliers, ... out to
+    4 — the blast-radius / recommendation-expansion traversal. Frontier
+    expansion (``operators/traversal.bfs_hops``): per round ONE
+    node-keyed equi-join against the edge list + one anti-join against
+    visited, frontier/visited localCheckpoint()ed so lineage stays O(1);
+    the loop stops at frontier exhaustion or the hop cap, never scans
+    paths the oracle's recursive CTE wouldn't. Unreachable nodes are
+    absent, not sentinel-coded."""
+    from bbt_etl_dw_spark.operators.traversal import bfs_hops
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+    )
+    sources = spark.createDataFrame([(_BFS_SOURCE,)], "node string")
+    return bfs_hops(edges, sources, _BFS_MAX_HOPS).orderBy("node")

@@ -434,3 +434,34 @@ def test_sequence_pattern_counts_nonoverlapping(spark):
     seqs = user_event_sequences(ev, {"error": "e"})
     n = seqs.select(F.expr("regexp_count(seq, 'e{2,}')").alias("c")).head().c
     assert n == 1
+
+
+# --- BFS traversal ----------------------------------------------------------
+
+
+def test_bfs_hops_chain_cap_and_unreachable(spark):
+    from bbt_etl_dw_spark.operators.traversal import bfs_hops
+
+    # directed chain a->b->c->d plus an isolated edge x->y
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    out = {r.node: r.hops for r in bfs_hops(edges, src, 2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}  # d beyond cap, x/y unreachable
+    # directedness: nothing reaches a
+    back = {r.node: r.hops for r in bfs_hops(edges, spark.createDataFrame(
+        [("d",)], "node string"), 3).collect()}
+    assert back == {"d": 0}
+
+
+def test_bfs_hops_multi_source_takes_nearest(spark):
+    from bbt_etl_dw_spark.operators.traversal import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("z", "c")], "src string, dst string"
+    )
+    src = spark.createDataFrame([("a",), ("z",)], "node string")
+    out = {r.node: r.hops for r in bfs_hops(edges, src, 5).collect()}
+    # c is 2 from a but 1 from z — nearest source wins
+    assert out == {"a": 0, "z": 0, "b": 1, "c": 1}
