@@ -1080,3 +1080,38 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     components as literal arrays: zero Python per row."""
     emb = table(spark, sf_dir, "embeddings", spread=True)
     return pca_project(emb, "embedding", k=4).orderBy("vec_id")
+
+
+# --- Johnson-Lindenstrauss random projection --------------------------------
+
+from bbt_etl_dw_spark.operators.projection import (  # noqa: E402
+    jl_project,
+    sql_jl_exprs,
+)
+
+_JL_K = 16
+_JL_DIM = 64
+
+_JL_ORACLE = f"""
+SELECT vec_id,
+       {', '.join(sql_jl_exprs('embedding', _JL_DIM, _JL_K))}
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register("embedding_random_projection", oracle=_JL_ORACLE)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-d -> 16-d Johnson-Lindenstrauss sign projection
+    (``operators/projection.py``): the training-free dimensionality
+    reducer a pipeline applies before LSH bucketing or re-ranking when
+    no covariance pass is affordable (its trained twin is
+    embedding_pca_projection). md5-seeded +-1 matrix inlined as
+    literals; each component is a fixed left-to-right IEEE add chain
+    over exactly-widened floats scaled by the exact power of two
+    1/sqrt(16) — a pure codegen'd map stage (no explode, no shuffle, no
+    Python), replayed bit-exactly by the oracle from the same sign
+    table."""
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    return jl_project(emb.select("vec_id", "embedding"), "embedding",
+                      _JL_DIM, _JL_K).drop("embedding").orderBy("vec_id")

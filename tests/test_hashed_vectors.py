@@ -124,3 +124,41 @@ def test_minhash_bands_validation(spark):
         minhash_band_keys("text", num_hashes=64, bands=100, shingle_k=3)
     with pytest.raises(ValueError, match="must divide"):
         minhash_band_keys("text", num_hashes=64, bands=10, shingle_k=3)
+
+
+# --- JL random projection ---------------------------------------------------
+
+
+def test_jl_projection_norm_concentration(spark, sf_dir):
+    """With the 1/sqrt(k) scale, E[||proj||^2] = ||v||^2; over the 500
+    deterministic embeddings the mean ratio concentrates hard around 1
+    (component variance 2/k) - and the projection must be reproducible
+    run-to-run (seeded, no RNG state)."""
+    from bbt_etl_dw_spark.catalog import table
+    from bbt_etl_dw_spark.operators.projection import jl_project
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = jl_project(emb, "embedding", 64, 16)
+    pn = sum(F.col(f"rp_{j:02d}") ** 2 for j in range(16))
+    on = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    ratio = proj.select(F.avg(pn / on).alias("r")).head().r
+    assert 0.85 < ratio < 1.15
+    again = jl_project(emb, "embedding", 64, 16)
+    assert proj.orderBy("vec_id").collect() == again.orderBy("vec_id").collect()
+
+
+def test_jl_scale_requires_power_of_four():
+    import pytest as _pytest
+
+    from bbt_etl_dw_spark.operators.projection import _check_scale
+
+    assert _check_scale(16) == 0.25
+    assert _check_scale(4) == 0.5
+    for bad in (2, 8, 12, 32):
+        with _pytest.raises(ValueError):
+            _check_scale(bad)
