@@ -158,3 +158,64 @@ def gap_fill_linear(
         F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(interp).alias(out_col),
         F.col("__v").isNull().alias("interpolated"),
     )
+
+
+def cross_correlation(
+    series: DataFrame,
+    bucket_col: str,
+    x_col: str,
+    y_col: str,
+    lags: Sequence[int],
+) -> DataFrame:
+    """Sample cross-correlation of two aligned series at each lag
+    (positive lag = y LAGS x by that many buckets; lag 0 is the plain
+    Pearson numerator over the common buckets):
+
+        r_k = sum_t (x_t - mx)(y_{t+k} - my) / sqrt(den_x * den_y)
+
+    with means/denominators over the FULL series (constant across lags,
+    symmetric with :func:`autocorrelation`). ``series`` holds one row
+    per bucket with both values. Same plan shape as autocorrelation:
+    equi self-join on ``bucket + lag``, 1-row broadcast scalars, no
+    global sort; the closing sqrt/division are correctly-rounded IEEE
+    ops. Returns ``(lag, n_pairs, xcorr)`` ordered by lag."""
+    spark = series.sparkSession
+    base = series.select(
+        F.col(bucket_col).alias("__b"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    stats = base.agg(
+        (dsum(F.col("__x"), "sx").cast("double") / F.count("__x")).alias("__mx"),
+        (dsum(F.col("__y"), "sy").cast("double") / F.count("__y")).alias("__my"),
+    )
+    dev = base.crossJoin(F.broadcast(stats)).select(
+        "__b",
+        (F.col("__x") - F.col("__mx")).alias("__dx"),
+        (F.col("__y") - F.col("__my")).alias("__dy"),
+    )
+    denom = dev.agg(
+        dsum(F.col("__dx") * F.col("__dx"), "__den_x"),
+        dsum(F.col("__dy") * F.col("__dy"), "__den_y"),
+    )
+    lag_dim = spark.createDataFrame([(int(k),) for k in lags], "lag bigint")
+    left = dev.crossJoin(F.broadcast(lag_dim)).select(
+        "lag", (F.col("__b") + F.col("lag")).alias("__b2"), "__dx"
+    )
+    right = dev.select(F.col("__b").alias("__b2"), "__dy")
+    return (
+        left.join(right, "__b2")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dsum(F.col("__dx") * F.col("__dy"), "__num"),
+        )
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            "n_pairs",
+            (F.col("__num") / F.sqrt(F.col("__den_x") * F.col("__den_y")))
+            .alias("xcorr"),
+        )
+        .orderBy("lag")
+    )

@@ -915,3 +915,76 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     ).orderBy("day")
+
+
+# --- purchase/error lead-lag cross-correlation ------------------------------
+
+_XCORR_MAX_LAG = 3
+
+_XCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT {_SEASON_DAY_SQL} AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS x,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS y
+  FROM events GROUP BY day
+),
+stats AS (
+  SELECT {_sql_dsum('x', 'sx')}, {_sql_dsum('y', 'sy')}, COUNT(*) AS n
+  FROM daily
+),
+dev AS (
+  SELECT day, x - (sx / n) AS dx, y - (sy / n) AS dy
+  FROM daily CROSS JOIN stats
+),
+den AS (
+  SELECT {_sql_dsum('dx * dx', 'den_x')}, {_sql_dsum('dy * dy', 'den_y')}
+  FROM dev
+),
+lags AS (
+  SELECT CAST(unnest(generate_series(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG}))
+              AS BIGINT) AS lag
+),
+pairs AS (
+  SELECT l.lag, a.dx, b.dy
+  FROM dev a CROSS JOIN lags l JOIN dev b ON b.day = a.day + l.lag
+),
+nums AS (
+  SELECT lag, COUNT(*) AS n_pairs, {_sql_dsum('dx * dy', 'num')}
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n_pairs, num / sqrt(den_x * den_y) AS xcorr
+FROM nums CROSS JOIN den
+ORDER BY lag
+"""
+
+
+@register("events_purchase_error_xcorr", oracle=_XCORR_ORACLE)
+def events_purchase_error_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily purchase and error
+    counts at lags -3..+3 (negative lag = errors LEAD purchases — the
+    'do incidents depress next-day conversion' diagnostic; its
+    single-series partner is events_daily_acf). One fact shuffle to the
+    day rollup, then equi self-joins on day+lag with the 7-row lag
+    dimension broadcast; means/denominators are 1-row broadcast
+    scalars; closing sqrt/division are correctly-rounded IEEE ops over
+    exact-decimal sums."""
+    from bbt_etl_dw_spark.operators.timeseries import cross_correlation
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"), "event_type"
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("double").alias("x"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("double").alias("y"),
+        )
+    )
+    return cross_correlation(
+        daily, "day", "x", "y", range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)
+    )

@@ -126,3 +126,76 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/stats.benford_digit_audit)."""
     li = table(spark, sf_dir, "lineitem")
     return benford_digit_audit(li, "l_extendedprice").orderBy("digit")
+
+
+# --- categorical concentration profiling (HHI) ------------------------------
+
+from bbt_etl_dw_spark.functions.numeric import dsum as _dsum  # noqa: E402
+from bbt_etl_dw_spark.functions.numeric import sql_dsum as _sql_dsum  # noqa: E402
+
+# (label, table, column) — the profiling targets
+_HHI_TARGETS = (
+    ("documents.lang", "documents", "lang"),
+    ("documents.source", "documents", "source"),
+    ("events.event_type", "events", "event_type"),
+    ("orders.o_orderstatus", "orders", "o_orderstatus"),
+    ("part.p_brand", "part", "p_brand"),
+)
+
+
+def _hhi_branch_sql(label: str, tbl: str, col: str) -> str:
+    return f"""
+SELECT '{label}' AS column_name, n_categories,
+       s2 / (total * total) AS hhi,
+       mx / total AS top_share
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+         CAST(SUM(cnt) AS DOUBLE) AS total,
+         {_sql_dsum('CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)', 's2')},
+         CAST(MAX(cnt) AS DOUBLE) AS mx
+  FROM (SELECT COUNT(*) AS cnt FROM {tbl} GROUP BY {col})
+)"""
+
+
+_HHI_ORACLE = (
+    "\nUNION ALL\n".join(_hhi_branch_sql(*t) for t in _HHI_TARGETS)
+    + "\nORDER BY column_name"
+)
+
+
+@register("category_concentration_hhi", oracle=_HHI_ORACLE)
+def category_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of five categorical columns —
+    the log-free diversity profile (HHI = sum of squared category
+    shares; 1/HHI is the effective category count) a curation pipeline
+    reads before trusting a stratified split or source-quota mix, where
+    entropy would drag libm ln into the oracle. Per column: ONE
+    map-side-combining hash aggregate to category counts (cardinality =
+    the category count, tiny), then a single-row agg — hhi falls out of
+    sum(cnt^2)/total^2 without materializing shares. The five 1-row
+    branches union driver-free."""
+    frames = []
+    for label, tbl, col in _HHI_TARGETS:
+        counts = (
+            table(spark, sf_dir, tbl)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        cd = F.col("cnt").cast("double")
+        frames.append(
+            counts.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+                F.sum("cnt").cast("double").alias("total"),
+                _dsum(cd * cd, "s2"),
+                F.max("cnt").cast("double").alias("mx"),
+            ).select(
+                F.lit(label).alias("column_name"),
+                "n_categories",
+                (F.col("s2") / (F.col("total") * F.col("total"))).alias("hhi"),
+                (F.col("mx") / F.col("total")).alias("top_share"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("column_name")

@@ -446,3 +446,55 @@ def test_gap_fill_linear_interpolates_and_passes_through(spark):
     assert rows[("a", 3)] == (16.0, True)
     # no extrapolation beyond each key's own observed span
     assert len(rows) == 6
+
+
+def test_cross_correlation_detects_shift(spark):
+    """y = x shifted forward by 2 buckets -> xcorr peaks at exactly 1.0
+    at lag +2 (y lags x), and lag 0 of (x, x) is exactly 1."""
+    from bbt_etl_dw_spark.operators.timeseries import cross_correlation
+
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    rows = [(t, xs[t], xs[t - 2] if t >= 2 else 0.0) for t in range(len(xs))]
+    df = spark.createDataFrame(rows, "b bigint, x double, y double")
+    # identical series: lag 0 is exactly 1 (num == den, same IEEE ops)
+    same = {r.lag: r.xcorr for r in cross_correlation(
+        df.select("b", "x", F.col("x").alias("y")), "b", "x", "y", [0]
+    ).collect()}
+    assert same[0] == 1.0
+    # shifted copy: restrict to the overlap so the pairs are exact copies
+    shifted = df.filter("b >= 2")
+    out = {r.lag: r.xcorr for r in cross_correlation(
+        shifted, "b", "x", "y", [-2, 0, 2]
+    ).collect()}
+    best = max(out, key=lambda k: out[k])
+    # not 1.0 exactly: the lag-k pair set loses k edge buckets while the
+    # means/denominators stay full-series (textbook estimator), so the
+    # claim is dominance, not identity
+    assert best == 2 and out[2] > 0.8 and out[2] > out[0] + 0.2
+
+
+def test_hhi_uniform_and_degenerate(spark):
+    """Uniform over 4 categories -> hhi 0.25, top_share 0.25; a single
+    category -> both exactly 1."""
+    from bbt_etl_dw_spark.functions.numeric import dsum
+    from pyspark.sql import functions as F
+
+    def hhi(df, col):
+        counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cd = F.col("cnt").cast("double")
+        row = counts.agg(
+            F.sum("cnt").cast("double").alias("total"),
+            dsum(cd * cd, "s2"),
+            F.max("cnt").cast("double").alias("mx"),
+        ).select(
+            (F.col("s2") / (F.col("total") * F.col("total"))).alias("hhi"),
+            (F.col("mx") / F.col("total")).alias("top_share"),
+        ).head()
+        return row.hhi, row.top_share
+
+    uniform = spark.createDataFrame(
+        [(c,) for c in "abcd" for _ in range(5)], "k string"
+    )
+    assert hhi(uniform, "k") == (0.25, 0.25)
+    single = spark.createDataFrame([("z",)] * 7, "k string")
+    assert hhi(single, "k") == (1.0, 1.0)

@@ -93,6 +93,9 @@ SCALAR_SUBQUERY_ALLOWED = {
     # fan-out over a dim-scale frame — the fact reduced one shuffle
     # earlier); every fact-touching join stays equi-keyed
     "events_daily_acf",
+    # same shape as events_daily_acf: mean/denominator scalars + the
+    # 7-row lag dimension broadcast onto the day-level rollup
+    "events_purchase_error_xcorr",
 }
 QUADRATIC_ALLOWED |= SCALAR_SUBQUERY_ALLOWED
 
