@@ -658,3 +658,78 @@ benford AS (
                   / (({p_case}) * CAST(t.n_in_range AS DOUBLE)) END) AS chisq_term
   FROM benford_frame CROSS JOIN benford_total t
 )"""
+
+
+def weighted_group_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    percentiles: dict[str, float],
+) -> DataFrame:
+    """Exact weighted percentiles per group: for percentile p the result
+    is the LOWER-BOUND quantile ``min{ v : cumweight(v) >= p * W }``
+    (the mass-based definition — no interpolation, so the answer is
+    always an observed value). Weights must be non-negative: the
+    cumulative sum must be monotone for the threshold predicate (and the
+    cross-engine tie argument below) to hold.
+
+    ONE shuffle: the cumulative-weight and total-weight windows share a
+    single hash partitioning on the group columns, and the closing
+    aggregate reuses it. Weights accumulate as exact string-mediated
+    decimals; the threshold compare happens in double on BOTH engines
+    (same string-mediated conversion + one IEEE multiply), so the
+    marked row set is engine-identical. Ties in the value column are
+    benign by monotonicity: cumweight at each tie-BLOCK boundary is
+    tie-order invariant, so whichever row inside a block first crosses
+    the threshold, ``min(value)`` selects the same value.
+
+    Output: group_cols + one double column per ``percentiles`` key.
+    """
+    v = F.col(value_col).cast("double")
+    wd = F.col(weight_col).try_cast(DEC)
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        v.alias("_v"),
+        _dec_to_double(F.sum(wd).over(w_cum)).alias("_cumw"),
+        _dec_to_double(F.sum(wd).over(w_all)).alias("_w"),
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("_cumw") >= F.col("_w") * F.lit(float(p)), F.col("_v"))
+        ).alias(name)
+        for name, p in percentiles.items()
+    ]
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def sql_weighted_percentile_ctes(
+    source_sql: str,
+    group_sql: str,
+    value_sql: str,
+    weight_sql: str,
+) -> str:
+    """Oracle ranked-CTE for :func:`weighted_group_percentiles`: exposes
+    ``_v`` / ``_cumw`` / ``_w`` per row; the caller closes with
+    ``MIN(CASE WHEN _cumw >= _w * CAST(p AS DOUBLE) THEN _v END)``
+    aggregates grouped on the group columns."""
+    wdec = f"TRY_CAST(CAST(({weight_sql}) AS VARCHAR) AS {SQL_DEC})"
+    return f"""
+ranked AS (
+  SELECT {group_sql},
+         CAST(({value_sql}) AS DOUBLE) AS _v,
+         CAST(CAST(SUM({wdec}) OVER (
+             PARTITION BY {group_sql} ORDER BY CAST(({value_sql}) AS DOUBLE)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS VARCHAR) AS DOUBLE) AS _cumw,
+         CAST(CAST(SUM({wdec}) OVER (
+             PARTITION BY {group_sql}
+           ) AS VARCHAR) AS DOUBLE) AS _w
+  FROM ({source_sql})
+)"""

@@ -1218,3 +1218,50 @@ def trade_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sources = spark.createDataFrame([(_BFS_SOURCE,)], "node string")
     return bfs_hops(edges, sources, _BFS_MAX_HOPS).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Revenue-weighted quantity percentiles per return flag
+# --------------------------------------------------------------------------
+
+from bbt_etl_dw_spark.operators.stats import (  # noqa: E402
+    sql_weighted_percentile_ctes,
+)
+
+_WPCT = {"wq25": 0.25, "wq50": 0.5, "wq75": 0.75}
+
+_WEIGHTED_PCT_ORACLE = f"""
+WITH {sql_weighted_percentile_ctes(
+    source_sql="SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem",
+    group_sql="l_returnflag",
+    value_sql="l_quantity",
+    weight_sql="l_extendedprice",
+)}
+SELECT l_returnflag,
+       {', '.join(
+           f"MIN(CASE WHEN _cumw >= _w * CAST({q!r} AS DOUBLE) THEN _v END)"
+           f" AS {name}" for name, q in _WPCT.items()
+       )}
+FROM ranked
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("quantity_weighted_percentiles", oracle=_WEIGHTED_PCT_ORACLE)
+def quantity_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted quantity quartiles per return flag: 'half the
+    REVENUE ships in lines of at most N units' — the mass-weighted
+    complement of the row-counted lineitem_quantity_percentiles.
+    Lower-bound mass quantile (min value whose cumulative weight crosses
+    p*W — always an observed value); ONE shuffle, with the cumulative
+    and total weight windows plus the closing aggregate sharing a single
+    hash partitioning on the flag. Exact-decimal weight accumulation;
+    the threshold compare runs in identically-derived doubles on both
+    engines (operators/stats.weighted_group_percentiles)."""
+    from bbt_etl_dw_spark.operators.stats import weighted_group_percentiles
+
+    li = table(spark, sf_dir, "lineitem")
+    return weighted_group_percentiles(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice", _WPCT
+    ).orderBy("l_returnflag")

@@ -988,3 +988,59 @@ def events_purchase_error_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_correlation(
         daily, "day", "x", "y", range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)
     )
+
+
+# --- audience overlap (event-type co-audience Jaccard) ----------------------
+
+_AUDIENCE_ORACLE = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+aud AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, x.n AS n_a, y.n AS n_b, n_both,
+       CAST(n_both AS DOUBLE) / CAST(x.n + y.n - n_both AS DOUBLE) AS jaccard
+FROM p
+JOIN aud x ON p.type_a = x.event_type
+JOIN aud y ON p.type_b = y.event_type
+ORDER BY type_a, type_b
+"""
+
+
+@register("events_audience_overlap", oracle=_AUDIENCE_ORACLE)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity between the user
+    audiences of every event-type pair — the segment-overlap readout
+    behind 'do purchasers also hit errors?'. The fact reduces to the
+    distinct (user, type) incidence ONCE (one shuffle); the pair
+    expansion is a user-keyed equi self-join bounded by each user's own
+    type count (<= alphabet size, so per-user fan-out is a constant,
+    never quadratic in users); the two audience attaches broadcast the
+    5-row type rollup. Jaccard is one IEEE division of exact longs."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("user_id", "event_type").distinct()
+    a = d.select("user_id", F.col("event_type").alias("type_a"))
+    b = d.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    aud = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        pairs.join(
+            F.broadcast(aud.select(F.col("event_type").alias("type_a"),
+                                   F.col("n").alias("n_a"))), "type_a")
+        .join(
+            F.broadcast(aud.select(F.col("event_type").alias("type_b"),
+                                   F.col("n").alias("n_b"))), "type_b")
+    )
+    return out.select(
+        "type_a", "type_b", "n_a", "n_b", "n_both",
+        (F.col("n_both").cast("double")
+         / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"))
+        .alias("jaccard"),
+    ).orderBy("type_a", "type_b")

@@ -498,3 +498,17 @@ def test_hhi_uniform_and_degenerate(spark):
     assert hhi(uniform, "k") == (0.25, 0.25)
     single = spark.createDataFrame([("z",)] * 7, "k string")
     assert hhi(single, "k") == (1.0, 1.0)
+
+
+def test_weighted_percentiles_mass_semantics(spark):
+    """Lower-bound mass quantile: one heavy row dominates — the weighted
+    median is the heavy value even though it's the row-count minority."""
+    from bbt_etl_dw_spark.operators.stats import weighted_group_percentiles
+
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 10.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = weighted_group_percentiles(
+        df, ["g"], "v", "w", {"p50": 0.5, "p10": 0.1}
+    ).head()
+    assert out.p50 == 3.0  # cum mass 1,2,12 vs W=12: first >= 6 is v=3
+    assert out.p10 == 2.0  # threshold 1.2: cum at v=1 is 1.0 < 1.2
