@@ -1124,7 +1124,7 @@ ORDER BY n_name, day
 """
 
 
-@register("nation_revenue_gapfill", oracle=_GAPFILL_ORACLE)
+@register("nation_revenue_gapfill", oracle=_GAPFILL_ORACLE, bench=True)
 def nation_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Densified per-nation daily revenue for 1995: every nation's
     series covers every day in its own observed [min, max] span, with
@@ -1248,7 +1248,7 @@ ORDER BY l_returnflag
 """
 
 
-@register("quantity_weighted_percentiles", oracle=_WEIGHTED_PCT_ORACLE)
+@register("quantity_weighted_percentiles", oracle=_WEIGHTED_PCT_ORACLE, bench=True)
 def quantity_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-weighted quantity quartiles per return flag: 'half the
     REVENUE ships in lines of at most N units' — the mass-weighted

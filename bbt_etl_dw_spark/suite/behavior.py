@@ -839,7 +839,7 @@ FROM m GROUP BY pattern ORDER BY pattern
 """
 
 
-@register("events_sequence_patterns", oracle=_SEQ_PATTERN_ORACLE)
+@register("events_sequence_patterns", oracle=_SEQ_PATTERN_ORACLE, bench=True)
 def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex sequence mining over per-user chronological event strings
     (MATCH_RECOGNIZE-lite): each user's history collapses to a
