@@ -199,3 +199,87 @@ def category_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("column_name")
+
+
+# --- order-total reconciliation audit ---------------------------------------
+
+# relative-error ladder (CASE order is the contract — identical on both
+# engines; literals are identical source text, so the parsed doubles and
+# every boundary compare agree bit-for-bit)
+_RECON_LADDER_SQL = """
+CASE WHEN rec IS NULL THEN 'e_no_lineitems'
+     WHEN rel < 0.001 THEN 'a_lt_0.1pct'
+     WHEN rel < 0.01  THEN 'b_lt_1pct'
+     WHEN rel < 0.1   THEN 'c_lt_10pct'
+     WHEN rel < 1.0   THEN 'd_lt_100pct'
+     ELSE 'f_ge_100pct' END
+"""
+
+_RECON_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey,
+         {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'rec')}
+  FROM lineitem GROUP BY l_orderkey
+),
+r AS (
+  SELECT o.o_orderkey, o.o_totalprice, li.rec,
+         ABS(o.o_totalprice - li.rec) / o.o_totalprice AS rel
+  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT {_RECON_LADDER_SQL} AS bucket,
+       COUNT(*) AS n_orders,
+       {_sql_dsum('COALESCE(ABS(o_totalprice - rec), o_totalprice)',
+                  'total_abs_gap')}
+FROM r GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("order_total_reconciliation", oracle=_RECON_ORACLE)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: every order's stored o_totalprice vs
+    the total recomputed from its lineitems, bucketed on a relative-
+    error ladder (plus the orphaned 'no lineitems' bucket, whose gap is
+    the full stored total) — the financial-close audit that catches
+    drifted denormalized aggregates before a report does. The fact
+    reduces FIRST (one orderkey shuffle to per-order exact-decimal
+    recomputed totals), the orders attach is an equi-join on the same
+    key, and the ladder is a map stage into a 6-row aggregate. Every
+    division/compare runs on identically-derived doubles."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rec = li.groupBy("l_orderkey").agg(
+        _dsum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax")),
+            "rec",
+        )
+    )
+    r = o.join(rec, o.o_orderkey == rec.l_orderkey, "left").select(
+        "o_totalprice",
+        "rec",
+        (F.abs(F.col("o_totalprice") - F.col("rec")) / F.col("o_totalprice"))
+        .alias("rel"),
+    )
+    bucket = (
+        F.when(F.col("rec").isNull(), "e_no_lineitems")
+        .when(F.col("rel") < 0.001, "a_lt_0.1pct")
+        .when(F.col("rel") < 0.01, "b_lt_1pct")
+        .when(F.col("rel") < 0.1, "c_lt_10pct")
+        .when(F.col("rel") < 1.0, "d_lt_100pct")
+        .otherwise("f_ge_100pct")
+    )
+    return (
+        r.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(
+                F.coalesce(
+                    F.abs(F.col("o_totalprice") - F.col("rec")),
+                    F.col("o_totalprice"),
+                ),
+                "total_abs_gap",
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -1660,3 +1660,83 @@ def doc_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(
         docs, "doc_id", "text", shingle_k=2, threshold_num=2, threshold_den=5
     ).orderBy("id_a", "id_b")
+
+
+# --- per-document keyword extraction (tf-idf top-k) -------------------------
+
+_KEYWORDS_K = 3
+
+_KEYWORDS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE len(trim(text)) > 0
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+  WHERE term <> '' GROUP BY term
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE)
+           * ((CAST(nd.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+              / (CAST(dfreq.df AS DOUBLE) + 0.5)) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, score
+FROM ranked WHERE rank <= {_KEYWORDS_K}
+ORDER BY doc_id, rank
+"""
+
+
+@register("doc_top_keywords", oracle=_KEYWORDS_ORACLE)
+def doc_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf, with the
+    same pre-log ODDS idf as doc_bm25_search (identical per-term
+    ranking to log idf — log is monotone — without libm in the oracle).
+    One corpus explode feeds both the (doc, term) frequencies and the
+    document-frequency rollup; the df attach is a term-keyed equi-join,
+    the corpus size a 1-row broadcast scalar, and the top-3 cut a
+    row_number window partitioned BY DOCUMENT (never global), tie-broken
+    on the term so the cut is deterministic."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", F.explode(words("text")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfd = F.col("df").cast("double")
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * ((F.col("n_docs").cast("double") - dfd + F.lit(0.5))
+                   / (dfd + F.lit(0.5)))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KEYWORDS_K)
+        .select("doc_id", "rank", "term", "score")
+        .orderBy("doc_id", "rank")
+    )

@@ -96,6 +96,9 @@ SCALAR_SUBQUERY_ALLOWED = {
     # same shape as events_daily_acf: mean/denominator scalars + the
     # 7-row lag dimension broadcast onto the day-level rollup
     "events_purchase_error_xcorr",
+    # corpus-size scalar attached as a 1-row broadcast (same shape as
+    # doc_bm25_search's N/avgdl scalars)
+    "doc_top_keywords",
 }
 QUADRATIC_ALLOWED |= SCALAR_SUBQUERY_ALLOWED
 
