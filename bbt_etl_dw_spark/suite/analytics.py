@@ -1265,3 +1265,67 @@ def quantity_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
     return weighted_group_percentiles(
         li, ["l_returnflag"], "l_quantity", "l_extendedprice", _WPCT
     ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Trailing 7-day revenue per nation (RANGE window frame over day values)
+# --------------------------------------------------------------------------
+
+from bbt_etl_dw_spark.functions.numeric import DEC as _DEC  # noqa: E402
+from bbt_etl_dw_spark.functions.numeric import SQL_DEC as _SQL_DEC  # noqa: E402
+
+_TRAIL7_ORACLE = f"""
+WITH daily AS (
+  SELECT n.n_name,
+         (epoch_us(o.o_orderdate) // 86400000000) AS day,
+         {sql_dsum('o.o_totalprice', 'rev')}
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE (epoch_us(o.o_orderdate) // 86400000000)
+        BETWEEN {_GAPFILL_DAY_LO} AND {_GAPFILL_DAY_HI}
+  GROUP BY n.n_name, day
+)
+SELECT n_name, day, rev,
+       CAST(CAST(SUM(TRY_CAST(CAST(rev AS VARCHAR) AS {_SQL_DEC})) OVER (
+           PARTITION BY n_name ORDER BY day
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+         ) AS VARCHAR) AS DOUBLE) AS rev_7d
+FROM daily
+ORDER BY n_name, day
+"""
+
+
+@register("nation_trailing_7d_revenue", oracle=_TRAIL7_ORACLE)
+def nation_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-CALENDAR-day revenue per nation over the sparse 1995
+    daily series — a RANGE window frame over day VALUES, not a rows
+    frame: on a sparse series 'last 7 rows' silently spans months, so
+    the frame must be value-bounded (the complement of
+    nation_revenue_gapfill, which instead densifies the grid). One fact
+    shuffle to the (nation, day) rollup, one nation-keyed window; the
+    trailing sum re-accumulates exact decimals so the window total is
+    order-independent and bit-equal to the oracle's RANGE frame."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+    ).filter(F.col("day").between(_GAPFILL_DAY_LO, _GAPFILL_DAY_HI))
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "day")
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("n_name").orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "n_name",
+        "day",
+        "rev",
+        F.sum(F.col("rev").try_cast(_DEC)).over(w)
+        .cast("string").cast("double").alias("rev_7d"),
+    ).orderBy("n_name", "day")

@@ -1044,3 +1044,58 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
          / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"))
         .alias("jaccard"),
     ).orderBy("type_a", "type_b")
+
+
+# --- DAU / MAU-28 stickiness -------------------------------------------------
+
+_MAU_WINDOW_DAYS = 28
+
+_STICKINESS_ORACLE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, {_SEASON_DAY_SQL} AS day FROM events
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+t AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(day, day + {_MAU_WINDOW_DAYS - 1}))
+              AS BIGINT) AS tday
+  FROM ud
+),
+mau AS (SELECT tday, COUNT(DISTINCT user_id) AS mau FROM t GROUP BY tday)
+SELECT d.day, d.dau, m.mau,
+       CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+FROM dau d JOIN mau m ON d.day = m.tday
+ORDER BY d.day
+"""
+
+
+@register("events_dau_mau_stickiness", oracle=_STICKINESS_ORACLE)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-28-day-MAU stickiness per observed day — the
+    engagement ratio product teams track. Sliding COUNT(DISTINCT) has no
+    shuffle-safe window form; the standard rewrite CHARGES each (user,
+    day) incidence forward to the 28 target days it supports (a
+    constant-bounded explode of the deduplicated incidence — never of
+    the raw fact), then one distinct-count per target day. Early days
+    report the partial window they actually have. Epoch-day integers
+    end-to-end."""
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    t = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (_MAU_WINDOW_DAYS - 1))
+        ).alias("tday"),
+    )
+    mau = t.groupBy("tday").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, dau.day == mau.tday)
+        .select(
+            "day", "dau", "mau",
+            (F.col("dau").cast("double") / F.col("mau").cast("double"))
+            .alias("stickiness"),
+        )
+        .orderBy("day")
+    )
