@@ -1099,3 +1099,160 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- top conversion paths ----------------------------------------------------
+
+_PATHS_TOP_K = 10
+_PATH_START = "(start)"
+
+_CONVERSION_PATHS_ORACLE = f"""
+WITH lagged AS (
+  SELECT event_type,
+         lag(event_type, 1) OVER w AS prev1,
+         lag(event_type, 2) OVER w AS prev2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT COALESCE(prev2, '{_PATH_START}') || '>' ||
+       COALESCE(prev1, '{_PATH_START}') || '>purchase' AS path,
+       COUNT(*) AS n
+FROM lagged WHERE event_type = 'purchase'
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT {_PATHS_TOP_K}
+"""
+
+
+@register("events_conversion_paths", oracle=_CONVERSION_PATHS_ORACLE)
+def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step paths INTO a purchase (the Sankey-feeding 'how
+    do users arrive' readout; its transition-matrix twin is
+    events_markov_transitions). Two lag windows share ONE user-keyed
+    exchange (epoch-µs + event-id ordering, so same-microsecond ties
+    can't flip paths between engines); session starts surface as an
+    explicit '(start)' label rather than dropped rows; the cut is a
+    per-partition heap (TakeOrderedAndProject) tie-broken on the path
+    string."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    lagged = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    start = F.lit(_PATH_START)
+    path = F.concat_ws(
+        ">",
+        F.coalesce(F.col("prev2"), start),
+        F.coalesce(F.col("prev1"), start),
+        F.lit("purchase"),
+    )
+    return (
+        lagged.filter(F.col("event_type") == "purchase")
+        .groupBy(path.alias("path"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(_PATHS_TOP_K)
+    )
+
+
+# --- two-proportion z-test (conversion A/B) ---------------------------------
+
+_ZTEST_ORACLE = """
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+  FROM users GROUP BY arm
+),
+wide AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         MAX(CASE WHEN arm = 'A' THEN c END) AS conv_a,
+         MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+         MAX(CASE WHEN arm = 'B' THEN c END) AS conv_b
+  FROM arms
+),
+rates AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+         CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+  FROM wide
+)
+SELECT n_a, conv_a, n_b, conv_b, p_a, p_b,
+       CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+         (p_a - p_b) / sqrt(pp * (1.0 - pp)
+             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+       END AS z_stat
+FROM rates
+"""
+
+
+@register("purchase_conversion_ab_ztest", oracle=_ZTEST_ORACLE)
+def purchase_conversion_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on HIGH-VALUE purchase conversion (any
+    purchase of value >= 150 — at this event density every user makes
+    SOME purchase, which would pool to p=1 and a zero standard error)
+    between md5-parity
+    experiment arms — the PROPORTIONS leg of the A/B toolkit (means:
+    Welch t; distributions: Mann-Whitney U). Arm assignment is the same
+    hash-decision discipline as the split/sampling operators (stable
+    under reruns and appends, no RNG state); ONE user-keyed shuffle to
+    per-user conversion flags, a 2-row arm rollup, then a fixed IEEE
+    closing sequence (pooled rate, sqrt standard error) identical on
+    both engines."""
+    ev = table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+        .isin(*"01234567"), "A"
+    ).otherwise("B")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 150.0), 1
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .select(arm.alias("arm"), "conv")
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").cast("bigint").alias("c")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("c"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("c"))).alias("conv_b"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    p_a = (F.col("conv_a").cast("double") / n_a).alias("p_a")
+    p_b = (F.col("conv_b").cast("double") / n_b).alias("p_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    rates = wide.select("n_a", "conv_a", "n_b", "conv_b", p_a, p_b, pp.alias("pp"))
+    se = F.sqrt(
+        F.col("pp") * (F.lit(1.0) - F.col("pp"))
+        * (F.lit(1.0) / F.col("n_a").cast("double")
+           + F.lit(1.0) / F.col("n_b").cast("double"))
+    )
+    defined = (F.col("pp") > 0.0) & (F.col("pp") < 1.0)
+    return rates.select(
+        "n_a", "conv_a", "n_b", "conv_b", "p_a", "p_b",
+        F.when(defined, (F.col("p_a") - F.col("p_b")) / se).alias("z_stat"),
+    )
