@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bbt_etl_dw_spark.functions.numeric import dsum
+
 DIRECT = "direct"  # conversions with no qualifying touch in the window
 
 
@@ -118,3 +120,80 @@ attributed AS (
          value
   FROM base WHERE {conv_sql}
 )"""
+
+
+def linear_attribution(
+    events: DataFrame,
+    *,
+    touch_pred: Column,
+    conv_pred: Column,
+    touch_label: Column,
+    lookback_days: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear (equal-credit multi-touch) attribution: every conversion
+    splits its value EVENLY across all qualifying touches in the
+    inclusive lookback window ``[conv - lookback, conv]``; conversions
+    with no touch credit ``DIRECT`` in full. Returns one row per channel:
+    ``(channel, fractional_conversions, attributed_value)``.
+
+    Unlike last/first-touch (a running window — see
+    :func:`attribute_conversions`), the touch SET per conversion is
+    inherently a user-keyed equi-join of conversions against touches
+    with a range predicate: per-user fan-out is touches x conversions
+    INSIDE the window — bounded by per-user activity (the same bound
+    every sessionization/funnel operator here carries), never users².
+    The per-conversion normalizer and the channel rollup are
+    conversion-/channel-keyed aggregates. Credit arithmetic is
+    ``value * (cnt / n)`` in a fixed IEEE order over exact counts, and
+    the channel sums are exact decimals."""
+    lookback_us = lookback_days * 86_400_000_000
+    us = F.unix_micros(F.col(ts_col))
+    t = events.filter(touch_pred).select(
+        F.col(user_col).alias("__u"),
+        us.alias("__t_us"),
+        touch_label.alias("channel"),
+    )
+    c = events.filter(conv_pred).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__cid"),
+        us.alias("__c_us"),
+        F.col(value_col).alias("__val"),
+    )
+    pairs = c.join(
+        t,
+        (c["__u"] == t["__u"])
+        & (t["__t_us"] <= c["__c_us"])
+        & (t["__t_us"] >= c["__c_us"] - F.lit(lookback_us)),
+    ).select("__cid", "__val", "channel")
+    ntot = pairs.groupBy("__cid").agg(F.count(F.lit(1)).alias("__n"))
+    per_cc = pairs.groupBy("__cid", "channel").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.first("__val").alias("__val")
+    )
+    share = F.col("__cnt").cast("double") / F.col("__n").cast("double")
+    credited = per_cc.join(ntot, "__cid").select(
+        "channel",
+        share.alias("__share"),
+        (F.col("__val") * share).alias("__credit"),
+    )
+    touched = credited.groupBy("channel").agg(
+        dsum(F.col("__share"), "fractional_conversions"),
+        dsum(F.col("__credit"), "attributed_value"),
+    )
+    direct = (
+        c.join(pairs.select("__cid").distinct(), "__cid", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__n_direct"),
+            dsum(F.col("__val"), "attributed_value"),
+        )
+        .select(
+            F.lit(DIRECT).alias("channel"),
+            F.col("__n_direct").alias("fractional_conversions"),
+            "attributed_value",
+        )
+        .filter(F.col("fractional_conversions") > 0)
+    )
+    return touched.unionByName(direct)

@@ -1256,3 +1256,71 @@ def purchase_conversion_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a", "conv_a", "n_b", "conv_b", "p_a", "p_b",
         F.when(defined, (F.col("p_a") - F.col("p_b")) / se).alias("z_stat"),
     )
+
+
+# --- linear multi-touch attribution ------------------------------------------
+
+_LINEAR_ATTR_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+),
+c AS (
+  SELECT user_id, event_id AS cid, epoch_us(ts) AS c_us, value
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT c.cid, c.value, t.channel
+  FROM c JOIN t ON c.user_id = t.user_id
+   AND t.t_us <= c.c_us
+   AND t.t_us >= c.c_us - {_ATTR_LOOKBACK_DAYS} * 86400000000
+),
+ntot AS (SELECT cid, COUNT(*) AS n FROM pairs GROUP BY cid),
+per_cc AS (
+  SELECT cid, channel, COUNT(*) AS cnt, ANY_VALUE(value) AS value
+  FROM pairs GROUP BY cid, channel
+),
+credited AS (
+  SELECT channel,
+         CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+         value * (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) AS credit
+  FROM per_cc JOIN ntot USING (cid)
+),
+touched AS (
+  SELECT channel, {_sql_dsum('share', 'fractional_conversions')},
+         {_sql_dsum('credit', 'attributed_value')}
+  FROM credited GROUP BY channel
+),
+direct AS (
+  SELECT 'direct' AS channel,
+         CAST(COUNT(*) AS DOUBLE) AS fractional_conversions,
+         {_sql_dsum('value', 'attributed_value')}
+  FROM c WHERE cid NOT IN (SELECT cid FROM pairs)
+  HAVING COUNT(*) > 0
+)
+SELECT * FROM touched UNION ALL SELECT * FROM direct
+ORDER BY channel
+"""
+
+
+@register("events_linear_attribution", oracle=_LINEAR_ATTR_ORACLE)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits its value
+    EVENLY across every click/view in its 7-day lookback (vs the
+    winner-take-all events_last_touch_attribution on the same window) —
+    the model marketing uses when no single touch deserves full credit.
+    The touch set per conversion is a user-keyed equi-join with a range
+    predicate whose fan-out is bounded by per-user activity, never
+    users²; normalizer and rollup are conversion-/channel-keyed
+    aggregates; credits close as exact-decimal sums
+    (operators/attribution.linear_attribution)."""
+    from bbt_etl_dw_spark.operators.attribution import linear_attribution
+
+    ev = table(spark, sf_dir, "events")
+    return linear_attribution(
+        ev,
+        touch_pred=F.col("event_type").isin("click", "view"),
+        conv_pred=F.col("event_type") == "purchase",
+        touch_label=F.col("event_type"),
+        lookback_days=_ATTR_LOOKBACK_DAYS,
+    ).orderBy("channel")

@@ -465,3 +465,43 @@ def test_bfs_hops_multi_source_takes_nearest(spark):
     out = {r.node: r.hops for r in bfs_hops(edges, src, 5).collect()}
     # c is 2 from a but 1 from z — nearest source wins
     assert out == {"a": 0, "z": 0, "b": 1, "c": 1}
+
+
+# --- linear multi-touch attribution ------------------------------------------
+
+
+def test_linear_attribution_splits_and_conserves(spark):
+    import datetime as dt
+
+    from bbt_etl_dw_spark.operators.attribution import linear_attribution
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 10)
+    rows = [
+        # user 1: click + view in window -> purchase 10 splits 5/5
+        (1, 1, t0 - dt.timedelta(days=2), "click", None),
+        (1, 2, t0 - dt.timedelta(days=1), "view", None),
+        (1, 3, t0, "purchase", 10.0),
+        # user 2: one click OUTSIDE the 7d window -> direct
+        (2, 4, t0 - dt.timedelta(days=8), "click", None),
+        (2, 5, t0, "purchase", 4.0),
+        # user 3: two clicks in window -> both credits to click
+        (3, 6, t0 - dt.timedelta(hours=2), "click", None),
+        (3, 7, t0 - dt.timedelta(hours=1), "click", None),
+        (3, 8, t0, "purchase", 6.0),
+    ]
+    ev = _events(spark, rows)
+    out = {r.channel: r for r in linear_attribution(
+        ev,
+        touch_pred=F.col("event_type").isin("click", "view"),
+        conv_pred=F.col("event_type") == "purchase",
+        touch_label=F.col("event_type"),
+        lookback_days=7,
+    ).collect()}
+    assert out["click"].attributed_value == 5.0 + 6.0
+    assert out["view"].attributed_value == 5.0
+    assert out["direct"].attributed_value == 4.0
+    assert out["click"].fractional_conversions == 0.5 + 1.0
+    assert out["view"].fractional_conversions == 0.5
+    # conservation: every conversion's value is fully distributed
+    assert sum(r.attributed_value for r in out.values()) == 20.0
