@@ -1329,3 +1329,104 @@ def nation_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rev").try_cast(_DEC)).over(w)
         .cast("string").cast("double").alias("rev_7d"),
     ).orderBy("n_name", "day")
+
+
+# --------------------------------------------------------------------------
+# Trailing z-score anomalies on per-nation daily revenue
+# --------------------------------------------------------------------------
+
+_ZANOM_MIN_HISTORY = 8
+_ZANOM_TOP_K = 20
+_ZANOM_WDEC = f"TRY_CAST(CAST(rev AS VARCHAR) AS {_SQL_DEC})"
+_ZANOM_FRAME = """PARTITION BY n_name ORDER BY day
+           RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING"""
+
+_ZANOM_ORACLE = f"""
+WITH daily AS (
+  SELECT n.n_name,
+         (epoch_us(o.o_orderdate) // 86400000000) AS day,
+         {sql_dsum('o.o_totalprice', 'rev')}
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE (epoch_us(o.o_orderdate) // 86400000000)
+        BETWEEN {_GAPFILL_DAY_LO} AND {_GAPFILL_DAY_HI}
+  GROUP BY n.n_name, day
+),
+trail AS (
+  SELECT n_name, day, rev,
+         CAST(COUNT(rev) OVER ({_ZANOM_FRAME}) AS DOUBLE) AS n,
+         CAST(CAST(SUM({_ZANOM_WDEC}) OVER ({_ZANOM_FRAME})
+              AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(SUM(TRY_CAST(CAST(rev * rev AS VARCHAR) AS {_SQL_DEC}))
+              OVER ({_ZANOM_FRAME}) AS VARCHAR) AS DOUBLE) AS ss
+  FROM daily
+),
+scored AS (
+  SELECT n_name, day, rev,
+         s / n AS trail_mean,
+         CASE WHEN n >= {_ZANOM_MIN_HISTORY}
+                   AND (ss - (s * s) / n) / (n - 1.0) > 0.0
+              THEN (rev - s / n) / sqrt((ss - (s * s) / n) / (n - 1.0))
+         END AS z
+  FROM trail
+)
+SELECT n_name, day, rev, trail_mean, z
+FROM scored WHERE z IS NOT NULL
+ORDER BY ABS(z) DESC, n_name, day
+LIMIT {_ZANOM_TOP_K}
+"""
+
+
+@register("nation_revenue_zscore_anomalies", oracle=_ZANOM_ORACLE)
+def nation_revenue_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 trailing z-score anomalies in per-nation daily revenue:
+    each day scored against its own nation's trailing 28-CALENDAR-day
+    history (RANGE frame ending at 1 PRECEDING, so a spike never
+    suppresses itself; minimum 8 observed days of history). This is the
+    ops-dashboard 'is today weird?' detector — the global twin of the
+    MAD outlier and CUSUM operators, localized per key and per day. ONE
+    fact shuffle to the rollup, one nation-keyed window computing
+    count/sum/sum-of-squares as exact decimals; mean/variance/z close
+    in a fixed IEEE sequence, variance guarded > 0; the cut is a
+    per-partition heap on |z| with a full tie-break."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+    ).filter(F.col("day").between(_GAPFILL_DAY_LO, _GAPFILL_DAY_HI))
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "day")
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("day").rangeBetween(-28, -1)
+    sd = lambda col: F.sum(col.try_cast(_DEC)).over(w).cast("string").cast("double")
+    trail = daily.select(
+        "n_name", "day", "rev",
+        F.count("rev").over(w).cast("double").alias("n"),
+        sd(F.col("rev")).alias("s"),
+        sd(F.col("rev") * F.col("rev")).alias("ss"),
+    )
+    var = (F.col("ss") - (F.col("s") * F.col("s")) / F.col("n")) / (
+        F.col("n") - F.lit(1.0)
+    )
+    z = F.when(
+        (F.col("n") >= _ZANOM_MIN_HISTORY) & (var > 0.0),
+        (F.col("rev") - F.col("s") / F.col("n")) / F.sqrt(var),
+    )
+    return (
+        trail.select(
+            "n_name", "day", "rev",
+            (F.col("s") / F.col("n")).alias("trail_mean"),
+            z.alias("z"),
+        )
+        .filter(F.col("z").isNotNull())
+        .orderBy(F.abs(F.col("z")).desc(), "n_name", "day")
+        .limit(_ZANOM_TOP_K)
+    )

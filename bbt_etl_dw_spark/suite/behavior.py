@@ -1324,3 +1324,64 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         touch_label=F.col("event_type"),
         lookback_days=_ATTR_LOOKBACK_DAYS,
     ).orderBy("channel")
+
+
+# --- daily bounce rate --------------------------------------------------------
+
+_BOUNCE_ORACLE = f"""
+WITH s AS ({_SESSIONS_ORACLE})
+SELECT (start_us // 86400000000) AS day,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+FROM s GROUP BY day ORDER BY day
+"""
+
+
+@register("events_daily_bounce_rate", oracle=_BOUNCE_ORACLE)
+def events_daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-min-gap sessions that contain a
+    single event, keyed to the session's START day — the engagement
+    health metric on top of the sessionization substrate (this query
+    and events_gap_sessionization share the identical single-Exchange
+    gaps-and-islands plan; the day rollup that follows is dim-scale).
+    Sessions that straddle midnight count once, on their start day —
+    the convention the oracle replays."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    worder = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    new_s = F.when(
+        F.lag(us).over(worder).isNull()
+        | ((us - F.lag(us).over(worder)) > _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    wnum = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = ev.select(
+        "user_id", "event_id", us.alias("us"), new_s.alias("new_s")
+    ).withColumn("session_seq", F.sum("new_s").over(wnum))
+    sessions = numbered.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"), F.min("us").alias("start_us")
+    )
+    day = F.expr("start_us div 86400000000")
+    return (
+        sessions.groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_bounces"),
+        )
+        .select(
+            "day", "n_sessions", "n_bounces",
+            (F.col("n_bounces").cast("double")
+             / F.col("n_sessions").cast("double")).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
