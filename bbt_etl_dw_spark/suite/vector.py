@@ -1115,3 +1115,111 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings", spread=True)
     return jl_project(emb.select("vec_id", "embedding"), "embedding",
                       _JL_DIM, _JL_K).drop("embedding").orderBy("vec_id")
+
+
+# --- k-means cluster quality (compactness / separation) ---------------------
+
+from bbt_etl_dw_spark.functions.numeric import dsum as _kq_dsum  # noqa: E402
+from bbt_etl_dw_spark.functions.numeric import sql_dsum as _kq_sql_dsum  # noqa: E402
+
+_KQ_NLIST = 8
+_KQ_ITERS = 2
+
+
+def _kmeans_quality_oracle(nlist: int, iters: int) -> str:
+    ctes, dfin = _ivf_ctes(nlist, iters)
+    cfin = f"c{iters}"
+    pair_d2 = (
+        "list_reduce(list_transform(range(1, len(a.ce)+1),"
+        " i -> (a.ce[i] - b.ce[i]) * (a.ce[i] - b.ce[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH {ctes},
+afin AS (
+  SELECT vec_id, cid, dist FROM {dfin}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+intra AS (
+  SELECT cid, COUNT(*) AS n_vectors, {_kq_sql_dsum('dist', 'sum_d')}
+  FROM afin GROUP BY cid
+),
+cc AS (
+  SELECT a.cid AS ci, {pair_d2} AS d2
+  FROM {cfin} a JOIN {cfin} b ON a.cid <> b.cid
+),
+sep AS (SELECT ci AS cid, MIN(d2) AS nearest_other_sq FROM cc GROUP BY ci)
+SELECT CAST(i.cid AS INT) AS cluster_id,
+       i.n_vectors,
+       i.sum_d / CAST(i.n_vectors AS DOUBLE) AS mean_sqdist,
+       s.nearest_other_sq,
+       (i.sum_d / CAST(i.n_vectors AS DOUBLE)) / s.nearest_other_sq
+         AS compactness
+FROM intra i JOIN sep s ON i.cid = s.cid
+ORDER BY cluster_id
+"""
+
+
+@register(
+    "embedding_cluster_quality",
+    oracle=_kmeans_quality_oracle(_KQ_NLIST, _KQ_ITERS),
+)
+def embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality report for the deterministic k-means model: per
+    cluster, the mean squared distance to its own centroid (compactness)
+    against the squared distance to the NEAREST other centroid
+    (separation) — the Davies-Bouldin-style readout that tells a
+    pipeline whether nlist is sane BEFORE IVF search or SemDeDup trusts
+    the partition. Assignment + own-distance is the same literal-matrix
+    fold map stage as every IVF query (no shuffle); the intra rollup is
+    nlist-sized; centroid separation is an nlist x nlist host-side pass
+    over the trained (collect-bounded) centroids, replayed SQL-side
+    from the same Lloyd CTEs with the identical fold order."""
+    from bbt_etl_dw_spark.operators.similarity import (
+        _centroid_dists,
+        bind_once,
+        ivf_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    cents = ivf_centroids(emb, nlist=_KQ_NLIST, iters=_KQ_ITERS)
+
+    # nearest-other-centroid distances, host-side over the (k x dim)
+    # trained model with the same left-fold order as _l2sq/list_reduce
+    def _d2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, c in zip(a, b):
+            acc = acc + (x - c) * (x - c)
+        return acc
+
+    sep_rows = [
+        (i, min(_d2(ci, cj) for j, cj in enumerate(cents) if j != i))
+        for i, ci in enumerate(cents)
+    ]
+    sep = spark.createDataFrame(sep_rows, "cluster_id int, nearest_other_sq double")
+
+    v = F.col("embedding").cast("array<double>")
+    assigned = emb.select(
+        bind_once(
+            _centroid_dists(v, cents),
+            lambda d: F.struct(
+                (F.array_position(d, F.array_min(d)) - 1).cast("int")
+                .alias("cluster_id"),
+                F.array_min(d).alias("dist"),
+            ),
+        ).alias("a")
+    ).select("a.cluster_id", "a.dist")
+    intra = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"), _kq_dsum(F.col("dist"), "sum_d")
+    )
+    mean_sq = F.col("sum_d") / F.col("n_vectors").cast("double")
+    return (
+        intra.join(F.broadcast(sep), "cluster_id")
+        .select(
+            "cluster_id",
+            "n_vectors",
+            mean_sq.alias("mean_sqdist"),
+            "nearest_other_sq",
+            (mean_sq / F.col("nearest_other_sq")).alias("compactness"),
+        )
+        .orderBy("cluster_id")
+    )
