@@ -1430,3 +1430,157 @@ def nation_revenue_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.abs(F.col("z")).desc(), "n_name", "day")
         .limit(_ZANOM_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto / ABC analysis of brand revenue
+# --------------------------------------------------------------------------
+
+_PARETO_ORACLE = f"""
+WITH brands AS (
+  SELECT p.p_brand,
+         {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+ranked AS (
+  SELECT p_brand, revenue,
+         CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+         CAST(CAST(SUM(TRY_CAST(CAST(revenue AS VARCHAR) AS {_SQL_DEC}))
+              OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS VARCHAR) AS DOUBLE) AS cum_rev,
+         CAST(CAST(SUM(TRY_CAST(CAST(revenue AS VARCHAR) AS {_SQL_DEC}))
+              OVER () AS VARCHAR) AS DOUBLE) AS total_rev
+  FROM brands
+  WINDOW w AS (ORDER BY revenue DESC, p_brand)
+)
+SELECT p_brand, rank, revenue,
+       cum_rev / total_rev AS cum_share,
+       CASE WHEN cum_rev / total_rev <= 0.8 THEN 'A'
+            WHEN cum_rev / total_rev <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+ORDER BY rank
+"""
+
+
+@register("brand_revenue_pareto", oracle=_PARETO_ORACLE)
+def brand_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of brands by revenue: descending
+    cumulative-share curve with the classic A (first 80% of revenue) /
+    B (to 95%) / C split — the assortment-analysis readout. ONE fact
+    shuffle to the brand rollup; the ranking/cumulative windows are
+    single-partition BY CONSTRUCTION but brand-cardinality (dim-scale,
+    same contract as nation_ordered_ids); cumulative and total revenue
+    re-accumulate exact decimals so the shares are order-independent
+    and bit-equal to the oracle."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    brands = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    order = [F.desc("revenue"), F.asc("p_brand")]
+    w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = F.col("revenue").try_cast(_DEC)
+    cum = F.sum(dec).over(w_run).cast("string").cast("double")
+    tot = F.sum(dec).over(w_all).cast("string").cast("double")
+    share = (cum / tot).alias("cum_share")
+    return brands.select(
+        "p_brand",
+        F.row_number().over(Window.orderBy(*order)).cast("int").alias("rank"),
+        "revenue",
+        share,
+        F.when(cum / tot <= 0.8, "A")
+        .when(cum / tot <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# Year-over-year price-volume decomposition per brand
+# --------------------------------------------------------------------------
+
+_PVM_Y0, _PVM_Y1 = 1995, 1996
+
+_PVM_ORACLE = f"""
+WITH by_year AS (
+  SELECT p.p_brand,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+         {sql_dsum('l.l_quantity', 'qty')},
+         {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'rev')}
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE EXTRACT(year FROM o.o_orderdate) IN ({_PVM_Y0}, {_PVM_Y1})
+  GROUP BY p.p_brand, yr
+),
+wide AS (
+  SELECT p_brand,
+         MAX(CASE WHEN yr = {_PVM_Y0} THEN qty END) AS q0,
+         MAX(CASE WHEN yr = {_PVM_Y0} THEN rev END) AS r0,
+         MAX(CASE WHEN yr = {_PVM_Y1} THEN qty END) AS q1,
+         MAX(CASE WHEN yr = {_PVM_Y1} THEN rev END) AS r1
+  FROM by_year GROUP BY p_brand
+)
+SELECT p_brand, q0, r0, q1, r1,
+       r1 - r0 AS delta_rev,
+       (q1 - q0) * (r0 / q0) AS volume_effect,
+       ((r1 / q1) - (r0 / q0)) * q1 AS price_effect
+FROM wide
+WHERE q0 IS NOT NULL AND q1 IS NOT NULL
+ORDER BY p_brand
+"""
+
+
+@register("brand_price_volume_mix", oracle=_PVM_ORACLE)
+def brand_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue-bridge decomposition per brand
+    (1995 vs 1996): delta revenue split into a VOLUME effect
+    ((q1-q0) at old unit price) and a PRICE effect ((p1-p0) at new
+    volume) — the two-factor bridge that sums to the delta exactly in
+    algebra ((q1-q0)p0 + (p1-p0)q1 = r1-r0) and to IEEE rounding here.
+    ONE fact shuffle to the (brand, year) rollup; the pivot is a 2-row
+    conditional aggregate per brand; brands missing either year drop
+    (no basis for a bridge). Exact-decimal sums; the unit prices and
+    effects close in a fixed IEEE sequence."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = F.year("o_orderdate").cast("int")
+    by_year = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .filter(yr.isin(_PVM_Y0, _PVM_Y1))
+        .groupBy("p_brand", yr.alias("yr"))
+        .agg(
+            dsum(F.col("l_quantity"), "qty"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "rev"),
+        )
+    )
+    pick = lambda y, c: F.max(F.when(F.col("yr") == y, F.col(c)))
+    wide = by_year.groupBy("p_brand").agg(
+        pick(_PVM_Y0, "qty").alias("q0"),
+        pick(_PVM_Y0, "rev").alias("r0"),
+        pick(_PVM_Y1, "qty").alias("q1"),
+        pick(_PVM_Y1, "rev").alias("r1"),
+    )
+    p0 = F.col("r0") / F.col("q0")
+    p1 = F.col("r1") / F.col("q1")
+    return (
+        wide.filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+        .select(
+            "p_brand", "q0", "r0", "q1", "r1",
+            (F.col("r1") - F.col("r0")).alias("delta_rev"),
+            ((F.col("q1") - F.col("q0")) * p0).alias("volume_effect"),
+            ((p1 - p0) * F.col("q1")).alias("price_effect"),
+        )
+        .orderBy("p_brand")
+    )
