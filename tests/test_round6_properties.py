@@ -108,3 +108,62 @@ def test_broadcast_estimate_monotone_and_bounded(spark, n_rows, width):
             raise AssertionError("guard passed an under-budget frame")
         except CardinalityError:
             pass
+
+
+# --- sixth-session query invariants ------------------------------------------
+
+
+def test_pareto_cum_share_monotone_and_closes_at_one(spark, sf_dir):
+    from bbt_etl_dw_spark.suite import load_all
+
+    rows = load_all()["brand_revenue_pareto"].builder(spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r.cum_share for r in rows]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    # the final cumulative decimal equals the total decimal -> x/x == 1.0
+    assert shares[-1] == 1.0
+    assert rows[0].abc_class == "A" and rows[-1].abc_class == "C"
+
+
+def test_zscore_anomalies_sorted_by_abs_z(spark, sf_dir):
+    from bbt_etl_dw_spark.suite import load_all
+
+    rows = load_all()["nation_revenue_zscore_anomalies"].builder(
+        spark, sf_dir
+    ).collect()
+    zs = [abs(r.z) for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    assert all(r.z is not None for r in rows)
+
+
+def test_price_volume_bridge_sums_to_delta(spark, sf_dir):
+    from bbt_etl_dw_spark.suite import load_all
+
+    rows = load_all()["brand_price_volume_mix"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # algebraic identity up to IEEE rounding of the two effects
+        assert abs((r.volume_effect + r.price_effect) - r.delta_rev) <= max(
+            1e-9 * abs(r.delta_rev), 1e-6
+        )
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    from bbt_etl_dw_spark.suite import load_all
+
+    rows = load_all()["events_dau_mau_stickiness"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mau >= r.dau > 0
+        assert 0.0 < r.stickiness <= 1.0
+
+
+def test_reconciliation_buckets_cover_all_orders(spark, sf_dir):
+    from bbt_etl_dw_spark.catalog import table
+    from bbt_etl_dw_spark.suite import load_all
+
+    rows = load_all()["order_total_reconciliation"].builder(
+        spark, sf_dir
+    ).collect()
+    n_orders = table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
