@@ -328,3 +328,90 @@ def attribution_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming per-user z-score anomaly scoring ----------------------------
+
+ZSCORE_OUTPUT_SCHEMA = "user_id long, event_id long, value double, z double"
+# exact-decimal sufficient statistics ride as STRINGS (GroupState has no
+# decimal type; the digit string round-trips losslessly) — the same
+# mergeable (n, Σv, Σv²) formulation the batch window uses, so stream
+# state equals the batch frame bit-for-bit at any micro-batch slicing
+ZSCORE_STATE_SCHEMA = "n long, sum_s string, sumsq_s string"
+ZSCORE_MIN_HISTORY = 8
+
+
+def _make_update_zscore(min_history: int):
+    mh = int(min_history)
+
+    def update_zscore(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import decimal as _d
+        import math as _math
+
+        import pandas as _pd
+
+        # prec=60 keeps every add exact at decimal(38,18) magnitudes
+        ctx = _d.Context(prec=60)
+        q18 = _d.Decimal("1.000000000000000000")
+
+        def to_dec(x: float) -> _d.Decimal:
+            # repr() is the shortest round-trip string — the SAME value
+            # Spark's double->decimal(38,18) cast produces (string-
+            # mediated, HALF_UP at 18 places; functions/numeric.py)
+            return ctx.create_decimal(repr(x)).quantize(
+                q18, rounding=_d.ROUND_HALF_UP, context=ctx
+            )
+
+        n, s_s, ss_s = state.get if state.exists else (0, "0", "0")
+        s, ss = _d.Decimal(s_s), _d.Decimal(ss_s)
+        batch = _pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        uids, eids, vals, zs = [], [], [], []
+        for _, r in batch.iterrows():
+            v = r["value"]
+            if v is None or v != v:  # SQL NULL folded to NaN by pandas
+                continue
+            fv = float(v)
+            if n >= mh:
+                # score against the PRIOR state: float(Decimal) is
+                # correctly rounded, identical to the batch twin's
+                # decimal->string->double hop; the close is the same
+                # fixed IEEE sequence
+                nd, sd, ssd = float(n), float(s), float(ss)
+                mean = sd / nd
+                var = (ssd - (sd * sd) / nd) / (nd - 1.0)
+                if var > 0.0:
+                    uids.append(key[0])
+                    eids.append(int(r["event_id"]))
+                    vals.append(fv)
+                    zs.append((fv - mean) / _math.sqrt(var))
+            s = ctx.add(s, to_dec(fv))
+            ss = ctx.add(ss, to_dec(fv * fv))
+            n += 1
+        state.update((n, str(s), str(ss)))
+        yield _pd.DataFrame(
+            {"user_id": uids, "event_id": eids, "value": vals, "z": zs}
+        )
+
+    return update_zscore
+
+
+def zscore_stream(events: DataFrame, min_history: int = ZSCORE_MIN_HISTORY) -> DataFrame:
+    """Streaming per-user anomaly scoring: each event's value z-scored
+    against that user's FULL PRIOR history (never including itself), the
+    per-entity streaming twin of the batch trailing z-score detector
+    (suite `nation_revenue_zscore_anomalies` / `events_user_value_zscores`).
+    State is the mergeable (n, Σv, Σv²) triple as exact decimals —
+    O(#users) cluster-wide — so every emitted z is bit-equal to the
+    batch window's at any micro-batch slicing (pytest-pinned). Ordered
+    arrival across batches is the contract, as for every stateful twin
+    here; within a batch events re-sort by (ts, event_id)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_update_zscore(min_history),
+        ZSCORE_OUTPUT_SCHEMA,
+        ZSCORE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -381,3 +381,93 @@ def events_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return final_ewma_batch(ev, alpha=0.5).orderBy("user_id")
+
+
+# --- per-user prior-history z-scores (batch twin of zscore_stream) ----------
+
+from bbt_etl_dw_spark.functions.numeric import DEC as _DEC  # noqa: E402
+from bbt_etl_dw_spark.functions.numeric import SQL_DEC as _SQL_DEC  # noqa: E402
+from bbt_etl_dw_spark.streaming.stateful import (  # noqa: E402
+    ZSCORE_MIN_HISTORY as _ZS_MIN,
+)
+
+_ZS_WDEC = f"TRY_CAST(CAST(value AS VARCHAR) AS {_SQL_DEC})"
+_ZS_FRAME = """PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"""
+
+_USER_ZSCORES_ORACLE = f"""
+WITH trail AS (
+  SELECT user_id, event_id, value,
+         CAST(COUNT({_ZS_WDEC}) OVER ({_ZS_FRAME}) AS DOUBLE) AS n,
+         CAST(CAST(SUM({_ZS_WDEC}) OVER ({_ZS_FRAME}) AS VARCHAR)
+              AS DOUBLE) AS s,
+         CAST(CAST(SUM(TRY_CAST(CAST(value * value AS VARCHAR) AS {_SQL_DEC}))
+              OVER ({_ZS_FRAME}) AS VARCHAR) AS DOUBLE) AS ss
+  FROM events
+),
+scored AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                   AND n >= {_ZS_MIN}
+                   AND (ss - (s * s) / n) / (n - 1.0) > 0.0
+              THEN (value - s / n)
+                   / sqrt((ss - (s * s) / n) / (n - 1.0))
+         END AS z
+  FROM trail
+)
+SELECT user_id, event_id, value, z
+FROM scored WHERE z IS NOT NULL
+ORDER BY event_id
+"""
+
+
+def user_value_zscores_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`bbt_etl_dw_spark.streaming.stateful.zscore_stream`:
+    each event scored against the user's PRIOR (ts, event_id)-ordered
+    non-null history via one user-keyed window computing the mergeable
+    (n, Σv, Σv²) as exact decimals — the same state the stream carries,
+    so the two are bit-equal at any micro-batch slicing."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = F.col("value").try_cast(_DEC)
+    dec_sq = (F.col("value") * F.col("value")).try_cast(_DEC)
+    sd = lambda c: F.sum(c).over(w).cast("string").cast("double")
+    trail = events.select(
+        "user_id", "event_id", "value",
+        F.count(dec).over(w).cast("double").alias("n"),
+        sd(dec).alias("s"),
+        sd(dec_sq).alias("ss"),
+    )
+    var = (F.col("ss") - (F.col("s") * F.col("s")) / F.col("n")) / (
+        F.col("n") - F.lit(1.0)
+    )
+    z = F.when(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.col("n") >= _ZS_MIN)
+        & (var > 0.0),
+        (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var),
+    )
+    return (
+        trail.select("user_id", "event_id", "value", z.alias("z"))
+        .filter(F.col("z").isNotNull())
+        .orderBy("event_id")
+    )
+
+
+@register("events_user_value_zscores", oracle=_USER_ZSCORES_ORACLE)
+def events_user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event anomaly score: each event's value z-scored against its
+    user's full PRIOR history (frame ends at 1 PRECEDING — an outlier
+    never suppresses itself; minimum 8 prior values). This is the
+    batch-ground-truth of the streaming stateful scorer
+    (streaming/stateful.zscore_stream, stream==batch bit-exact pytest):
+    ONE user-keyed window carries the mergeable (n, Σv, Σv²) exact
+    decimals, the close is a fixed IEEE sequence with a guarded
+    variance."""
+    return user_value_zscores_batch(table(spark, sf_dir, "events"))

@@ -1052,3 +1052,26 @@ def test_stateful_attribution_stream_equals_batch(spark, events_batch, chunked_d
         assert emitted[eid]["channel"] == row["channel"], eid
         assert emitted[eid]["conv_us"] == row["conv_us"], eid
         assert emitted[eid]["user_id"] == row["user_id"], eid
+
+
+def test_stateful_zscore_stream_equals_batch_bitexact(
+    spark, events_batch, chunked_dir
+):
+    """Every z the stream emits must equal the batch window's z
+    BIT-FOR-BIT at this 3-micro-batch slicing: the stream's exact-decimal
+    (n, sum, sumsq) state is the same quantity the batch frame
+    aggregates, and both close with the identical IEEE sequence."""
+    from bbt_etl_dw_spark.streaming.ops import events_file_stream
+    from bbt_etl_dw_spark.streaming.stateful import zscore_stream
+    from bbt_etl_dw_spark.suite.stream import user_value_zscores_batch
+
+    stream = events_file_stream(spark, chunked_dir)
+    got = _run_stream(spark, zscore_stream(stream), "t_zscore", "update")
+    want = user_value_zscores_batch(events_batch)
+    g = {(r.user_id, r.event_id): (r.value, r.z) for r in got.collect()}
+    w = {(r.user_id, r.event_id): (r.value, r.z) for r in want.collect()}
+    assert set(g) == set(w)
+    assert len(g) > 0
+    for k, (gv, gz) in g.items():
+        wv, wz = w[k]
+        assert gv == wv and gz == wz, k
