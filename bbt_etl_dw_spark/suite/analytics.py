@@ -1584,3 +1584,77 @@ def brand_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov-Smirnov distance: returned vs delivered quantity distributions
+# --------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH vals AS (
+  SELECT l_quantity AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_b
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+  GROUP BY l_quantity
+),
+cum AS (
+  SELECT v,
+         SUM(c_a) OVER w AS cum_a,
+         SUM(c_b) OVER w AS cum_b,
+         SUM(c_a) OVER () AS n_a,
+         SUM(c_b) OVER () AS n_b
+  FROM vals
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(ANY_VALUE(n_a) AS BIGINT) AS n_a,
+       CAST(ANY_VALUE(n_b) AS BIGINT) AS n_b,
+       MAX(ABS(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))) AS ks_d
+FROM cum
+"""
+
+
+@register("quantity_ks_distance", oracle=_KS_ORACLE)
+def quantity_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between returned (R) and
+    delivered (N) quantity distributions — the DISTRIBUTION leg of the
+    drift/test trio on this exact pairing (means: Welch t; ranks:
+    Mann-Whitney U). Same scale discipline as MWU: the fact reduces to
+    per-DISTINCT-VALUE conditional counts first (one hash aggregate;
+    l_quantity has ~50 distinct values), so the empirical-CDF windows
+    run over the dim-scale value list, never a global row sort. The
+    supremum gap closes as exact-integer cumulative counts divided once
+    per side — fixed IEEE ops, bit-equal to the oracle."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    vals = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint").alias("c_a"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+        .cast("bigint").alias("c_b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"),
+        F.sum("c_a").over(w_all).alias("n_a"),
+        F.sum("c_b").over(w_all).alias("n_b"),
+    )
+    gap = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+    )
+    return cum.agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.max(gap).alias("ks_d"),
+    )
