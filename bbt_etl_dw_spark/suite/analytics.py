@@ -1658,3 +1658,73 @@ def quantity_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_b").cast("bigint").alias("n_b"),
         F.max(gap).alias("ks_d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Naive-forecast backtest: last-month vs same-month-last-year baselines
+# --------------------------------------------------------------------------
+
+_BACKTEST_ORACLE = f"""
+WITH monthly AS (
+  SELECT (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) * 12
+          + CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) - 1) AS m,
+         {sql_dsum('o_totalprice', 'rev')}
+  FROM orders GROUP BY m
+),
+joined AS (
+  SELECT 'a_last_month' AS method, a.rev AS actual, p.rev AS predicted
+  FROM monthly a JOIN monthly p ON p.m = a.m - 1
+  UNION ALL
+  SELECT 'b_last_year', a.rev, p.rev
+  FROM monthly a JOIN monthly p ON p.m = a.m - 12
+),
+err AS (
+  SELECT method, actual, ABS(actual - predicted) AS abs_err FROM joined
+)
+SELECT method, COUNT(*) AS n_months,
+       {sql_dsum('abs_err', 'sum_abs_err')},
+       {sql_dsum('actual', 'sum_actual')}
+FROM err GROUP BY method ORDER BY method
+"""
+
+
+@register("monthly_forecast_backtest", oracle=_BACKTEST_ORACLE)
+def monthly_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the two naive forecasting baselines every real model
+    must beat — predict each month's revenue as last month's
+    (random-walk) vs the same month last year's (seasonal naive) — with
+    total absolute error and actual mass per method (MAE and the
+    WMAPE numerator/denominator; the division is the reader's one
+    downstream op, kept unreduced so methods with different month
+    counts compare honestly). ONE fact shuffle to the ~80-row monthly
+    rollup; each baseline is an equi self-join on the integer month
+    index (year*12+month — no date arithmetic, no tz exposure);
+    exact-decimal sums throughout."""
+    o = table(spark, sf_dir, "orders")
+    m = (
+        F.year("o_orderdate").cast("bigint") * 12
+        + F.month("o_orderdate").cast("bigint")
+        - 1
+    )
+    monthly = o.groupBy(m.alias("m")).agg(dsum(F.col("o_totalprice"), "rev"))
+    a = monthly.select(F.col("m").alias("am"), F.col("rev").alias("actual"))
+
+    def baseline(name: str, lag: int) -> DataFrame:
+        p = monthly.select((F.col("m") + lag).alias("am"),
+                           F.col("rev").alias("predicted"))
+        return a.join(p, "am").select(
+            F.lit(name).alias("method"),
+            "actual",
+            F.abs(F.col("actual") - F.col("predicted")).alias("abs_err"),
+        )
+
+    err = baseline("a_last_month", 1).unionByName(baseline("b_last_year", 12))
+    return (
+        err.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            dsum(F.col("abs_err"), "sum_abs_err"),
+            dsum(F.col("actual"), "sum_actual"),
+        )
+        .orderBy("method")
+    )
