@@ -674,31 +674,43 @@ def weighted_group_percentiles(
     cumulative sum must be monotone for the threshold predicate (and the
     cross-engine tie argument below) to hold.
 
-    ONE shuffle: the cumulative-weight and total-weight windows share a
-    single hash partitioning on the group columns, and the closing
-    aggregate reuses it. Weights accumulate as exact string-mediated
-    decimals; the threshold compare happens in double on BOTH engines
-    (same string-mediated conversion + one IEEE multiply), so the
-    marked row set is engine-identical. Ties in the value column are
-    benign by monotonicity: cumweight at each tie-BLOCK boundary is
-    tie-order invariant, so whichever row inside a block first crosses
-    the threshold, ``min(value)`` selects the same value.
+    Rows with a NULL value are excluded up front: they carry no
+    position on the value axis, and the engines disagree on where NULL
+    sorts (Spark NULLS FIRST vs DuckDB NULLS LAST), which would
+    otherwise skew the cumulative weights cross-engine.
+
+    Scale shape (the Mann-Whitney value-binning discipline): the fact
+    REDUCES FIRST to one exact-decimal weight sum per (group, DISTINCT
+    value) — a map-side-combining hash aggregate, the only pass that
+    touches fact-scale rows — and the cumulative window then runs over
+    the value-bin rollup. A low-cardinality group column therefore
+    never funnels the fact through #groups window tasks (measured 6.87x
+    at 10x data with the naive per-row window on 3 groups; value
+    binning makes the window input groups x distinct-values). Binning
+    is also what makes ties a non-issue: the lower-bound quantile
+    ``min{ v : cumweight(v) >= p * W }`` only ever reads cumulative
+    weight at BIN boundaries, which no within-value ordering can move.
+    The threshold compare happens in double on BOTH engines (same
+    string-mediated conversion + one IEEE multiply), so the marked bin
+    set is engine-identical.
 
     Output: group_cols + one double column per ``percentiles`` key.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     v = F.col(value_col).cast("double")
     wd = F.col(weight_col).try_cast(DEC)
+    bins = df.groupBy(*group_cols, v.alias("_v")).agg(F.sum(wd).alias("_bw"))
     w_cum = (
         Window.partitionBy(*group_cols)
-        .orderBy(v)
+        .orderBy("_v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_all = Window.partitionBy(*group_cols)
-    ranked = df.select(
+    ranked = bins.select(
         *group_cols,
-        v.alias("_v"),
-        _dec_to_double(F.sum(wd).over(w_cum)).alias("_cumw"),
-        _dec_to_double(F.sum(wd).over(w_all)).alias("_w"),
+        "_v",
+        _dec_to_double(F.sum("_bw").over(w_cum)).alias("_cumw"),
+        _dec_to_double(F.sum("_bw").over(w_all)).alias("_w"),
     )
     aggs = [
         F.min(
@@ -721,15 +733,20 @@ def sql_weighted_percentile_ctes(
     aggregates grouped on the group columns."""
     wdec = f"TRY_CAST(CAST(({weight_sql}) AS VARCHAR) AS {SQL_DEC})"
     return f"""
+bins AS (
+  SELECT {group_sql}, CAST(({value_sql}) AS DOUBLE) AS _v,
+         SUM({wdec}) AS _bw
+  FROM ({source_sql}) WHERE ({value_sql}) IS NOT NULL
+  GROUP BY {group_sql}, _v
+),
 ranked AS (
-  SELECT {group_sql},
-         CAST(({value_sql}) AS DOUBLE) AS _v,
-         CAST(CAST(SUM({wdec}) OVER (
-             PARTITION BY {group_sql} ORDER BY CAST(({value_sql}) AS DOUBLE)
+  SELECT {group_sql}, _v,
+         CAST(CAST(SUM(_bw) OVER (
+             PARTITION BY {group_sql} ORDER BY _v
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS VARCHAR) AS DOUBLE) AS _cumw,
-         CAST(CAST(SUM({wdec}) OVER (
+         CAST(CAST(SUM(_bw) OVER (
              PARTITION BY {group_sql}
            ) AS VARCHAR) AS DOUBLE) AS _w
-  FROM ({source_sql})
+  FROM bins
 )"""
