@@ -188,6 +188,14 @@ def exact_group_percentiles(
     benign: equal values interpolate to themselves regardless of which
     tied row takes which rank.
 
+    Scale caveat: the rank window parallelizes across GROUPS — with few
+    distinct group keys the fact funnels through #groups sort tasks.
+    For low-cardinality groups prefer the mass-based
+    :func:`weighted_group_percentiles` with unit weights (value-binned:
+    the fact reduces map-side first) when lower-bound semantics are
+    acceptable, or the mergeable sketch path
+    (``order_quantile_sketch_check``) when approximation is.
+
     Output: group_cols + one double column per ``percentiles`` key.
     """
     v = F.col(value_col).cast("double")
