@@ -396,3 +396,65 @@ def scd2_from_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked_cols=["c_mktsegment", "c_acctbal"],
         asof=datetime.date(2024, 6, 1),
     ).orderBy("c_custkey", "effective_start_date")
+
+
+# --- point-in-time (AS OF) reads over the SCD2 history ----------------------
+
+_PIT_DATES = ("2024-03-15", "2024-07-01")  # between versions / after churn
+
+_PIT_ORACLE = f"""
+WITH hist AS ({_SCD2_FEED_ORACLE}),
+shots AS (
+  {" UNION ALL ".join(
+      f"SELECT DATE '{d}' AS as_of, * FROM hist "
+      f"WHERE effective_start_date <= DATE '{d}' "
+      f"AND (effective_end_date IS NULL OR effective_end_date > DATE '{d}')"
+      for d in _PIT_DATES
+  )}
+)
+SELECT as_of,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN c_mktsegment = 'PROMO' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_promo,
+       CAST(SUM(CASE WHEN c_mktsegment = 'FRESH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fresh,
+       {sql_dsum('c_acctbal', 'total_acctbal')}
+FROM shots GROUP BY as_of ORDER BY as_of
+"""
+
+
+@register("scd2_point_in_time_read", oracle=_PIT_ORACLE)
+def scd2_point_in_time_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF (time-travel) reads over the SCD2 history — the CONSUMER
+    side of the SCD2 machinery: reconstruct the dimension exactly as it
+    stood on two dates (one between the initial load and the churn
+    batch, one after) with the canonical validity predicate
+    ``start <= d AND (end IS NULL OR end > d)``. Each snapshot is a
+    narrow filter over the history (at scale: a partition-prunable
+    predicate when the history is range-partitioned on start date,
+    never a join); the date arithmetic is DATE-only, immune to session
+    timezones. The rollup proves version selection value-level: PROMO
+    rows exist only after churn, FRESH inserts only in the second
+    snapshot, and the account-balance mass shifts accordingly."""
+    hist = scd2_from_change_feed(spark, sf_dir)
+    shots = None
+    for d in _PIT_DATES:
+        dd = F.to_date(F.lit(d))
+        snap = hist.filter(
+            (F.col("effective_start_date") <= dd)
+            & (F.col("effective_end_date").isNull()
+               | (F.col("effective_end_date") > dd))
+        ).select(dd.alias("as_of"), "c_mktsegment", "c_acctbal")
+        shots = snap if shots is None else shots.unionByName(snap)
+    return (
+        shots.groupBy("as_of")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("c_mktsegment") == "PROMO", 1).otherwise(0))
+            .cast("bigint").alias("n_promo"),
+            F.sum(F.when(F.col("c_mktsegment") == "FRESH", 1).otherwise(0))
+            .cast("bigint").alias("n_fresh"),
+            dsum(F.col("c_acctbal"), "total_acctbal"),
+        )
+        .orderBy("as_of")
+    )
