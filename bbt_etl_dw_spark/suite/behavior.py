@@ -1385,3 +1385,88 @@ def events_daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- within-session funnel ---------------------------------------------------
+
+_SESSION_FUNNEL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+numbered AS (
+  SELECT user_id, event_id, event_type, ts, us,
+         SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM e
+),
+s1 AS (
+  SELECT user_id, session_seq, MIN(ts) AS t1 FROM numbered
+  WHERE event_type = 'signup' GROUP BY user_id, session_seq
+),
+s2 AS (
+  SELECT n.user_id, n.session_seq, MIN(n.ts) AS t2
+  FROM numbered n JOIN s1
+    ON n.user_id = s1.user_id AND n.session_seq = s1.session_seq
+   AND n.ts > s1.t1
+  WHERE n.event_type = 'click' GROUP BY n.user_id, n.session_seq
+),
+s3 AS (
+  SELECT n.user_id, n.session_seq, MIN(n.ts) AS t3
+  FROM numbered n JOIN s2
+    ON n.user_id = s2.user_id AND n.session_seq = s2.session_seq
+   AND n.ts > s2.t2
+  WHERE n.event_type = 'purchase' GROUP BY n.user_id, n.session_seq
+)
+SELECT 1 AS stage_idx, 'signup' AS stage,
+       (SELECT COUNT(*) FROM s1) AS n_sessions
+UNION ALL
+SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+ORDER BY stage_idx
+"""
+
+
+@register("events_session_funnel", oracle=_SESSION_FUNNEL_ORACLE)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel scoped WITHIN a 30-minute-gap session: a step only
+    counts if it happens in the SAME session as (and strictly after) the
+    previous stage — the 'converted in one sitting' variant of
+    events_funnel, which scopes per lifetime, and events_funnel_24h,
+    which time-boxes each step. Composition of the two substrates: the
+    gaps-and-islands numbering shares one user exchange, then the
+    chained min-over-(user, session) funnel windows share one more —
+    depth adds windows, never joins. Counts are SESSIONS reaching each
+    stage."""
+    from pyspark.sql import Window
+
+    from bbt_etl_dw_spark.operators.behavior import funnel_stage_counts
+
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    worder = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    new_s = F.when(
+        F.lag(us).over(worder).isNull()
+        | ((us - F.lag(us).over(worder)) > _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    wnum = (
+        Window.partitionBy("user_id")
+        .orderBy(us, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = ev.select(
+        "user_id", "event_id", "event_type", "ts", new_s.alias("new_s")
+    ).withColumn(
+        "session_key",
+        F.concat_ws("#", F.col("user_id"), F.sum("new_s").over(wnum)),
+    )
+    out = funnel_stage_counts(
+        numbered, _FUNNEL_STEPS, user_col="session_key"
+    )
+    return out.withColumnRenamed("n_users", "n_sessions")

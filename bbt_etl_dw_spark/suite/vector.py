@@ -1223,3 +1223,117 @@ def embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --- JL projection neighborhood recall ---------------------------------------
+
+from bbt_etl_dw_spark.operators.projection import sql_jl_exprs as _sql_jl  # noqa: E402
+from bbt_etl_dw_spark.operators.projection import jl_project as _jl_project  # noqa: E402
+
+_RP_K = 5  # top-k whose overlap we measure
+_RP_DIM, _RP_OUT = 64, 16
+
+_RP_FOLD64 = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> (v.e[i] - q.e[i]) * (v.e[i] - q.e[i])), (a, b) -> a + b)"
+)
+_RP_FOLD16 = (
+    "list_reduce(list_transform(range(1, 17),"
+    " i -> (p.pe[i] - qp.pe[i]) * (p.pe[i] - qp.pe[i])), (a, b) -> a + b)"
+)
+
+_RP_RECALL_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, e FROM v WHERE vec_id < 5),
+exact AS (
+  SELECT q.qid, v.vec_id,
+         row_number() OVER (PARTITION BY q.qid
+             ORDER BY {_RP_FOLD64}, v.vec_id) AS rnk
+  FROM v CROSS JOIN q
+),
+p0 AS (
+  SELECT vec_id, {', '.join(_sql_jl('embedding', _RP_DIM, _RP_OUT))}
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id,
+         list_value({', '.join(f'rp_{j:02d}' for j in range(_RP_OUT))}) AS pe
+  FROM p0
+),
+qp AS (SELECT vec_id AS qid, pe FROM p WHERE vec_id < 5),
+projd AS (
+  SELECT qp.qid, p.vec_id,
+         row_number() OVER (PARTITION BY qp.qid
+             ORDER BY {_RP_FOLD16}, p.vec_id) AS rnk
+  FROM p CROSS JOIN qp
+),
+ex5 AS (SELECT qid, vec_id FROM exact WHERE rnk <= {_RP_K}),
+pj5 AS (SELECT qid, vec_id FROM projd WHERE rnk <= {_RP_K})
+SELECT a.qid AS query_id,
+       CAST(COUNT(b.vec_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(b.vec_id) AS DOUBLE) / {_RP_K}.0 AS recall
+FROM ex5 a LEFT JOIN pj5 b ON a.qid = b.qid AND a.vec_id = b.vec_id
+GROUP BY a.qid ORDER BY query_id
+"""
+
+
+@register("rp_projection_recall", oracle=_RP_RECALL_ORACLE)
+def rp_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-preservation gate for the JL projection: per query,
+    the overlap between exact L2 top-5 in the ORIGINAL 64-d space and
+    top-5 in the PROJECTED 16-d space — the recall a pipeline must
+    check before routing ANN through the cheap projection. Both sides
+    are the declared bounded-broadcast baseline shape (5 queries
+    against the corpus, like ann_bruteforce_topk); ranks tie-break on
+    vec_id; the oracle replays projection and both rankings from the
+    same sign table."""
+    from pyspark.sql import Window
+
+    from bbt_etl_dw_spark.operators.similarity import _l2sq
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+
+    def top5(corpus, queries, cvec, qvec):
+        pairs = corpus.crossJoin(F.broadcast(queries)).select(
+            "qid", "vec_id", _l2sq(F.col(cvec), F.col(qvec)).alias("d")
+        )
+        w = Window.partitionBy("qid").orderBy("d", "vec_id")
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _RP_K)
+            .select("qid", "vec_id")
+        )
+
+    ex5 = top5(v, q, "e", "qe")
+
+    proj = _jl_project(emb.select("vec_id", "embedding"), "embedding",
+                       _RP_DIM, _RP_OUT)
+    pe = F.array(*[F.col(f"rp_{j:02d}") for j in range(_RP_OUT)])
+    p = proj.select("vec_id", pe.alias("pe"))
+    qp = p.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("pe").alias("qpe")
+    )
+    pj5 = top5(p, qp, "pe", "qpe")
+
+    joined = ex5.alias("a").join(
+        pj5.alias("b"),
+        (F.col("a.qid") == F.col("b.qid")) & (F.col("a.vec_id") == F.col("b.vec_id")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("a.qid").alias("query_id"))
+        .agg(F.count(F.col("b.vec_id")).cast("bigint").alias("n_overlap"))
+        .select(
+            "query_id", "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(float(_RP_K)))
+            .alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -48,6 +48,9 @@ QUADRATIC_ALLOWED = {
     # against the corpus — the same bounded baseline shape as
     # ann_bruteforce_topk
     "ann_pq_recall",
+    # JL neighborhood-recall gate: exact top-5 in both spaces, each a
+    # 5-query bounded broadcast against the corpus (baseline shape)
+    "rp_projection_recall",
 }
 
 # Scalar-subquery attaches (suite.classic._attach_scalar): a broadcast
