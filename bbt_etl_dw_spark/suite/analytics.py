@@ -1728,3 +1728,95 @@ def monthly_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# --------------------------------------------------------------------------
+# Daily open-order backlog (sweep-line concurrent-interval counting)
+# --------------------------------------------------------------------------
+
+_BACKLOG_ORACLE = f"""
+WITH spans AS (
+  SELECT o.o_orderkey,
+         (epoch_us(o.o_orderdate) // 86400000000) AS start_day,
+         MAX(epoch_us(l.l_shipdate) // 86400000000) AS close_day
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, start_day
+),
+deltas AS (
+  SELECT start_day AS day, 1 AS delta, 1 AS opened, 0 AS closed FROM spans
+  UNION ALL
+  SELECT close_day + 1, -1, 0, 1 FROM spans
+),
+daily AS (
+  SELECT day,
+         CAST(SUM(delta) AS BIGINT) AS net,
+         CAST(SUM(opened) AS BIGINT) AS n_opened,
+         CAST(SUM(closed) AS BIGINT) AS n_closed
+  FROM deltas GROUP BY day
+),
+run AS (
+  SELECT day, n_opened, n_closed,
+         CAST(SUM(net) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS open_orders
+  FROM daily
+)
+SELECT day, n_opened, n_closed, open_orders
+FROM run
+WHERE day BETWEEN {_GAPFILL_DAY_LO} AND {_GAPFILL_DAY_HI}
+ORDER BY day
+"""
+
+
+@register("orders_open_backlog_daily", oracle=_BACKLOG_ORACLE)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog during 1995: how many orders are placed
+    but not yet fully shipped on each day — concurrent-interval counting
+    via the sweep line (+1 at order day, -1 the day after the LAST line
+    ships), which never joins intervals against days: the fact reduces
+    to per-order spans (one orderkey shuffle), spans become +/-1 deltas,
+    and one dim-scale running sum over the day rollup yields the
+    concurrency. The 1995 slice filters AFTER the running sum (the
+    backlog on Jan 1 carries history); closing on n_closed keys to the
+    day the order STOPS being open. Orders with no lineitems have no
+    ship date and are excluded (never-fulfilled is an anomaly row, not
+    a backlog fact — see order_total_reconciliation's orphan bucket)."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("start_day"),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("unix_micros(l_shipdate) div 86400000000").alias("ship_day"),
+    )
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "start_day")
+        .agg(F.max("ship_day").alias("close_day"))
+    )
+    deltas = spans.select(
+        F.col("start_day").alias("day"),
+        F.lit(1).alias("delta"), F.lit(1).alias("opened"), F.lit(0).alias("closed"),
+    ).unionByName(
+        spans.select(
+            (F.col("close_day") + 1).alias("day"),
+            F.lit(-1).alias("delta"), F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("delta").cast("bigint").alias("net"),
+        F.sum("opened").cast("bigint").alias("n_opened"),
+        F.sum("closed").cast("bigint").alias("n_closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            "day", "n_opened", "n_closed",
+            F.sum("net").over(w).cast("bigint").alias("open_orders"),
+        )
+        .filter(F.col("day").between(_GAPFILL_DAY_LO, _GAPFILL_DAY_HI))
+        .orderBy("day")
+    )
