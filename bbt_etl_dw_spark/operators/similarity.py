@@ -682,3 +682,56 @@ def incremental_semantic_dedup(
         .join(cids, "vec_id")
         .withColumnRenamed("vec_id", id_col)
     )
+
+
+def negative_samples(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic pseudo-random negative sampling for contrastive
+    training pairs: for every anchor row, up to ``k`` negatives drawn by
+    HASH-BUCKET LOOKUP, never by scoring the corpus — the anchor's j-th
+    draw targets bucket ``md5(anchor:j)`` and takes that bucket's
+    deterministic representative (min id != anchor), so the whole
+    sampler is one equi-join of (anchors x k) against the bucketed
+    corpus: O(n·k), reproducible on any engine/run (md5-derived like
+    every sampling decision here — textstats.split_bucket discipline),
+    and append-stable (new corpus rows change a bucket's representative
+    only if they undercut its min id).
+
+    An empty target bucket yields no row for that (anchor, j) — the
+    caller sizes ``n_buckets`` <= corpus/2 to keep misses rare. Returns
+    ``(id_col, draw, neg_id)``. Near-dup exclusion composes downstream:
+    anti-join the output against your positive-pair set (the same
+    digest-keyed shape as ``incremental_exact_dedup``)."""
+    hexd = "0123456789abcdef"
+    if n_buckets not in (16, 256, 4096):
+        raise ValueError("n_buckets must be a power-of-16 prefix size")
+    prefix_len = {16: 1, 256: 2, 4096: 3}[n_buckets]
+    sid = F.col(id_col).cast("string")
+    bucketed = corpus.select(
+        F.col(id_col).alias("__cand"),
+        F.substring(F.md5(sid), 1, prefix_len).alias("__b"),
+    )
+    draws = corpus.select(F.col(id_col).alias("__anchor")).select(
+        "__anchor",
+        F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("draw"),
+    ).select(
+        "__anchor",
+        "draw",
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("__anchor").cast("string"),
+                              F.col("draw").cast("string"))),
+            1, prefix_len,
+        ).alias("__b"),
+    )
+    joined = draws.join(bucketed, "__b").filter(
+        F.col("__cand") != F.col("__anchor")
+    )
+    return (
+        joined.groupBy("__anchor", "draw")
+        .agg(F.min("__cand").alias("neg_id"))
+        .select(F.col("__anchor").alias(id_col), "draw", "neg_id")
+    )

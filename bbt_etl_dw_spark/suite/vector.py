@@ -1337,3 +1337,45 @@ def rp_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- contrastive negative sampling -------------------------------------------
+
+_NEG_K = 4
+_NEG_PREFIX = 2  # 256 buckets
+
+_NEG_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id AS cand,
+         substring(md5(CAST(vec_id AS VARCHAR)), 1, {_NEG_PREFIX}) AS b
+  FROM embeddings
+),
+draws AS (
+  SELECT e.vec_id AS anchor, CAST(j AS BIGINT) AS draw,
+         substring(md5(CAST(e.vec_id AS VARCHAR) || ':' ||
+                       CAST(j AS VARCHAR)), 1, {_NEG_PREFIX}) AS b
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, {_NEG_K - 1})) AS j)
+)
+SELECT d.anchor AS vec_id, d.draw, MIN(bk.cand) AS neg_id
+FROM draws d JOIN bucketed bk ON d.b = bk.b AND bk.cand <> d.anchor
+GROUP BY d.anchor, d.draw
+ORDER BY vec_id, draw
+"""
+
+
+@register("embedding_negative_samples", oracle=_NEG_ORACLE)
+def embedding_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each anchor's j-th negative comes from hash-bucket LOOKUP (the
+    md5(anchor:j) bucket's min-id representative), so sampling is one
+    equi-join of (anchors x 4 draws) against the 256-bucket corpus —
+    O(n·k), reproducible, append-stable, never an all-pairs score
+    (operators/similarity.negative_samples). Positive-pair exclusion
+    composes downstream as a digest-keyed anti-join."""
+    from bbt_etl_dw_spark.operators.similarity import negative_samples
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    return negative_samples(
+        emb.select("vec_id"), k=_NEG_K, n_buckets=256
+    ).orderBy("vec_id", "draw")

@@ -162,3 +162,19 @@ def test_jl_scale_requires_power_of_four():
     for bad in (2, 8, 12, 32):
         with _pytest.raises(ValueError):
             _check_scale(bad)
+
+
+def test_negative_samples_deterministic_and_self_free(spark):
+    from bbt_etl_dw_spark.operators.similarity import negative_samples
+
+    corpus = spark.range(0, 200).select(F.col("id").alias("vec_id"))
+    out = negative_samples(corpus, k=3, n_buckets=16).collect()
+    assert out  # 16 buckets over 200 ids: every bucket occupied
+    assert all(r.neg_id != r.vec_id for r in out)
+    assert all(0 <= r.draw < 3 for r in out)
+    per_anchor = {}
+    for r in out:
+        per_anchor.setdefault(r.vec_id, []).append(r.draw)
+    assert all(len(ds) <= 3 for ds in per_anchor.values())
+    again = negative_samples(corpus, k=3, n_buckets=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
