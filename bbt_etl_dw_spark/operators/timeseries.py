@@ -103,6 +103,7 @@ def gap_fill_linear(
     bucket_col: str,
     value_col: str,
     out_col: str = "filled",
+    max_span: int = 1_000_000,
 ) -> DataFrame:
     """Densify an integer-bucketed series per key and linearly
     interpolate the missing buckets.
@@ -116,18 +117,36 @@ def gap_fill_linear(
 
         prev + (next - prev) * (bucket - prev_bucket) / (next_bucket - prev_bucket)
 
-    from its nearest observed neighbours on each side.
+    from its nearest observed neighbours on each side. A key whose
+    bucket span exceeds ``max_span`` raises in-plan (see the guard
+    comment below) rather than materializing an unbounded spine array.
     """
     keys = list(key_cols)
     b = F.col(bucket_col)
     observed = df.select(*keys, b.alias(bucket_col), F.col(value_col).alias("__v"))
 
+    # sequence() materializes one ARRAY per key: a pathological span (one
+    # stray epoch-0 row under a minute-grain bucket) would build a
+    # multi-GB array inside a single row. Fail loudly instead — the
+    # remedy (fix the stray bucket, or coarsen the grain) is a data
+    # decision the operator must not make silently.
+    span_ok = (F.col("__hi") - F.col("__lo")) <= int(max_span)
+    guarded_lo = F.when(span_ok, F.col("__lo")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "gap_fill_linear: key span %s exceeds max_span="
+                + str(int(max_span))
+                + " buckets — stray bucket or too-fine grain",
+                (F.col("__hi") - F.col("__lo")).cast("string"),
+            )
+        )
+    )
     spine = (
         observed.groupBy(*keys)
         .agg(F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
         .select(
             *keys,
-            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(bucket_col),
+            F.explode(F.sequence(guarded_lo, F.col("__hi"))).alias(bucket_col),
         )
     )
     joined = spine.join(observed, [*keys, bucket_col], "left")

@@ -512,3 +512,21 @@ def test_weighted_percentiles_mass_semantics(spark):
     ).head()
     assert out.p50 == 3.0  # cum mass 1,2,12 vs W=12: first >= 6 is v=3
     assert out.p10 == 2.0  # threshold 1.2: cum at v=1 is 1.0 < 1.2
+
+
+def test_gap_fill_span_guard_raises(spark):
+    """A pathological bucket span (stray epoch-0 row) must fail loudly,
+    not materialize a giant spine array."""
+    from bbt_etl_dw_spark.operators.timeseries import gap_fill_linear
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 10_000_000, 2.0)], "k string, b bigint, v double"
+    )
+    try:
+        gap_fill_linear(df, ["k"], "b", "v", max_span=1_000_000).collect()
+        raise AssertionError("span guard did not fire")
+    except Exception as e:  # Py4J wraps the SparkRuntimeException
+        assert "max_span" in str(e)
+    # and a sane span still works with the guard in the plan
+    ok = gap_fill_linear(df.filter("b = 0"), ["k"], "b", "v").collect()
+    assert len(ok) == 1
