@@ -689,6 +689,7 @@ def negative_samples(
     k: int,
     id_col: str = "vec_id",
     n_buckets: int = 256,
+    strata_col: str | None = None,
 ) -> DataFrame:
     """Deterministic pseudo-random negative sampling for contrastive
     training pairs: for every anchor row, up to ``k`` negatives drawn by
@@ -705,21 +706,31 @@ def negative_samples(
     caller sizes ``n_buckets`` <= corpus/2 to keep misses rare. Returns
     ``(id_col, draw, neg_id)``. Near-dup exclusion composes downstream:
     anti-join the output against your positive-pair set (the same
-    digest-keyed shape as ``incremental_exact_dedup``)."""
+    digest-keyed shape as ``incremental_exact_dedup``).
+
+    ``strata_col`` restricts every draw to the anchor's OWN stratum
+    (the bucket join key becomes (stratum, bucket)) — with a k-means
+    cluster id this is HARD-negative mining: same neighborhood, not the
+    same point; the sampler stays an equi-join, never a within-cluster
+    all-pairs."""
     hexd = "0123456789abcdef"
     if n_buckets not in (16, 256, 4096):
         raise ValueError("n_buckets must be a power-of-16 prefix size")
     prefix_len = {16: 1, 256: 2, 4096: 3}[n_buckets]
     sid = F.col(id_col).cast("string")
+    strata = [F.col(strata_col).alias("__s")] if strata_col else []
     bucketed = corpus.select(
         F.col(id_col).alias("__cand"),
         F.substring(F.md5(sid), 1, prefix_len).alias("__b"),
+        *strata,
     )
-    draws = corpus.select(F.col(id_col).alias("__anchor")).select(
+    draws = corpus.select(F.col(id_col).alias("__anchor"), *strata).select(
         "__anchor",
+        *(["__s"] if strata_col else []),
         F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("draw"),
     ).select(
         "__anchor",
+        *(["__s"] if strata_col else []),
         "draw",
         F.substring(
             F.md5(F.concat_ws(":", F.col("__anchor").cast("string"),
@@ -727,7 +738,8 @@ def negative_samples(
             1, prefix_len,
         ).alias("__b"),
     )
-    joined = draws.join(bucketed, "__b").filter(
+    join_keys = ["__b", "__s"] if strata_col else ["__b"]
+    joined = draws.join(bucketed, join_keys).filter(
         F.col("__cand") != F.col("__anchor")
     )
     return (

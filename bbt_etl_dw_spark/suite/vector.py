@@ -1379,3 +1379,57 @@ def embedding_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(
         emb.select("vec_id"), k=_NEG_K, n_buckets=256
     ).orderBy("vec_id", "draw")
+
+
+# --- hard negatives: same-cluster, different point ---------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH {_ivf_ctes(_KQ_NLIST, _KQ_ITERS)[0]},
+afin AS (
+  SELECT vec_id, cid FROM {'d' + str(_KQ_ITERS + 1)}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+bucketed AS (
+  SELECT vec_id AS cand, cid,
+         substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS b
+  FROM afin
+),
+draws AS (
+  SELECT a.vec_id AS anchor, a.cid, CAST(j AS BIGINT) AS draw,
+         substring(md5(CAST(a.vec_id AS VARCHAR) || ':' ||
+                       CAST(j AS VARCHAR)), 1, 1) AS b
+  FROM afin a
+  CROSS JOIN (SELECT unnest(generate_series(0, {_NEG_K - 1})) AS j)
+)
+SELECT d.anchor AS vec_id, d.draw, MIN(bk.cand) AS neg_id
+FROM draws d
+JOIN bucketed bk ON d.b = bk.b AND d.cid = bk.cid AND bk.cand <> d.anchor
+GROUP BY d.anchor, d.draw
+ORDER BY vec_id, draw
+"""
+
+
+@register("embedding_hard_negatives", oracle=_HARDNEG_ORACLE)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-negative mining: each anchor's negatives come from its OWN
+    k-means cluster (same neighborhood — the contrastive pairs that
+    actually teach a model) via the stratified hash-bucket sampler:
+    the bucket join key becomes (cluster, bucket), still one equi-join,
+    never a within-cluster all-pairs. 16 buckets per cluster at this
+    corpus size; assignment is the literal-matrix fold map stage; the
+    oracle replays trainer, assignment, and sampler end-to-end."""
+    from bbt_etl_dw_spark.operators.similarity import (
+        assign_centroid,
+        ivf_centroids,
+        negative_samples,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    cents = ivf_centroids(emb, nlist=_KQ_NLIST, iters=_KQ_ITERS)
+    v = F.col("embedding").cast("array<double>")
+    assigned = emb.select(
+        "vec_id", assign_centroid(v, cents).alias("cluster_id")
+    )
+    return negative_samples(
+        assigned, k=_NEG_K, n_buckets=16, strata_col="cluster_id"
+    ).orderBy("vec_id", "draw")
