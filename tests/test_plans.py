@@ -27,6 +27,9 @@ NESTED_LOOP_OK = {
     # exact-L2 ground truth side of the PQ recall measurement (5-row
     # broadcast query side, same declared baseline shape)
     "ann_pq_recall",
+    # JL neighborhood-recall gate: both rankings are the 5-query bounded
+    # broadcast baseline shape (see tests/test_plan_lint.py)
+    "rp_projection_recall",
 }
 
 # One-row scalar-subquery attaches are linear, not quadratic — shared
