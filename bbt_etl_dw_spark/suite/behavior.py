@@ -1470,3 +1470,90 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         numbered, _FUNNEL_STEPS, user_col="session_key"
     )
     return out.withColumnRenamed("n_users", "n_sessions")
+
+
+# --- seasonally-adjusted daily anomalies -------------------------------------
+
+_SEASADJ_ORACLE = f"""
+WITH daily AS (
+  SELECT {_SEASON_DAY_SQL} AS day,
+         CAST((({_SEASON_DAY_SQL}) + 3) % 7 AS BIGINT) AS dow,
+         {_sql_dsum('value', 'day_value')}
+  FROM events GROUP BY day, dow
+),
+overall AS (
+  SELECT {_sql_dsum('day_value', 'tot')}, COUNT(*) AS n_days FROM daily
+),
+per_dow AS (
+  SELECT dow, COUNT(*) AS n_days, {_sql_dsum('day_value', 'dow_tot')}
+  FROM daily GROUP BY dow
+),
+adjusted AS (
+  SELECT d.day, d.dow, d.day_value,
+         d.day_value / ((p.dow_tot / CAST(p.n_days AS DOUBLE))
+                        / (o.tot / CAST(o.n_days AS DOUBLE))) AS adj
+  FROM daily d
+  JOIN per_dow p ON d.dow = p.dow
+  CROSS JOIN overall o
+),
+stats AS (
+  SELECT COUNT(*) AS n, {_sql_dsum('adj', 's')}, {_sql_dsum('adj * adj', 'ss')}
+  FROM adjusted
+)
+SELECT a.day, a.dow, a.day_value, a.adj,
+       (a.adj - s / n)
+         / sqrt((ss - (s * s) / n) / (CAST(n AS DOUBLE) - 1.0)) AS z
+FROM adjusted a CROSS JOIN stats
+ORDER BY a.day
+"""
+
+
+@register("events_seasonal_adjusted_anomalies", oracle=_SEASADJ_ORACLE)
+def events_seasonal_adjusted_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonally-adjusted daily anomaly scores: divide each day's value
+    by its day-of-week seasonal index (the events_dow_seasonality
+    multiplicative model) BEFORE z-scoring, so a strong Saturday doesn't
+    read as an anomaly and a weak Saturday does — the detector raw
+    z-scores get wrong on weekly-patterned traffic. One fact shuffle to
+    the day rollup; the 7-row dow index joins broadcast; the global
+    mean/std attach as a 1-row scalar over the dim-scale adjusted
+    series; exact-decimal sums, fixed IEEE close."""
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    daily = (
+        ev.select(day.alias("day"), "value")
+        .groupBy("day")
+        .agg(_dsum(F.col("value"), "day_value"))
+        .withColumn("dow", ((F.col("day") + 3) % 7).cast("bigint"))
+    )
+    overall = daily.agg(
+        _dsum(F.col("day_value"), "tot"), F.count(F.lit(1)).alias("n_days")
+    )
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days_dow"),
+        _dsum(F.col("day_value"), "dow_tot"),
+    )
+    idx = (F.col("dow_tot") / F.col("n_days_dow").cast("double")) / (
+        F.col("tot") / F.col("n_days").cast("double")
+    )
+    adjusted = (
+        daily.join(F.broadcast(per_dow), "dow")
+        .crossJoin(F.broadcast(overall))
+        .select("day", "dow", "day_value", (F.col("day_value") / idx).alias("adj"))
+    )
+    stats = adjusted.agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("adj"), "s"),
+        _dsum(F.col("adj") * F.col("adj"), "ss"),
+    )
+    z = (F.col("adj") - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("ss") - (F.col("s") * F.col("s")) / F.col("n"))
+        / (F.col("n").cast("double") - F.lit(1.0))
+    )
+    return (
+        adjusted.crossJoin(F.broadcast(stats))
+        .select("day", "dow", "day_value", "adj", z.alias("z"))
+        .orderBy("day")
+    )

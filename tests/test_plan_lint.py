@@ -102,6 +102,9 @@ SCALAR_SUBQUERY_ALLOWED = {
     # corpus-size scalar attached as a 1-row broadcast (same shape as
     # doc_bm25_search's N/avgdl scalars)
     "doc_top_keywords",
+    # grand-total and adjusted-series mean/std as 1-row broadcast
+    # scalars over the dim-scale day rollup
+    "events_seasonal_adjusted_anomalies",
 }
 QUADRATIC_ALLOWED |= SCALAR_SUBQUERY_ALLOWED
 
