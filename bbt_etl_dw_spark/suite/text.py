@@ -1740,3 +1740,73 @@ def doc_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "term", "score")
         .orderBy("doc_id", "rank")
     )
+
+
+# --- temperature-weighted source mixing --------------------------------------
+
+# alpha = 0.5 -> sqrt weighting, the classic multilingual/multi-source
+# rebalance (Conneau & Lample style): sqrt is a correctly-rounded IEEE
+# op, so unlike a general pow(x, alpha) the whole computation stays
+# bit-exact cross-engine.
+
+_TEMP_MIX_ORACLE = """
+WITH per_source AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+              AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM per_source
+),
+weighted AS (
+  SELECT p.source, p.n_docs, p.n_tokens,
+         CAST(p.n_tokens AS DOUBLE) / CAST(t.tok_total AS DOUBLE) AS raw_share,
+         sqrt(CAST(p.n_tokens AS DOUBLE) / CAST(t.tok_total AS DOUBLE)) AS w
+  FROM per_source p CROSS JOIN tot t
+),
+norm AS (SELECT SUM(w) AS wsum FROM weighted)
+SELECT source, n_docs, n_tokens, raw_share,
+       w / wsum AS temp_share,
+       (w / wsum) / raw_share AS upsample_factor
+FROM weighted CROSS JOIN norm
+ORDER BY source
+"""
+
+
+@register("doc_mix_temperature", oracle=_TEMP_MIX_ORACLE)
+def doc_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (alpha = 0.5) source mixing shares: the
+    classic sqrt rebalance that upsamples rare sources and damps
+    dominant ones before pre-training (its exact-target twin is the
+    token_mix_rates keep-rate solver). Per-source token totals are one
+    map-side-combining aggregate over the corpus; the grand total and
+    the weight normalizer attach as 1-row broadcast scalars over the
+    SOURCES-sized rollup. alpha is fixed at 0.5 because sqrt is a
+    correctly-rounded IEEE op — a general pow(x, alpha) is libm and
+    would break the bit-exact oracle; the upsample_factor column is the
+    number a sampler feeds straight into per-source rates."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words("text")).cast("long")).cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = per_source.agg(F.sum("n_tokens").cast("bigint").alias("tok_total"))
+    raw = F.col("n_tokens").cast("double") / F.col("tok_total").cast("double")
+    weighted = per_source.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens",
+        raw.alias("raw_share"), F.sqrt(raw).alias("w"),
+    )
+    norm = weighted.agg(F.sum("w").alias("wsum"))
+    return (
+        weighted.crossJoin(F.broadcast(norm))
+        .select(
+            "source", "n_docs", "n_tokens", "raw_share",
+            (F.col("w") / F.col("wsum")).alias("temp_share"),
+            ((F.col("w") / F.col("wsum")) / F.col("raw_share"))
+            .alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )

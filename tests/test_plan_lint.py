@@ -105,6 +105,9 @@ SCALAR_SUBQUERY_ALLOWED = {
     # grand-total and adjusted-series mean/std as 1-row broadcast
     # scalars over the dim-scale day rollup
     "events_seasonal_adjusted_anomalies",
+    # token grand-total + weight normalizer as 1-row broadcast scalars
+    # over the sources-sized rollup
+    "doc_mix_temperature",
 }
 QUADRATIC_ALLOWED |= SCALAR_SUBQUERY_ALLOWED
 
