@@ -1820,3 +1820,65 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("day").between(_GAPFILL_DAY_LO, _GAPFILL_DAY_HI))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Shipping lead-time percentiles per order priority (unit-weight mass path)
+# --------------------------------------------------------------------------
+
+_LEADTIME_PCT = {"lt_p50": 0.5, "lt_p90": 0.9, "lt_p99": 0.99}
+
+_LEADTIME_SRC = """SELECT o.o_orderpriority,
+       (epoch_us(l.l_shipdate) // 86400000000)
+         - (epoch_us(o.o_orderdate) // 86400000000) AS gap_days,
+       1 AS unit
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+
+_LEADTIME_ORACLE = f"""
+WITH {sql_weighted_percentile_ctes(
+    source_sql=_LEADTIME_SRC,
+    group_sql="o_orderpriority",
+    value_sql="gap_days",
+    weight_sql="unit",
+)}
+SELECT o_orderpriority,
+       {', '.join(
+           f"MIN(CASE WHEN _cumw >= _w * CAST({q!r} AS DOUBLE) THEN _v END)"
+           f" AS {name}" for name, q in _LEADTIME_PCT.items()
+       )}
+FROM ranked
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("leadtime_percentiles_by_priority", oracle=_LEADTIME_ORACLE)
+def leadtime_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping lead time (order date -> line ship date, whole days)
+    p50/p90/p99 per order priority — the SLA readout. Five group keys
+    over a fact-sized input is EXACTLY the shape the value-binned mass
+    path exists for (the naive per-row rank window funnels the fact
+    through 5 tasks — see weighted_group_percentiles' scale note):
+    with unit weights the mass quantile is the classic lower-bound
+    percentile, the fact reduces map-side to priority x distinct-gap
+    cells (~hundreds), and the windows touch only that rollup.
+    Epoch-day integer arithmetic; exact-decimal unit-weight sums."""
+    from bbt_etl_dw_spark.operators.stats import weighted_group_percentiles
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("unix_micros(l_shipdate) div 86400000000").alias("ship_day"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("order_day"),
+    )
+    gaps = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        (F.col("ship_day") - F.col("order_day")).alias("gap_days"),
+        F.lit(1).alias("unit"),
+    )
+    return weighted_group_percentiles(
+        gaps, ["o_orderpriority"], "gap_days", "unit", _LEADTIME_PCT
+    ).orderBy("o_orderpriority")
