@@ -1882,3 +1882,70 @@ def leadtime_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFr
     return weighted_group_percentiles(
         gaps, ["o_orderpriority"], "gap_days", "unit", _LEADTIME_PCT
     ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Return-rate leaderboard with Wilson lower bounds
+# --------------------------------------------------------------------------
+
+_WILSON_Z = 1.96  # identical literal both engines -> identical double
+
+_WILSON_ORACLE = f"""
+WITH per_brand AS (
+  SELECT p.p_brand,
+         COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returned
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+scored AS (
+  SELECT p_brand, n_lines, n_returned,
+         CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE) AS phat,
+         CAST({_WILSON_Z!r} AS DOUBLE) AS z,
+         CAST(n_lines AS DOUBLE) AS n
+  FROM per_brand
+)
+SELECT p_brand, n_lines, n_returned, phat,
+       (phat + (z * z) / (2.0 * n)
+        - z * sqrt(phat * (1.0 - phat) / n
+                   + (z * z) / (4.0 * n * n)))
+         / (1.0 + (z * z) / n) AS wilson_lower
+FROM scored
+ORDER BY wilson_lower DESC, p_brand
+"""
+
+
+@register("brand_return_rate_wilson", oracle=_WILSON_ORACLE)
+def brand_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate leaderboard per brand ranked by the WILSON LOWER
+    BOUND, not the raw proportion — the confidence-adjusted ranking that
+    stops a 2-of-3 brand outranking a 300-of-1000 one (the standard fix
+    for small-sample leaderboards). One fact shuffle to per-brand
+    (lines, returns); the bound is a fixed IEEE sequence (sqrt is
+    correctly rounded; z = 1.96 parses to the same double from the same
+    literal on both engines), so the oracle is bit-exact including the
+    ORDER the leaderboard ranks in."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_brand = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint").alias("n_returned"),
+        )
+    )
+    n = F.col("n_lines").cast("double")
+    phat = F.col("n_returned").cast("double") / n
+    z = F.lit(float(_WILSON_Z))
+    wilson = (
+        phat + (z * z) / (F.lit(2.0) * n)
+        - z * F.sqrt(phat * (F.lit(1.0) - phat) / n
+                     + (z * z) / (F.lit(4.0) * n * n))
+    ) / (F.lit(1.0) + (z * z) / n)
+    return per_brand.select(
+        "p_brand", "n_lines", "n_returned",
+        phat.alias("phat"), wilson.alias("wilson_lower"),
+    ).orderBy(F.desc("wilson_lower"), "p_brand")
