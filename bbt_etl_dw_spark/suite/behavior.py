@@ -1557,3 +1557,162 @@ def events_seasonal_adjusted_anomalies(
         .select("day", "dow", "day_value", "adj", z.alias("z"))
         .orderBy("day")
     )
+
+
+# --- cohort LTV curve ---------------------------------------------------------
+
+_LTV_ORACLE = f"""
+WITH wk AS (
+  SELECT user_id, CAST({_WEEK_SQL} AS BIGINT) AS w, event_type, value
+  FROM events
+),
+first_wk AS (SELECT user_id, MIN(w) AS cw FROM wk GROUP BY user_id),
+cohort_sizes AS (SELECT cw, COUNT(*) AS n_cohort FROM first_wk GROUP BY cw),
+rev AS (
+  SELECT f.cw, k.w - f.cw AS week_offset, {_sql_dsum('k.value', 'wk_rev')}
+  FROM wk k JOIN first_wk f ON k.user_id = f.user_id
+  WHERE k.event_type = 'purchase'
+  GROUP BY f.cw, k.w - f.cw
+),
+cum AS (
+  SELECT cw, week_offset, wk_rev,
+         CAST(CAST(SUM(TRY_CAST(CAST(wk_rev AS VARCHAR) AS DECIMAL(38,18)))
+              OVER (PARTITION BY cw ORDER BY week_offset
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS VARCHAR) AS DOUBLE) AS cum_rev
+  FROM rev
+)
+SELECT DATE '2024-01-01' + CAST(c.cw * 7 AS INT) AS cohort_week,
+       c.week_offset, s.n_cohort, c.wk_rev, c.cum_rev,
+       c.cum_rev / CAST(s.n_cohort AS DOUBLE) AS ltv_per_user
+FROM cum c JOIN cohort_sizes s ON c.cw = s.cw
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register("events_cohort_ltv_curve", oracle=_LTV_ORACLE)
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV curve per weekly signup cohort: purchase revenue
+    charged to (first-activity week, week offset), accumulated along
+    each cohort's timeline and normalized per cohort member — the MONEY
+    companion of events_retention_cohorts (same epoch-week integer
+    substrate, same user-keyed shuffles; the cumulative window runs
+    over the cohorts x offsets rollup, dim-scale at any corpus).
+    Exact-decimal revenue sums re-accumulate through the window, so the
+    curve is order-independent bit-exact."""
+    from pyspark.sql import Window
+
+    from bbt_etl_dw_spark.operators.behavior import week_index
+
+    ev = table(spark, sf_dir, "events")
+    wk = ev.select("user_id", week_index("ts").alias("w"), "event_type", "value")
+    first_wk = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
+    sizes = first_wk.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
+    rev = (
+        wk.filter(F.col("event_type") == "purchase")
+        .join(first_wk, "user_id")
+        .groupBy("cw", (F.col("w") - F.col("cw")).alias("week_offset"))
+        .agg(_dsum(F.col("value"), "wk_rev"))
+    )
+    wcum = (
+        Window.partitionBy("cw")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.select(
+        "cw", "week_offset", "wk_rev",
+        F.sum(F.col("wk_rev").try_cast("decimal(38,18)")).over(wcum)
+        .cast("string").cast("double").alias("cum_rev"),
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cw")
+        .select(
+            F.date_add(
+                F.to_date(F.lit("2024-01-01")), (F.col("cw") * 7).cast("int")
+            ).alias("cohort_week"),
+            "week_offset", "n_cohort", "wk_rev", "cum_rev",
+            (F.col("cum_rev") / F.col("n_cohort").cast("double"))
+            .alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --- multiplicative seasonal decomposition ------------------------------------
+
+_DECOMP_ORACLE = f"""
+WITH daily AS (
+  SELECT {_SEASON_DAY_SQL} AS day,
+         CAST((({_SEASON_DAY_SQL}) + 3) % 7 AS BIGINT) AS dow,
+         {_sql_dsum('value', 'val')}
+  FROM events GROUP BY day, dow
+),
+ma AS (
+  SELECT day, dow, val,
+         CASE WHEN COUNT(*) OVER w = 7 THEN
+           CAST(CAST(SUM(TRY_CAST(CAST(val AS VARCHAR) AS DECIMAL(38,18)))
+                OVER w AS VARCHAR) AS DOUBLE) / 7.0
+         END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+season AS (
+  SELECT dow, {_sql_dsum('val / trend', 's_detr')},
+         COUNT(val / trend) AS n_detr
+  FROM ma WHERE trend IS NOT NULL GROUP BY dow
+)
+SELECT m.day, m.dow, m.val, m.trend,
+       s.s_detr / CAST(s.n_detr AS DOUBLE) AS seasonal,
+       m.val / (m.trend * (s.s_detr / CAST(s.n_detr AS DOUBLE))) AS residual
+FROM ma m JOIN season s ON m.dow = s.dow
+WHERE m.trend IS NOT NULL
+ORDER BY m.day
+"""
+
+
+@register("events_seasonal_decomposition", oracle=_DECOMP_ORACLE)
+def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic multiplicative decomposition of the daily value series:
+    value = trend x seasonal x residual, with the trend a CENTERED
+    7-day moving average (full windows only — edges have no honest
+    trend and drop), the seasonal factor the per-dow mean of detrended
+    values, and the residual what a forecaster actually models. The
+    CONTRACT is a dense day series (compose with gap_fill_linear
+    first on sparse data — a rows frame on a gapped series silently
+    spans weeks). Fact reduces to the 30-row day rollup before any
+    window; all windows and the dow join are dim-scale; exact-decimal
+    sums, fixed IEEE divisions."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    daily = (
+        ev.select(day.alias("day"), "value")
+        .groupBy("day")
+        .agg(_dsum(F.col("value"), "val"))
+        .withColumn("dow", ((F.col("day") + 3) % 7).cast("bigint"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trend = F.when(
+        F.count(F.lit(1)).over(w) == 7,
+        F.sum(F.col("val").try_cast("decimal(38,18)")).over(w)
+        .cast("string").cast("double") / F.lit(7.0),
+    )
+    ma = daily.select("day", "dow", "val", trend.alias("trend"))
+    detr = ma.filter(F.col("trend").isNotNull()).select(
+        "dow", (F.col("val") / F.col("trend")).alias("detr")
+    )
+    season = detr.groupBy("dow").agg(
+        _dsum(F.col("detr"), "s_detr"), F.count("detr").alias("n_detr")
+    )
+    seasonal = F.col("s_detr") / F.col("n_detr").cast("double")
+    return (
+        ma.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(season), "dow")
+        .select(
+            "day", "dow", "val", "trend",
+            seasonal.alias("seasonal"),
+            (F.col("val") / (F.col("trend") * seasonal)).alias("residual"),
+        )
+        .orderBy("day")
+    )
