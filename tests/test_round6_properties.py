@@ -167,3 +167,44 @@ def test_reconciliation_buckets_cover_all_orders(spark, sf_dir):
     ).collect()
     n_orders = table(spark, sf_dir, "orders").count()
     assert sum(r.n_orders for r in rows) == n_orders
+
+
+def test_wilson_bound_below_phat_and_in_unit_interval(spark, sf_dir):
+    from bbt_etl_dw_spark.suite import load_all
+
+    rows = load_all()["brand_return_rate_wilson"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.wilson_lower <= 1.0
+        if 0.0 < r.phat < 1.0:
+            assert r.wilson_lower < r.phat  # shrinkage is strict off the edges
+    lows = [r.wilson_lower for r in rows]
+    assert lows == sorted(lows, reverse=True)
+
+
+def test_ltv_curve_is_monotone_per_cohort(spark, sf_dir):
+    from collections import defaultdict
+
+    from bbt_etl_dw_spark.suite import load_all
+
+    rows = load_all()["events_cohort_ltv_curve"].builder(spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (str(r.cohort_week), r.week_offset)):
+        by_cohort[str(r.cohort_week)].append(r.cum_rev)
+    for curve in by_cohort.values():
+        assert curve == sorted(curve)  # cumulative revenue never decreases
+
+
+def test_seasonal_decomposition_identity_and_positivity(spark, sf_dir):
+    from bbt_etl_dw_spark.suite import load_all
+
+    rows = load_all()["events_seasonal_decomposition"].builder(
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.trend > 0 and r.seasonal > 0
+        # multiplicative identity holds exactly as computed
+        recon = r.trend * r.seasonal * r.residual
+        assert abs(recon - r.val) <= 1e-9 * abs(r.val)
