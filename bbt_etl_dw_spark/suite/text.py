@@ -1766,7 +1766,11 @@ weighted AS (
          sqrt(CAST(p.n_tokens AS DOUBLE) / CAST(t.tok_total AS DOUBLE)) AS w
   FROM per_source p CROSS JOIN tot t
 ),
-norm AS (SELECT SUM(w) AS wsum FROM weighted)
+norm AS (
+  SELECT CAST(CAST(SUM(TRY_CAST(CAST(w AS VARCHAR) AS DECIMAL(38,18)))
+       AS VARCHAR) AS DOUBLE) AS wsum
+  FROM weighted
+)
 SELECT source, n_docs, n_tokens, raw_share,
        w / wsum AS temp_share,
        (w / wsum) / raw_share AS upsample_factor
@@ -1783,7 +1787,9 @@ def doc_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     token_mix_rates keep-rate solver). Per-source token totals are one
     map-side-combining aggregate over the corpus; the grand total and
     the weight normalizer attach as 1-row broadcast scalars over the
-    SOURCES-sized rollup. alpha is fixed at 0.5 because sqrt is a
+    SOURCES-sized rollup (the normalizer re-accumulates exact decimals —
+    a bare double SUM is partition-order-dependent and flaked by one ulp
+    in the full-registry sweep). alpha is fixed at 0.5 because sqrt is a
     correctly-rounded IEEE op — a general pow(x, alpha) is libm and
     would break the bit-exact oracle; the upsample_factor column is the
     number a sampler feeds straight into per-source rates."""
@@ -1799,7 +1805,10 @@ def doc_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "n_tokens",
         raw.alias("raw_share"), F.sqrt(raw).alias("w"),
     )
-    norm = weighted.agg(F.sum("w").alias("wsum"))
+    norm = weighted.agg(
+        F.sum(F.col("w").try_cast("decimal(38,18)"))
+        .cast("string").cast("double").alias("wsum")
+    )
     return (
         weighted.crossJoin(F.broadcast(norm))
         .select(
