@@ -1949,3 +1949,79 @@ def brand_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand", "n_lines", "n_returned",
         phat.alias("phat"), wilson.alias("wilson_lower"),
     ).orderBy(F.desc("wilson_lower"), "p_brand")
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of orders across customers (value-binned exact ranks)
+# --------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS x FROM orders GROUP BY o_custkey
+),
+bins AS (
+  SELECT x AS v, COUNT(*) AS c FROM per_cust GROUP BY x
+),
+ranked AS (
+  SELECT v, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS k
+  FROM bins
+),
+sums AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(v * c) AS BIGINT) AS sx,
+         CAST(SUM(v * (c * k + (c * (c + 1)) // 2)) AS BIGINT) AS srx
+  FROM ranked
+)
+SELECT n AS n_customers, sx AS total_orders,
+       (2.0 * CAST(srx AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+FROM sums
+"""
+
+
+@register("customer_order_gini", oracle=_GINI_ORACLE)
+def customer_order_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-count concentration across customers —
+    the inequality readout behind 'do 20% of customers place 80% of
+    orders?' (its share-curve partner is brand_revenue_pareto). The
+    naive Gini is an all-pairs |x_i - x_j| sum; the exact rank formula
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) needs a GLOBAL sort — so this
+    computes it from the VALUE-BINNED form: per distinct order count v
+    with multiplicity c and cumulative count k below, the bin's rank
+    mass is c·k + c(c+1) div 2 — INTEGER division, so the arithmetic
+    stays exact past 2^53 where a float-division detour would round —
+    all in BIGINT off a
+    ~50-row bin rollup (two map-side-combining aggregates; the one
+    window runs over the bins). A single IEEE division closes it."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("x"))
+    bins = per_cust.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = bins.select(
+        "v", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint").alias("k")
+    )
+    sums = ranked.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("bigint").alias("sx"),
+        F.sum(
+            F.col("v")
+            * (F.col("c") * F.col("k")
+               + F.expr("(c * (c + 1)) div 2"))
+        ).cast("bigint").alias("srx"),
+    )
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_orders"),
+        (
+            (F.lit(2.0) * F.col("srx").cast("double")
+             - (F.col("n") + 1).cast("double") * F.col("sx").cast("double"))
+            / (F.col("n").cast("double") * F.col("sx").cast("double"))
+        ).alias("gini"),
+    )
