@@ -1112,3 +1112,53 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# --- bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) ---------------
+
+_BAG_SETOPS_ORACLE = """
+WITH a AS (
+  SELECT o_orderpriority AS p FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1995
+),
+b AS (
+  SELECT o_orderpriority AS p FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1996
+),
+ops AS (
+  SELECT 'a_except_all' AS op, p FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+  UNION ALL
+  SELECT 'b_intersect_all', p FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+)
+SELECT op, p AS o_orderpriority, COUNT(*) AS n
+FROM ops GROUP BY op, p
+ORDER BY op, o_orderpriority
+"""
+
+
+@register("priority_bag_setops", oracle=_BAG_SETOPS_ORACLE)
+def priority_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations — EXCEPT ALL / INTERSECT ALL — between
+    the 1995 and 1996 order-priority bags: per priority the surplus
+    (count_a − count_b, clamped at 0) and the overlap (min of counts),
+    which the DISTINCT variants in nation_customer_supplier_setops
+    cannot express. Spark's exceptAll/intersectAll plan as aggregate +
+    generate (no join of the two facts beyond the counting), and the
+    closing rollup makes the bag cardinalities value-checkable."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    )
+    a = o.filter(F.col("yr") == 1995).select("o_orderpriority")
+    b = o.filter(F.col("yr") == 1996).select("o_orderpriority")
+    ops = a.exceptAll(b).select(
+        F.lit("a_except_all").alias("op"), "o_orderpriority"
+    ).unionByName(
+        a.intersectAll(b).select(
+            F.lit("b_intersect_all").alias("op"), "o_orderpriority"
+        )
+    )
+    return (
+        ops.groupBy("op", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("op", "o_orderpriority")
+    )
