@@ -1716,3 +1716,66 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+# --- trailing engagement breadth ----------------------------------------------
+
+_BREADTH_WINDOW_DAYS = 7
+
+_BREADTH_ORACLE = f"""
+WITH inc AS (
+  SELECT DISTINCT user_id, {_SEASON_DAY_SQL} AS day, event_type
+  FROM events
+),
+active AS (SELECT DISTINCT user_id, day FROM inc),
+charged AS (
+  SELECT user_id, event_type,
+         CAST(unnest(generate_series(day, day + {_BREADTH_WINDOW_DAYS - 1}))
+              AS BIGINT) AS td
+  FROM inc
+),
+breadth AS (
+  SELECT c.user_id, c.td AS day,
+         COUNT(DISTINCT c.event_type) AS k
+  FROM charged c JOIN active a ON c.user_id = a.user_id AND c.td = a.day
+  GROUP BY c.user_id, c.td
+)
+SELECT k, COUNT(*) AS n_user_days
+FROM breadth GROUP BY k ORDER BY k
+"""
+
+
+@register("events_engagement_breadth", oracle=_BREADTH_ORACLE)
+def events_engagement_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-breadth histogram: for every ACTIVE user-day, how many
+    distinct event types the user touched in the trailing 7 days —
+    breadth (shallow clickers vs full-surface users) where DAU counts
+    only measure presence. Sliding COUNT(DISTINCT) over time has no
+    window form; the charge-forward rewrite (the stickiness trick)
+    explodes the deduplicated (user, day, type) incidence a constant 7x
+    and joins it back to active user-days — every join equi-keyed, the
+    final histogram 5 rows."""
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    inc = ev.select("user_id", day.alias("day"), "event_type").distinct()
+    active = inc.select("user_id", "day").distinct()
+    charged = inc.select(
+        "user_id",
+        "event_type",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (_BREADTH_WINDOW_DAYS - 1))
+        ).alias("td"),
+    )
+    breadth = (
+        charged.join(
+            active,
+            (charged.user_id == active.user_id) & (charged.td == active.day),
+        )
+        .groupBy(charged.user_id, "td")
+        .agg(F.countDistinct("event_type").alias("k"))
+    )
+    return (
+        breadth.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy("k")
+    )
