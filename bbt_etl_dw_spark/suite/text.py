@@ -1819,3 +1819,60 @@ def doc_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- lexical diversity (type-token ratio + hapax share) ----------------------
+
+_LEXDIV_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE len(trim(text)) > 0
+),
+tf AS (
+  SELECT source, term, COUNT(*) AS cnt FROM toks
+  WHERE term <> '' GROUP BY source, term
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS ttr,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+FROM tf GROUP BY source ORDER BY source
+"""
+
+
+@register("doc_lexical_diversity", oracle=_LEXDIV_ORACLE)
+def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio and hapax share —
+    the cheap vocabulary-richness signals a curation pipeline reads
+    beside the LM bits/char score (templated/spammy sources show low
+    TTR; OCR-noisy ones show inflated hapax). One corpus explode into a
+    map-side-combining (source, term) rollup (the same substrate as
+    doc_top_keywords' df pass), then a sources-sized aggregate; the
+    ratios are single IEEE divisions of exact longs."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("source", F.explode(words("text")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_hapax"),
+        )
+        .select(
+            "source", "n_tokens", "n_types",
+            (F.col("n_types").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("ttr"),
+            "n_hapax",
+            (F.col("n_hapax").cast("double") / F.col("n_types").cast("double"))
+            .alias("hapax_share"),
+        )
+        .orderBy("source")
+    )
