@@ -2025,3 +2025,74 @@ def customer_order_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.col("sx").cast("double"))
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nation revenue movers: rank shifts 1995 -> 1996
+# --------------------------------------------------------------------------
+
+_MOVERS_ORACLE = f"""
+WITH by_year AS (
+  SELECT n.n_name,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+         {sql_dsum('o.o_totalprice', 'rev')}
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE EXTRACT(year FROM o.o_orderdate) IN (1995, 1996)
+  GROUP BY n.n_name, yr
+),
+wide AS (
+  SELECT n_name,
+         MAX(CASE WHEN yr = 1995 THEN rev END) AS rev95,
+         MAX(CASE WHEN yr = 1996 THEN rev END) AS rev96
+  FROM by_year GROUP BY n_name
+),
+ranked AS (
+  SELECT n_name, rev95, rev96,
+         CAST(ROW_NUMBER() OVER (ORDER BY rev95 DESC, n_name) AS INT) AS rank95,
+         CAST(ROW_NUMBER() OVER (ORDER BY rev96 DESC, n_name) AS INT) AS rank96
+  FROM wide WHERE rev95 IS NOT NULL AND rev96 IS NOT NULL
+)
+SELECT n_name, rev95, rev96, rank95, rank96,
+       rank95 - rank96 AS rank_gain
+FROM ranked
+ORDER BY rank_gain DESC, n_name
+"""
+
+
+@register("nation_revenue_movers", oracle=_MOVERS_ORACLE)
+def nation_revenue_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movers report: each nation's revenue rank in 1995 vs 1996 and the
+    rank gain — the league-table shift readout behind 'who is winning
+    share'. One fact shuffle to the (nation, year) rollup, a 2-column
+    conditional pivot, and two DIM-SCALE rank windows (25 rows,
+    name-tie-broken); nations missing either year drop (no basis for a
+    shift). Exact-decimal revenue; deterministic ordering throughout."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.year("o_orderdate").cast("int").alias("yr")
+    ).filter(F.col("yr").isin(1995, 1996))
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    by_year = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "yr")
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+    )
+    wide = by_year.groupBy("n_name").agg(
+        F.max(F.when(F.col("yr") == 1995, F.col("rev"))).alias("rev95"),
+        F.max(F.when(F.col("yr") == 1996, F.col("rev"))).alias("rev96"),
+    ).filter(F.col("rev95").isNotNull() & F.col("rev96").isNotNull())
+    r95 = F.row_number().over(Window.orderBy(F.desc("rev95"), "n_name")).cast("int")
+    r96 = F.row_number().over(Window.orderBy(F.desc("rev96"), "n_name")).cast("int")
+    return (
+        wide.select(
+            "n_name", "rev95", "rev96",
+            r95.alias("rank95"), r96.alias("rank96"),
+        )
+        .withColumn("rank_gain", F.col("rank95") - F.col("rank96"))
+        .orderBy(F.desc("rank_gain"), "n_name")
+    )

@@ -1779,3 +1779,58 @@ def events_engagement_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_user_days"))
         .orderBy("k")
     )
+
+
+# --- transition concentration (behavior predictability) -----------------------
+
+_TRANS_HHI_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, COUNT(*) AS cnt
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type,
+       CAST(SUM(cnt) AS BIGINT) AS n_transitions,
+       COUNT(*) AS n_next_types,
+       SUM(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))
+         / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) AS hhi
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_transition_concentration", oracle=_TRANS_HHI_ORACLE)
+def events_transition_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior predictability per event type: the Herfindahl
+    concentration of each type's NEXT-event distribution (1/hhi = the
+    effective number of follow-up behaviors) — the log-free summary of
+    the events_markov_transitions matrix, flagging states whose
+    follow-up is near-deterministic. Same single user exchange as the
+    transition matrix; the HHI closes over the 5x5 cell rollup. The
+    alphabet is 5 types so the plain double sum of cnt^2 is exact
+    (five squares of exact longs, each below 2^53)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("cnt"))
+    cd = F.col("cnt").cast("double")
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_transitions"),
+            F.count(F.lit(1)).alias("n_next_types"),
+            (F.sum(cd * cd)
+             / (F.sum("cnt").cast("double") * F.sum("cnt").cast("double")))
+            .alias("hhi"),
+        )
+        .orderBy("event_type")
+    )
