@@ -56,8 +56,21 @@ def blocked_fuzzy_lookup(
     canonical frame's unique key, used as the deterministic tie-break
     when two candidates sit at equal distance.
     """
+    # Surrogate row id: the join-back must recover probe rows with NO
+    # candidate (left-join semantics) without equating on probe columns —
+    # an all-columns equality is null-UNSAFE, so any probe row with a NULL
+    # in an unrelated column would compute a match and then silently fail
+    # the join-back, violating the "NULL only when nothing within
+    # max_dist" contract on exactly the dirty data this operator targets.
+    # monotonically_increasing_id is (partition, row-position) derived:
+    # both join branches read the same deterministic `base` lineage, so
+    # ids agree across the self-join. It also makes the best-match window
+    # per-ROW (duplicate probe rows each keep their own match) instead of
+    # per-distinct-value.
+    base = df.withColumn("_rid", F.monotonically_increasing_id())
+
     pc, pb = _block_key(F.col(col), band_width)
-    probe = df.withColumn("_bc", pc).withColumn("_bb", pb)
+    probe = base.withColumn("_bc", pc).withColumn("_bb", pb)
 
     cc, cb = _block_key(F.col(canon_col), band_width)
     cand = (
@@ -75,15 +88,10 @@ def blocked_fuzzy_lookup(
         .filter(dist >= 0)
         .withColumn("_dist", dist)
     )
-    w = Window.partitionBy(*[F.col(c) for c in df.columns]).orderBy(
-        "_dist", key_col
-    )
+    w = Window.partitionBy("_rid").orderBy("_dist", key_col)
     best = (
         matched.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .drop("_rk", "_bc", "_bb")
+        .select("_rid", *canonical.columns, F.col("_dist").alias("match_dist"))
     )
-    return (
-        df.join(best, on=df.columns, how="left")
-        .withColumnRenamed("_dist", "match_dist")
-    )
+    return base.join(best, on="_rid", how="left").drop("_rid")

@@ -64,12 +64,20 @@ def group_ols_slope(
     y = F.col(y_col).cast("double")
     xy = x.cast("double") * y  # per-row product: 1 deterministic rounding
 
+    # Pairwise deletion, applied to EVERY sufficient statistic (the
+    # pearson_corr `both` pattern; ADVICE r06): a row with NULL/NaN y (or
+    # NULL x) must not contribute to Σx/Σx² while being absent from
+    # n/Σy/Σxy — mismatched sums silently skew the fit with no NULL to
+    # warn downstream. The y-gate is the decimal try_cast (NULL for
+    # NULL/NaN/Inf), matching what the Σy/Σxy sums can actually absorb.
+    ok = x.isNotNull() & y.try_cast(DEC).isNotNull()
+
     agg = df.groupBy(*group_cols).agg(
-        F.count(y).alias("_n"),
-        F.sum(x).alias("_sx"),
-        F.sum(y.try_cast(DEC)).alias("_sy"),
-        F.sum(xy.try_cast(DEC)).alias("_sxy"),
-        F.sum(x * x).alias("_sxx"),
+        F.count(F.when(ok, y)).alias("_n"),
+        F.sum(F.when(ok, x)).alias("_sx"),
+        F.sum(F.when(ok, y.try_cast(DEC))).alias("_sy"),
+        F.sum(F.when(ok, xy.try_cast(DEC))).alias("_sxy"),
+        F.sum(F.when(ok, x * x)).alias("_sxx"),
     )
     n_d = F.col("_n").cast("double")
     sx_d = F.col("_sx").cast("double")
@@ -100,20 +108,28 @@ def sql_ols_exprs(x: str, y: str) -> dict[str, str]:
     arithmetic, for use inside a GROUP BY. Returns SELECT-list fragments
     keyed n_points / slope / intercept — the arithmetic mirrors the Spark
     expressions operation-for-operation."""
-    n_d = f"CAST(COUNT(CAST(({y}) AS DOUBLE)) AS DOUBLE)"
-    sx_d = f"CAST(SUM(CAST(({x}) AS BIGINT)) AS DOUBLE)"
-    dec = lambda e: f"SUM(TRY_CAST(CAST(({e}) AS VARCHAR) AS {SQL_DEC}))"  # noqa: E731
+    # pairwise-deletion gate, mirroring the builder's `ok` exactly
+    y_dec = f"TRY_CAST(CAST(CAST(({y}) AS DOUBLE) AS VARCHAR) AS {SQL_DEC})"
+    ok = f"(CAST(({x}) AS BIGINT) IS NOT NULL AND {y_dec} IS NOT NULL)"
+    n_d = f"CAST(COUNT(CASE WHEN {ok} THEN CAST(({y}) AS DOUBLE) END) AS DOUBLE)"
+    sx_d = f"CAST(SUM(CASE WHEN {ok} THEN CAST(({x}) AS BIGINT) END) AS DOUBLE)"
+    dec = lambda e: (  # noqa: E731
+        f"SUM(CASE WHEN {ok} THEN TRY_CAST(CAST(({e}) AS VARCHAR) AS {SQL_DEC}) END)"
+    )
     sy_d = f"CAST(CAST({dec(f'CAST(({y}) AS DOUBLE)')} AS VARCHAR) AS DOUBLE)"
     xy = f"CAST(CAST(({x}) AS BIGINT) AS DOUBLE) * CAST(({y}) AS DOUBLE)"
     sxy_d = f"CAST(CAST({dec(xy)} AS VARCHAR) AS DOUBLE)"
-    sxx_d = f"CAST(SUM(CAST(({x}) AS BIGINT) * CAST(({x}) AS BIGINT)) AS DOUBLE)"
+    sxx_d = (
+        f"CAST(SUM(CASE WHEN {ok} THEN "
+        f"CAST(({x}) AS BIGINT) * CAST(({x}) AS BIGINT) END) AS DOUBLE)"
+    )
     num = f"({n_d} * {sxy_d} - {sx_d} * {sy_d})"
     den = f"({n_d} * {sxx_d} - {sx_d} * {sx_d})"
     # zero-denominator guard BEFORE dividing, mirroring the builder
     slope = f"(CASE WHEN {den} <> 0.0 THEN {num} / {den} END)"
     intercept = f"(CASE WHEN {den} <> 0.0 THEN ({sy_d} - {slope} * {sx_d}) / {n_d} END)"
     return {
-        "n_points": f"COUNT(CAST(({y}) AS DOUBLE))",
+        "n_points": f"COUNT(CASE WHEN {ok} THEN CAST(({y}) AS DOUBLE) END)",
         "slope": slope,
         "intercept": intercept,
     }
@@ -196,9 +212,18 @@ def exact_group_percentiles(
     acceptable, or the mergeable sketch path
     (``order_quantile_sketch_check``) when approximation is.
 
+    NULL values are EXCLUDED before ranking (``percentile_cont``
+    semantics; ADVICE r06): Spark windows order NULLS FIRST while DuckDB's
+    ROW_NUMBER defaults NULLS LAST, so a NULL-bearing column would both
+    skew the interpolation (NULLs inflate ``_cnt``) and diverge
+    cross-engine. The ranked-CTE oracle contract mirrors this with
+    ``WHERE _v IS NOT NULL`` (see :func:`sql_percentile_exprs`), exactly
+    as ``weighted_group_percentiles`` already guards.
+
     Output: group_cols + one double column per ``percentiles`` key.
     """
     v = F.col(value_col).cast("double")
+    df = df.filter(v.isNotNull())
     w_rank = Window.partitionBy(*group_cols).orderBy(v)
     w_all = Window.partitionBy(*group_cols)
     ranked = df.withColumn("_rn", F.row_number().over(w_rank) - 1).withColumn(
@@ -222,7 +247,11 @@ def sql_percentile_exprs(percentiles: dict[str, float]) -> list[str]:
     aggregates. The caller wraps these in a GROUP BY over a ranked CTE
     exposing ``_v`` (double value), ``_rn`` (0-based rank within group)
     and ``_cnt`` (group size); each fragment mirrors the Spark
-    interpolation arithmetic operation-for-operation."""
+    interpolation arithmetic operation-for-operation. CONTRACT: the
+    ranked CTE must carry ``WHERE <value> IS NOT NULL`` so ``_rn``/``_cnt``
+    range over exactly the rows the builder ranks (the builder excludes
+    NULL values before ranking — NULLS FIRST vs NULLS LAST would
+    otherwise diverge cross-engine and skew ``_cnt``)."""
     outs = []
     for name, p in percentiles.items():
         # CAST the literal: DuckDB parses a bare `0.25` as DECIMAL, and
@@ -441,13 +470,19 @@ def mann_whitney_u(
     # doubled midrank of the bin: 2*cum + t + 1 (always integral)
     rank2 = (F.lit(2) * F.col("cum") + F.col("t") + F.lit(1)).cast("long")
     D0 = "decimal(38,0)"
+    # Cast to DECIMAL(38,0) BEFORE multiplying (ADVICE r06): ca·rank2 and
+    # t³ in BIGINT overflow long past ~2.09M tied rows in one value bin —
+    # ANSI error (or silent wrap with ANSI off) — contradicting the
+    # "no n² overflow at any scale" contract above. Decimal-first keeps
+    # every intermediate inside DECIMAL(38,0); the oracle twin mirrors
+    # the identical cast order so bit-parity holds.
+    ca_dec = F.col("ca").cast(D0)
+    t_dec = F.col("t").cast(D0)
     agg = ranked.agg(
         F.sum("ca").alias("_na"),
         F.sum("cb").alias("_nb"),
-        F.sum((F.col("ca") * rank2).cast(D0)).alias("_r2a"),
-        F.sum(
-            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(D0)
-        ).alias("_ties"),
+        F.sum(ca_dec * rank2.cast(D0)).alias("_r2a"),
+        F.sum(t_dec * t_dec * t_dec - t_dec).alias("_ties"),
     )
     na_d = F.coalesce(F.col("_na"), F.lit(0)).cast("double")
     nb_d = F.coalesce(F.col("_nb"), F.lit(0)).cast("double")
@@ -499,8 +534,10 @@ mwu_ranked AS (
 ),
 mwu_agg AS (
   SELECT SUM(ca) AS na, SUM(cb) AS nb,
-         SUM(CAST(ca * (2 * cum + t + 1) AS DECIMAL(38,0))) AS r2a,
-         SUM(CAST(t * t * t - t AS DECIMAL(38,0))) AS ties
+         SUM(CAST(ca AS DECIMAL(38,0))
+             * CAST(2 * cum + t + 1 AS DECIMAL(38,0))) AS r2a,
+         SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+             * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS ties
   FROM mwu_ranked
 ),
 mwu AS (

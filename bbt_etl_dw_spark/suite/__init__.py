@@ -115,10 +115,19 @@ def _last_verified_round() -> dict[str, int]:
 # alone would defer them with stale evidence, so they sort as never-verified
 # until the next artifact re-evidences them (then remove from this set).
 _FORCE_RECHECK: frozenset[str] = frozenset()
-# (Emptied for round 6: CORRECTNESS_r05 re-evidenced all six round-5
-# reworked queries — dedup_clusters + the IVF/kmeans family — so plain
-# recency ordering is correct again and the r03-era cohort leads the
-# window.)
+# (Empty since round 6.) Rotation reality check (r07): never-verified
+# queries flood the window ahead of stale-verified ones by design — the
+# round-6 registration burst (88 new queries) meant the r06 window was
+# consumed by the first 50 of them, displacing the r03-era cohort the
+# round-5 note promised. That is the correct policy outcome (a query with
+# NO driver row is strictly less evidenced than one with an old row), but
+# it makes window capacity a REGISTRATION BUDGET: registering more than
+# (50 - stale backlog) queries in a round pushes the backlog out another
+# round. Round 7 therefore freezes registration so the window drains the
+# 38 never-verified round-6 queries plus 12 of the 30 r03-era ones; the
+# planned window is committed per-round as WINDOW_r{N}.txt (emitted from
+# load_all() order by tools/emit_window.py) so intent vs outcome is
+# auditable without replaying the JSON artifacts.
 
 
 def _check_order(names: list[str]) -> list[str]:

@@ -112,6 +112,7 @@ WITH ranked AS (
              ORDER BY CAST(o_totalprice AS DOUBLE)) - 1 AS _rn,
          COUNT(*) OVER (PARTITION BY o_orderpriority) AS _cnt
   FROM orders
+  WHERE CAST(o_totalprice AS DOUBLE) IS NOT NULL
 )
 SELECT o_orderpriority,
        {_PCT_FRAGS}
@@ -367,6 +368,7 @@ WITH ranked AS (
              ORDER BY CAST(value AS DOUBLE)) - 1 AS _rn,
          COUNT(*) OVER (PARTITION BY event_type) AS _cnt
   FROM events
+  WHERE CAST(value AS DOUBLE) IS NOT NULL
 ),
 med AS (SELECT event_type, {_MED_FRAG} FROM ranked GROUP BY event_type),
 dev AS (
@@ -380,6 +382,7 @@ ranked2 AS (
              PARTITION BY event_type ORDER BY adev) - 1 AS _rn,
          COUNT(*) OVER (PARTITION BY event_type) AS _cnt
   FROM dev
+  WHERE adev IS NOT NULL
 ),
 madt AS (SELECT event_type, {_MAD_FRAG} FROM ranked2 GROUP BY event_type)
 SELECT d.event_type,
@@ -534,6 +537,7 @@ WITH ranked AS (
              ORDER BY CAST(o_totalprice AS DOUBLE)) - 1 AS _rn,
          COUNT(*) OVER (PARTITION BY o_orderpriority) AS _cnt
   FROM orders
+  WHERE CAST(o_totalprice AS DOUBLE) IS NOT NULL
 ),
 bnd AS (
   SELECT o_orderpriority,
@@ -748,6 +752,7 @@ def _rfm_bnd_ctes(metric_sql: str, prefix: str) -> str:
          ROW_NUMBER() OVER (ORDER BY CAST({metric_sql} AS DOUBLE)) - 1 AS _rn,
          COUNT(*) OVER () AS _cnt
   FROM per_cust
+  WHERE CAST({metric_sql} AS DOUBLE) IS NOT NULL
 ),
 {prefix}_bnd AS (
   SELECT {pct}

@@ -49,12 +49,44 @@ def test_ols_constant_x_multi_point_is_null(spark):
     assert out.slope is None
 
 
+def test_ols_null_and_nan_y_rows_fully_excluded(spark):
+    # ADVICE r06: _n counted non-null y but Σx/Σx² summed ALL rows, so a
+    # group with NULL y got a wrong non-NULL slope from mismatched
+    # sufficient statistics. Pairwise deletion must gate EVERY sum: the
+    # fit over {(1,1),(2,2),(3,3)} with extra NULL-y and NaN-y rows must
+    # equal the clean fit exactly.
+    dirty = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0),
+         ("a", 100, None), ("a", 200, float("nan"))],
+        "g string, x int, y double",
+    )
+    out = group_ols_slope(dirty, ["g"], "x", "y").collect()[0]
+    assert out.n_points == 3
+    assert out.slope == 1.0
+    assert out.intercept == 0.0
+
+
 # --- exact_group_percentiles ----------------------------------------------
 
 
 def test_percentiles_interpolation(spark):
     # values 10,20,30,40 -> p50 idx = 1.5 -> 25.0; p25 idx 0.75 -> 17.5
     rows = [("g", v) for v in (40.0, 10.0, 30.0, 20.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = exact_group_percentiles(
+        df, ["g"], "v", {"p25": 0.25, "p50": 0.5, "p100": 1.0}
+    ).collect()[0]
+    assert out.p50 == 25.0
+    assert out.p25 == 17.5
+    assert out.p100 == 40.0
+
+
+def test_percentiles_exclude_null_values(spark):
+    # ADVICE r06: NULLs ranked first (Spark NULLS FIRST) and inflated
+    # _cnt, skewing every percentile and diverging from DuckDB's NULLS
+    # LAST. NULL rows must be excluded before ranking — same answer as
+    # the NULL-free frame.
+    rows = [("g", v) for v in (40.0, 10.0, None, 30.0, None, 20.0)]
     df = spark.createDataFrame(rows, "g string, v double")
     out = exact_group_percentiles(
         df, ["g"], "v", {"p25": 0.25, "p50": 0.5, "p100": 1.0}
@@ -229,6 +261,25 @@ def test_fuzzy_duplicate_probes_keep_cardinality(spark, canon):
     out = blocked_fuzzy_lookup(probes, "s", canon, "name", "k", max_dist=2).collect()
     assert len(out) == 2
     assert all(r.k == 1 for r in out)
+
+
+def test_fuzzy_null_in_unrelated_probe_column_still_matches(spark, canon):
+    # ADVICE r06 (medium): the join-back used an all-columns equality,
+    # which is null-UNSAFE — a probe row with a NULL in an unrelated
+    # column computed its match and then silently failed the join-back,
+    # surfacing as unmatched. The surrogate-row-id join-back must keep it.
+    probes = spark.createDataFrame(
+        [("ALPHA", None), ("BRAV0", "note"), (None, "x")],
+        "s string, extra string",
+    )
+    out = {r.extra: r for r in blocked_fuzzy_lookup(
+        probes, "s", canon, "name", "k", max_dist=2
+    ).collect()}
+    assert len(out) == 3
+    assert out[None].k == 1 and out[None].match_dist == 0  # NULL extra matches
+    assert out["note"].k == 3 and out["note"].match_dist == 1
+    # NULL probe string: no candidates, surfaces unmatched (not dropped)
+    assert out["x"].k is None and out["x"].match_dist is None
 
 
 # --- pearson_corr ---------------------------------------------------------

@@ -156,6 +156,26 @@ def test_mwu_degenerate_all_tied_and_empty_side(spark):
     assert out2.u_a is None and out2.z_stat is None
 
 
+def test_mwu_giant_tie_bin_no_bigint_overflow(spark):
+    # ADVICE r06: t³-t and ca·rank2 were computed in BIGINT before the
+    # DECIMAL(38,0) cast — one value bin with >~2.09M tied rows overflowed
+    # long (t³ > 2⁶³-1), contradicting the "no n² overflow at any scale"
+    # contract. Decimal-first arithmetic must return finite, correct stats.
+    from pyspark.sql import functions as F
+
+    n_a = 2_200_000  # t = n_a + 1 → t³ ≈ 1.06e19 > Long.MAX
+    a = spark.range(n_a).select(F.lit("a").alias("g"), F.lit(2.0).alias("v"))
+    b = spark.createDataFrame([("b", 2.0), ("b", 9.0)], "g string, v double")
+    out = mann_whitney_u(a.unionByName(b), "g", "v", "a", "b").collect()[0]
+    assert (out.n_a, out.n_b) == (n_a, 2)
+    # hand-computed: the 2.0-bin ties n_a + 1 rows; 9.0 ranks last.
+    # R_a = n_a * midrank(2.0-bin); midrank = (n_a + 2) / 2 exactly.
+    r_a = n_a * (n_a + 2) / 2.0
+    u_a = n_a * 2 + n_a * (n_a + 1) / 2.0 - r_a
+    assert out.u_a == u_a and out.u_b == n_a * 2 - u_a
+    assert out.z_stat is not None and math.isfinite(out.z_stat)
+
+
 # --- benford_digit_audit --------------------------------------------------
 
 
