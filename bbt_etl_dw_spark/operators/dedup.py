@@ -360,6 +360,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def collapsed_jaccard_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Component-equivalent edge list for exact-Jaccard clustering, with
+    EXACT-DUPLICATE PRE-COLLAPSE before the quadratic stage.
+
+    Real crawls (and the sf1 scale probe) are exact-dup-heavy; identical
+    normalized texts have identical shingle sets, so every member of an
+    exact-dup group is Jaccard-interchangeable. This operator therefore
+    emits (a) one ``rep -> member`` edge per non-representative member
+    (jaccard 1.0 — identical sets) and (b) the full
+    :func:`ngram_jaccard_pairs` output over the min-id REPRESENTATIVES
+    only. The shingle self-join — the superlinear stage — runs over
+    distinct texts instead of all docs: on a corpus where each doc has d
+    exact copies that is a ~d² pair-stage reduction.
+
+    NOT the same pair list as :func:`ngram_jaccard_pairs` — same
+    CONNECTED COMPONENTS. Equivalence: (i) every emitted edge is a true
+    pair-graph edge (intra edges have jaccard exactly 1 ≥ threshold;
+    rep-rep edges are verified pairs); (ii) every pair-graph edge (u, v)
+    is covered — jaccard(u, v) = jaccard(rep(u), rep(v)) because
+    fingerprint-equal docs share the exact shingle set, so the
+    rep(u)-rep(v) edge exists (or u, v share a rep) and u, v connect to
+    their reps via intra edges. Hence ``dedup_clusters`` over this edge
+    list is BIT-IDENTICAL to clustering the full pair list (the
+    recursive-CTE oracle of ``doc_dedup_clusters`` pins this).
+
+    NULL-text docs never pair in the full plan (NULL shingles fail the
+    equi-join), so NULL fingerprints are exempt from collapse: each such
+    doc stays its own representative and emits no intra edge.
+
+    ``max_shingle_df`` (audit knob) counts document frequency over the
+    COLLAPSED corpus — one vote per distinct text, the standard web-dedup
+    convention."""
+    sk = df.select(
+        F.col(id_col).alias("doc_id"), md5_fingerprint(text_col).alias("_fp")
+    )
+    grp = sk.filter(F.col("_fp").isNotNull())
+    # min-id representative per identical-text group: one skinny hash agg
+    repmap = grp.groupBy("_fp").agg(F.min("doc_id").alias("_rep"))
+    members = grp.join(repmap, "_fp").filter(F.col("doc_id") != F.col("_rep"))
+    intra = members.select(
+        F.col("_rep").alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    # representatives (NULL-fp docs included automatically): anti-join on
+    # the skinny non-rep id list — text rides one exchange at most
+    reps = df.join(
+        members.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+    rep_pairs = ngram_jaccard_pairs(
+        reps, id_col, text_col, shingle_k, threshold, max_shingle_df
+    )
+    return rep_pairs.unionByName(intra)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,

@@ -597,14 +597,23 @@ FROM reach GROUP BY node ORDER BY doc_id
 @register("doc_dedup_clusters", oracle=_CLUSTERS_ORACLE, bench=True)
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the exact Jaccard
-    pair set (min-label propagation, one shuffle per round) — keeping one
-    representative per COMPONENT is what actually shrinks a corpus when
-    near-dup relations chain (a~b~c). Oracle = recursive-CTE reachability
-    with per-node MIN label."""
-    from bbt_etl_dw_spark.operators.dedup import dedup_clusters
+    pair graph (min-label propagation, one shuffle per round) — keeping
+    one representative per COMPONENT is what actually shrinks a corpus
+    when near-dup relations chain (a~b~c). Edges come from
+    collapsed_jaccard_edges: exact-duplicate groups pre-collapse to their
+    min-id representative BEFORE the quadratic shingle self-join, which is
+    component-equivalent (identical normalized texts have identical
+    shingle sets) and turns the superlinear stage's cost from all-docs to
+    distinct-texts — the standard crawl-dedup pipeline order. Oracle =
+    recursive-CTE reachability with per-node MIN label over the FULL
+    uncollapsed pair set, so the equivalence is pinned bit-exactly."""
+    from bbt_etl_dw_spark.operators.dedup import (
+        collapsed_jaccard_edges,
+        dedup_clusters,
+    )
 
     docs = table(spark, sf_dir, "documents", spread=True)
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text")
+    pairs = collapsed_jaccard_edges(docs, "doc_id", "text")
     return dedup_clusters(pairs).orderBy("doc_id")
 
 

@@ -1,5 +1,12 @@
 """Every oracle-paired suite query must match DuckDB exactly at sf0.001.
-This is a local mirror of the driver's CORRECTNESS gate."""
+This is a local mirror of the driver's CORRECTNESS gate.
+
+The heaviest oracled queries ALSO replay at sf0.01 — the driver's scale
+(VERDICT r06 #3): a cardinality-dependent tie, overflow, or sampling
+artifact that the tiny scale hides must fail here, not in the driver
+artifact."""
+
+import os
 
 import pytest
 
@@ -9,12 +16,40 @@ QUERIES = load_all()
 ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle)
 ROWS_ONLY = sorted(n for n, q in QUERIES.items() if not q.oracle)
 
+# The ~10 heaviest oracled queries (dedup clustering, LM/OOV, minhash,
+# the basket pair family, weighted percentiles, RFM, star assembly):
+# the shapes whose semantics depend most on data cardinality.
+HEAVY_SF01 = [
+    "doc_dedup_clusters",
+    "doc_lm_oov_rate",
+    "minhash_near_dup_pairs",
+    "order_part_cooccurrence",
+    "part_basket_neighbors",
+    "quantity_weighted_percentiles",
+    "doc_span_dedup_stats",
+    "lineitem_quantity_mannwhitney",
+    "customer_rfm_segments",
+    "star_fact_assembly",
+]
+SF01_DIR = os.environ.get("SPARK_GRAFT_TEST_SF01_DIR", "/root/testdata/sf0.01")
+
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(spark, sf_dir, name):
     from tests.oracle import compare_query
 
     n_rows, _ = compare_query(spark, QUERIES[name], sf_dir)
+    assert n_rows >= 0
+
+
+@pytest.mark.parametrize("name", HEAVY_SF01)
+def test_oracle_match_sf01(spark, name):
+    """Driver-scale (sf0.01) replay of the heaviest oracled queries."""
+    if not os.path.isdir(SF01_DIR):
+        pytest.skip(f"{SF01_DIR} not present")
+    from tests.oracle import compare_query
+
+    n_rows, _ = compare_query(spark, QUERIES[name], SF01_DIR)
     assert n_rows >= 0
 
 

@@ -460,6 +460,49 @@ def test_dedup_clusters_chain_and_clique(spark):
     }
 
 
+def test_collapsed_jaccard_edges_component_equivalent(spark):
+    """collapsed_jaccard_edges (exact-dup pre-collapse, r07 scale fix for
+    doc_dedup_clusters) must yield BIT-IDENTICAL clusters to clustering
+    the full ngram_jaccard_pairs output — including the tricky corners:
+    member-to-outside near-dups bridged via the representative, empty
+    texts (identical '' fingerprints DO pair, jaccard 1), NULL texts
+    (NULL shingles never pair — exempt from collapse), whitespace/case
+    variants (same normalized form => same group), and singletons."""
+    from bbt_etl_dw_spark.operators.dedup import (
+        collapsed_jaccard_edges,
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),   # exact group {1,5,9}
+        (5, "alpha beta gamma delta epsilon"),
+        (9, "  ALPHA   beta GAMMA delta epsilon "),  # same normalized form
+        (2, "one two three four five"),           # exact group {2,7}
+        (7, "one two three four five"),
+        (3, "one two three four six"),            # near-dup of 2/7 (j=0.5)
+        (4, "totally unrelated text content here"),  # singleton: no output
+        (8, ""),                                  # empty pair {8,10}
+        (10, ""),
+        (11, None),                               # NULL text: never pairs
+        (12, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(ngram_jaccard_pairs(df, "doc_id", "text")).collect()
+    )
+    fast = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(collapsed_jaccard_edges(df, "doc_id", "text")).collect()
+    )
+    assert fast == full
+    assert fast == [
+        (1, 1), (2, 2), (3, 2), (5, 1), (7, 2), (8, 8), (9, 1), (10, 8)
+    ]
+
+
 def test_incremental_dedup_semantics(spark):
     from bbt_etl_dw_spark.operators.dedup import incremental_exact_dedup
 
