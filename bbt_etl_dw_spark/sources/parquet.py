@@ -84,8 +84,77 @@ def read_resilient(
     return df
 
 
+class WriterLockHeld(RuntimeError):
+    """Another writer holds (or crashed while holding) the swap lock."""
+
+
+class ConcurrentWriteDetected(RuntimeError):
+    """The fence observed the target change between snapshot and swap."""
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def acquire_swap_lock(spark: SparkSession, path: str, owner: str = "writer"):
+    """Single-writer lock for the atomic-swap sinks: atomically create
+    ``<path>.__lock__`` (FileSystem.create with overwrite=False — an
+    atomic existence check on HDFS and local FS). Raises
+    :class:`WriterLockHeld` with the current holder's identity when the
+    lock exists — including a CRASHED holder's: a stale lock means the
+    last swap's outcome is unknown, so refusing loudly (operator
+    inspects, then deletes the lock file) beats silently proceeding into
+    a half-swapped table. Returns the lock path; release with
+    :func:`release_swap_lock`.
+
+    Honesty note (the 100 TB contract): this serializes writers that USE
+    the lock (compactors, folders — everything routed through
+    :func:`overwrite_atomic`). A writer that bypasses it is caught by the
+    caller-supplied fence in :func:`overwrite_atomic` up to the
+    fence-to-rename window (sub-second, but real). Multi-writer tables
+    needing more than that belong on a table format with real commit
+    protocols, not raw parquet."""
+    import time
+
+    lock = f"{path.rstrip('/')}.__lock__"
+    fs, lp, _ = _hadoop_fs(spark, lock)
+    try:
+        out = fs.create(lp, False)  # overwrite=False: atomic create
+    except Exception as exc:  # Py4JJavaError: lock already exists
+        holder = "<unreadable>"
+        try:
+            stream = fs.open(lp)
+            holder = bytes(
+                stream.readAllBytes()
+            ).decode("utf-8", "replace")
+            stream.close()
+        except Exception:
+            pass
+        raise WriterLockHeld(
+            f"swap lock {lock} is held by [{holder}]: another writer is "
+            f"active, or a previous writer crashed mid-swap. Verify no "
+            f"writer is running and the table at {path} is intact, then "
+            f"delete the lock file to recover."
+        ) from exc
+    out.write(bytearray(f"{owner} pid={__import__('os').getpid()} "
+                        f"t={time.time():.3f}".encode()))
+    out.close()
+    return lock
+
+
+def release_swap_lock(spark: SparkSession, lock: str) -> None:
+    fs, lp, _ = _hadoop_fs(spark, lock)
+    fs.delete(lp, False)
+
+
 def overwrite_atomic(
-    df: DataFrame, path: str, partition_by: Sequence[str] = ()
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    fence=None,
+    owner: str = "overwrite_atomic",
 ) -> None:
     """Replace the dataset at ``path`` with ``df`` via write-to-temp +
     rename, instead of Spark's delete-then-write ``mode("overwrite")``.
@@ -96,26 +165,46 @@ def overwrite_atomic(
     localCheckpoint blocks backing ``df``) destroys the only copy. Here
     the new dataset is fully committed to ``<path>.__staging__`` before
     the old one is touched; the worst crash outcome is a stale target
-    plus a staging dir to clean up, never data loss. The final
-    delete+rename window is not transactional (HDFS rename is atomic,
+    plus a staging dir (and lock file) to clean up, never data loss.
+
+    Multi-writer contract: the whole stage-and-swap runs under the
+    single-writer lock (:func:`acquire_swap_lock` — concurrent
+    lock-honoring writers get a loud :class:`WriterLockHeld`, never a
+    lost update). ``fence``, when given, is called AFTER the staging
+    write and immediately BEFORE the destructive swap; it should raise
+    (e.g. :class:`ConcurrentWriteDetected`) if the target changed since
+    the caller snapshotted it — the defense against writers that do NOT
+    honor the lock, such as a live ingest loop appending epoch
+    partitions (see streaming/ops.compact_epochs). On a fence abort the
+    staging dir is removed and the target is untouched. The residual
+    fence-to-rename window is documented in :func:`acquire_swap_lock`.
+
+    The final delete+rename is not transactional (HDFS rename is atomic,
     the preceding delete is separate) — callers that need concurrent
     readers during the swap belong on a table format, not raw parquet.
     """
     spark = df.sparkSession
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
     staging = f"{path.rstrip('/')}.__staging__"
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    src = jvm.org.apache.hadoop.fs.Path(staging)
-    fs = dst.getFileSystem(conf)
-    if fs.exists(dst):
-        fs.delete(dst, True)
-    if not fs.rename(src, dst):
-        raise IOError(
-            f"rename {staging} -> {path} failed; the folded data is intact "
-            f"in the staging directory"
-        )
+    lock = acquire_swap_lock(spark, path, owner=owner)
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        fs, dst, jvm = _hadoop_fs(spark, path)
+        src = jvm.org.apache.hadoop.fs.Path(staging)
+        if fence is not None:
+            try:
+                fence()
+            except BaseException:
+                fs.delete(src, True)
+                raise
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(src, dst):
+            raise IOError(
+                f"rename {staging} -> {path} failed; the folded data is "
+                f"intact in the staging directory"
+            )
+    finally:
+        release_swap_lock(spark, lock)

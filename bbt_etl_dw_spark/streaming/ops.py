@@ -252,11 +252,24 @@ def read_epoch_sink(spark: SparkSession, path: str) -> DataFrame:
     return df.drop("epoch") if "epoch" in df.columns else df
 
 
+def _epoch_dirs(spark: SparkSession, path: str) -> list[str]:
+    """FS listing of the sink's epoch=* partition directories."""
+    from bbt_etl_dw_spark.sources.parquet import _hadoop_fs
+
+    fs, p, _ = _hadoop_fs(spark, path)
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isDirectory() and st.getPath().getName().startswith("epoch=")
+    )
+
+
 def compact_epochs(
     spark: SparkSession,
     path: str,
     upto_epoch: int,
     files_per_epoch: int | None = 1,
+    _race_injection=None,
 ) -> int:
     """Fold an idempotent sink's epoch partitions ``<= upto_epoch`` into
     the reserved ``epoch=-1`` baseline — the retention companion of the
@@ -269,13 +282,28 @@ def compact_epochs(
     deleting others cannot be atomic on plain parquet, so the crash
     outcome here is always the intact old layout, never duplicates.
     ``files_per_epoch`` coalesces the baseline (compaction exists to
-    shrink file counts; None keeps the natural layout). Coordination
-    contract — same as fold_summary: no concurrent writer, and the
-    stream's checkpoint must be committed PAST ``upto_epoch`` (a folded
-    epoch replayed later would re-add its rows beside the baseline).
-    Returns the number of epochs folded."""
-    from bbt_etl_dw_spark.sources.parquet import overwrite_atomic
+    shrink file counts; None keeps the natural layout).
 
+    Coordination contract (made loud in r07, VERDICT r06 #6): the swap
+    runs under the single-writer lock (two compactors/folders exclude
+    each other via WriterLockHeld), and an EPOCH FENCE re-lists the
+    sink's epoch partitions immediately before the destructive swap —
+    an ingest loop that committed a new epoch after this function's
+    snapshot (the ingestor does not take the lock; holding it across
+    every micro-batch would serialize the stream on its compactor)
+    aborts the compaction with ConcurrentWriteDetected, target
+    untouched, instead of the full-table swap silently DESTROYING the
+    freshly ingested epoch. The stream's checkpoint must additionally be
+    committed PAST ``upto_epoch`` (a folded epoch replayed later would
+    re-add its rows beside the baseline). ``_race_injection`` is a
+    test-only hook running between the staging write and the fence.
+    Returns the number of epochs folded."""
+    from bbt_etl_dw_spark.sources.parquet import (
+        ConcurrentWriteDetected,
+        overwrite_atomic,
+    )
+
+    snapshot = _epoch_dirs(spark, path)
     df = spark.read.parquet(path)
     if "epoch" not in df.columns:
         raise ValueError(f"{path} is not an epoch-partitioned sink")
@@ -294,7 +322,24 @@ def compact_epochs(
     )
     if files_per_epoch:
         staged = staged.repartition(files_per_epoch, "epoch")
-    overwrite_atomic(staged, path, partition_by=("epoch",))
+
+    def fence() -> None:
+        if _race_injection is not None:
+            _race_injection()
+        now = _epoch_dirs(spark, path)
+        if now != snapshot:
+            raise ConcurrentWriteDetected(
+                f"compact_epochs({path}): epoch partitions changed during "
+                f"compaction (snapshot {snapshot} -> now {now}) — a "
+                f"concurrent ingest committed; aborting the swap (target "
+                f"untouched). Re-run compaction; the new epochs fold next "
+                f"time."
+            )
+
+    overwrite_atomic(
+        staged, path, partition_by=("epoch",), fence=fence,
+        owner=f"compact_epochs(upto={upto_epoch})",
+    )
     return len(folded_epochs)
 
 

@@ -995,6 +995,75 @@ def test_compact_epochs_folds_baseline_and_preserves_rows(spark, tmp_path):
     assert sorted(r.doc_id for r in read_epoch_sink(spark, path).collect()) == before
 
 
+def test_compact_epochs_fence_aborts_on_concurrent_ingest(spark, tmp_path):
+    """VERDICT r06 #6 race pytest: an ingest loop committing a NEW epoch
+    between compaction's snapshot and its atomic swap must abort the
+    compaction (ConcurrentWriteDetected) with the target fully intact —
+    including the racing epoch, which the full-table swap would
+    otherwise silently destroy. Staging is cleaned up; a re-run then
+    succeeds and folds the new epoch too."""
+    import os
+
+    from bbt_etl_dw_spark.sources.parquet import ConcurrentWriteDetected
+    from bbt_etl_dw_spark.streaming.ops import (
+        _epoch_write,
+        compact_epochs,
+        read_epoch_sink,
+    )
+
+    path = str(tmp_path / "sink")
+
+    def batch(eid):
+        return spark.range(eid * 10, eid * 10 + 10).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+        )
+
+    for eid in range(3):
+        _epoch_write(batch(eid), path, eid, idempotent=True)
+
+    def racing_ingest():
+        _epoch_write(batch(3), path, 3, idempotent=True)
+
+    with pytest.raises(ConcurrentWriteDetected, match="epoch partitions changed"):
+        compact_epochs(spark, path, upto_epoch=2, _race_injection=racing_ingest)
+
+    # target intact INCLUDING the racing epoch; staging and lock cleaned
+    got = sorted(r.doc_id for r in read_epoch_sink(spark, path).collect())
+    assert got == list(range(40))
+    assert not os.path.exists(path + ".__staging__")
+    assert not os.path.exists(path + ".__lock__")
+    # the retry folds everything below the watermark, epoch 3 untouched
+    assert compact_epochs(spark, path, upto_epoch=2) == 3
+    assert sorted(r.doc_id for r in read_epoch_sink(spark, path).collect()) == got
+
+
+def test_overwrite_atomic_single_writer_lock(spark, tmp_path):
+    """Two lock-honoring writers exclude each other: with the lock file
+    present, overwrite_atomic raises WriterLockHeld naming the holder and
+    leaves the target untouched; after release it succeeds and removes
+    the lock."""
+    import os
+
+    from bbt_etl_dw_spark.sources.parquet import (
+        WriterLockHeld,
+        acquire_swap_lock,
+        overwrite_atomic,
+        release_swap_lock,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(5).write.parquet(path)
+    lock = acquire_swap_lock(spark, path, owner="writer-A")
+    with pytest.raises(WriterLockHeld, match="writer-A"):
+        overwrite_atomic(spark.range(9), path)
+    assert spark.read.parquet(path).count() == 5  # untouched
+    release_swap_lock(spark, lock)
+    overwrite_atomic(spark.range(9), path)
+    assert spark.read.parquet(path).count() == 9
+    assert not os.path.exists(path + ".__lock__")
+
+
 def test_stateful_ewma_final_state_equals_batch(spark, events_batch, chunked_dir):
     from bbt_etl_dw_spark.streaming.stateful import ewma_stream, final_ewma_batch
 
