@@ -149,6 +149,48 @@ def release_swap_lock(spark: SparkSession, lock: str) -> None:
     fs.delete(lp, False)
 
 
+def vacuum_orphans(spark: SparkSession, path: str) -> list[str]:
+    """VACUUM-style orphan sweep for the swap/epoch sinks: remove crash
+    leftovers that are provably not part of the committed table —
+    ``<path>.__staging__`` (a writer died between staging and rename) and
+    ``_temporary`` task-attempt dirs inside the table (a Spark write
+    failed before job commit; readers ignore them, but at 100 TB they
+    accumulate listing cost and confuse manual inspection).
+
+    Safety: the sweep runs UNDER the single-writer lock, so a staging dir
+    seen while holding the lock is guaranteed abandoned (a live writer
+    would be holding the lock while its staging exists). A held lock
+    raises :class:`WriterLockHeld` — never sweep under a live writer.
+    Committed data files are never touched: only the two well-known
+    orphan names are candidates. Returns the removed paths."""
+    lock = acquire_swap_lock(spark, path, owner="vacuum_orphans")
+    removed: list[str] = []
+    try:
+        fs, root, jvm = _hadoop_fs(spark, path)
+        staging = jvm.org.apache.hadoop.fs.Path(
+            f"{path.rstrip('/')}.__staging__"
+        )
+        if fs.exists(staging):
+            fs.delete(staging, True)
+            removed.append(staging.toString())
+        if fs.exists(root):
+            stack = [root]
+            while stack:
+                d = stack.pop()
+                for st in fs.listStatus(d):
+                    if not st.isDirectory():
+                        continue
+                    name = st.getPath().getName()
+                    if name == "_temporary":
+                        fs.delete(st.getPath(), True)
+                        removed.append(st.getPath().toString())
+                    else:
+                        stack.append(st.getPath())
+    finally:
+        release_swap_lock(spark, lock)
+    return removed
+
+
 def overwrite_atomic(
     df: DataFrame,
     path: str,

@@ -1064,6 +1064,45 @@ def test_overwrite_atomic_single_writer_lock(spark, tmp_path):
     assert not os.path.exists(path + ".__lock__")
 
 
+def test_vacuum_orphans_sweeps_staging_and_temporary(spark, tmp_path):
+    """VACUUM companion of the epoch sinks: abandoned __staging__ dirs and
+    in-table _temporary dirs are removed under the writer lock; committed
+    rows are untouched; a held lock refuses the sweep."""
+    import os
+
+    from bbt_etl_dw_spark.sources.parquet import (
+        WriterLockHeld,
+        acquire_swap_lock,
+        release_swap_lock,
+        vacuum_orphans,
+    )
+    from bbt_etl_dw_spark.streaming.ops import _epoch_write, read_epoch_sink
+
+    path = str(tmp_path / "sink")
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text")
+    )
+    _epoch_write(df, path, 0, idempotent=True)
+    # plant crash leftovers: an abandoned staging dir + a task-attempt dir
+    os.makedirs(path + ".__staging__/epoch=0")
+    open(path + ".__staging__/epoch=0/part-x.parquet", "w").write("junk")
+    os.makedirs(path + "/epoch=0/_temporary/0")
+    open(path + "/epoch=0/_temporary/0/task.parquet", "w").write("junk")
+
+    lock = acquire_swap_lock(spark, path, owner="live-writer")
+    with pytest.raises(WriterLockHeld, match="live-writer"):
+        vacuum_orphans(spark, path)
+    release_swap_lock(spark, lock)
+
+    removed = vacuum_orphans(spark, path)
+    assert len(removed) == 2
+    assert not os.path.exists(path + ".__staging__")
+    assert not os.path.exists(path + "/epoch=0/_temporary")
+    assert not os.path.exists(path + ".__lock__")  # released after sweep
+    assert read_epoch_sink(spark, path).count() == 10  # data intact
+    assert vacuum_orphans(spark, path) == []  # idempotent
+
+
 def test_stateful_ewma_final_state_equals_batch(spark, events_batch, chunked_dir):
     from bbt_etl_dw_spark.streaming.stateful import ewma_stream, final_ewma_batch
 

@@ -141,6 +141,110 @@ def test_zorder_rowgroup_pruning_beats_single_sort(spark, tmp_path):
     df.unpersist()
 
 
+def _morton3(x: int, y: int, z: int, bits: int) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (3 * i)
+        out |= ((y >> i) & 1) << (3 * i + 1)
+        out |= ((z >> i) & 1) << (3 * i + 2)
+    return out
+
+
+def test_interleave_matches_reference_morton_3col(spark):
+    rows = [(x, y, z) for x in range(0, 32, 5) for y in range(0, 32, 7)
+            for z in range(0, 32, 11)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got = df.select(
+        "x", "y", "z",
+        interleave_bits([F.col("x"), F.col("y"), F.col("z")], bits=5).alias("m"),
+    ).collect()
+    for r in got:
+        assert r["m"] == _morton3(r["x"], r["y"], r["z"], 5)
+
+
+def _rowgroup_boxes3(path: str, cols):
+    boxes = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        }
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            boxes.append(tuple(
+                (rg.column(names[c]).statistics.min,
+                 rg.column(names[c]).statistics.max)
+                for c in cols
+            ))
+    return boxes
+
+
+def test_zorder_3col_rowgroup_pruning(spark, tmp_path):
+    """VERDICT r06 #7 (frontier): the bit-interleave generalizes beyond 2
+    columns — same footer-pruning evidence as the 2-col case, in 3-D.
+    100k points uniform on a 128^3 grid; a z-selective slab (full x, full
+    y, ~6% of z) prunes row groups under the 3-col Morton layout but not
+    under an x-sorted layout; a 3-D box read-back is row-identical."""
+    n = 100_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.pmod(F.xxhash64("id"), F.lit(128)).alias("x"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(128)).alias("y"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(128)).alias("z"),
+        )
+        .persist()
+    )
+    zpath, spath = str(tmp_path / "z3"), str(tmp_path / "s3")
+    write_zordered(
+        df, zpath, ["x", "y", "z"], bits=7, num_files=4,
+        rowgroup_bytes=64 * 1024,
+    )
+    (
+        df.repartitionByRange(4, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(spath)
+    )
+    cols = ("x", "y", "z")
+    zb = _rowgroup_boxes3(zpath, cols)
+    sb = _rowgroup_boxes3(spath, cols)
+    assert len(zb) > 20 and len(sb) > 20
+
+    def overlapping(boxes, rect):
+        return sum(
+            1 for box in boxes
+            if all(mx >= lo and mn <= hi
+                   for (mn, mx), (lo, hi) in zip(box, rect))
+        )
+
+    slab = ((0, 127), (0, 127), (60, 67))  # ~6% of z, full x/y
+    s_hit = overlapping(sb, slab)
+    z_hit = overlapping(zb, slab)
+    assert s_hit >= len(sb) * 0.9, (s_hit, len(sb))  # single sort: no pruning
+    assert z_hit <= len(zb) * 0.7, (z_hit, len(zb))  # 3-col curve: real pruning
+
+    box = ((30, 50), (30, 50), (30, 50))
+    pred = (
+        F.col("x").between(30, 50)
+        & F.col("y").between(30, 50)
+        & F.col("z").between(30, 50)
+    )
+    expect = sorted(r["id"] for r in df.filter(pred).collect())
+    got = sorted(
+        r["id"] for r in spark.read.parquet(zpath).filter(pred).collect()
+    )
+    assert got == expect and len(got) > 0
+    # an x-selective 3-D box is the x-sorted layout's BEST case (it prunes
+    # on x alone); the curve must still be no worse there — the decisive
+    # advantage is the slab above, where single-sort cannot prune at all
+    assert overlapping(zb, box) <= overlapping(sb, box)
+    df.unpersist()
+
+
 def test_zorder_key_nan_bounds_and_bucket(spark):
     """One NaN row must not poison the min/max bounds (Spark sorts NaN
     above every real double, so a bare max() returns NaN -> span=NaN ->
