@@ -366,7 +366,6 @@ def collapsed_jaccard_edges(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Component-equivalent edge list for exact-Jaccard clustering, with
     EXACT-DUPLICATE PRE-COLLAPSE before the quadratic stage.
@@ -396,9 +395,12 @@ def collapsed_jaccard_edges(
     equi-join), so NULL fingerprints are exempt from collapse: each such
     doc stays its own representative and emits no intra edge.
 
-    ``max_shingle_df`` (audit knob) counts document frequency over the
-    COLLAPSED corpus — one vote per distinct text, the standard web-dedup
-    convention."""
+    No ``max_shingle_df`` knob on purpose: the component-equivalence
+    proof above holds only for the UNCAPPED pair graph — under a DF cap
+    an exact-dup pair can lose all its shingles (df over the cap) and
+    drop out of the full pair list while the intra edge would keep it,
+    so the two plans genuinely diverge. Capped audits belong on
+    :func:`ngram_jaccard_pairs` directly."""
     sk = df.select(
         F.col(id_col).alias("doc_id"), md5_fingerprint(text_col).alias("_fp")
     )
@@ -416,9 +418,7 @@ def collapsed_jaccard_edges(
     reps = df.join(
         members.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
-    rep_pairs = ngram_jaccard_pairs(
-        reps, id_col, text_col, shingle_k, threshold, max_shingle_df
-    )
+    rep_pairs = ngram_jaccard_pairs(reps, id_col, text_col, shingle_k, threshold)
     return rep_pairs.unionByName(intra)
 
 

@@ -62,12 +62,27 @@ def blocked_fuzzy_lookup(
     # in an unrelated column would compute a match and then silently fail
     # the join-back, violating the "NULL only when nothing within
     # max_dist" contract on exactly the dirty data this operator targets.
-    # monotonically_increasing_id is (partition, row-position) derived:
-    # both join branches read the same deterministic `base` lineage, so
-    # ids agree across the self-join. It also makes the best-match window
-    # per-ROW (duplicate probe rows each keep their own match) instead of
-    # per-distinct-value.
-    base = df.withColumn("_rid", F.monotonically_increasing_id())
+    # It also makes the best-match window per-ROW (duplicate probe rows
+    # each keep their own match) instead of per-distinct-value.
+    #
+    # `base` is localCheckpoint'ed because it appears on BOTH sides of the
+    # final self-join: without materialization each side re-evaluates the
+    # probe lineage, and monotonically_increasing_id over a lineage with a
+    # shuffle in it is NOT stable across evaluations (shuffle-fetch-order
+    # nondeterminism) — row R would take one id on the left and another
+    # inside `best`, silently receiving a different row's match. The
+    # checkpoint pins ids once; cost is one materialization of the probe
+    # frame (executor-local blocks — pass a pre-checkpointed frame on
+    # clusters where executor loss during the match is a concern).
+    reserved = {"_rid", "_bc", "_bb", "_dist", "_rk"} & (
+        set(df.columns) | set(canonical.columns)
+    )
+    if reserved:
+        raise ValueError(
+            f"blocked_fuzzy_lookup: columns {sorted(reserved)} collide "
+            f"with the operator's internal names — rename them first"
+        )
+    base = df.withColumn("_rid", F.monotonically_increasing_id()).localCheckpoint()
 
     pc, pb = _block_key(F.col(col), band_width)
     probe = base.withColumn("_bc", pc).withColumn("_bb", pb)

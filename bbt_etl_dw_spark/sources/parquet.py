@@ -99,9 +99,11 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def acquire_swap_lock(spark: SparkSession, path: str, owner: str = "writer"):
-    """Single-writer lock for the atomic-swap sinks: atomically create
-    ``<path>.__lock__`` (FileSystem.create with overwrite=False — an
-    atomic existence check on HDFS and local FS). Raises
+    """Single-writer lock for the atomic-swap sinks: create
+    ``<path>.__lock__`` with overwrite=False (atomic create-if-absent on
+    HDFS; on object stores without conditional PUT the create-vs-exists
+    window is the store's consistency gap — use a real table format for
+    contended multi-writer tables there). Raises
     :class:`WriterLockHeld` with the current holder's identity when the
     lock exists — including a CRASHED holder's: a stale lock means the
     last swap's outcome is unknown, so refusing loudly (operator
@@ -121,8 +123,15 @@ def acquire_swap_lock(spark: SparkSession, path: str, owner: str = "writer"):
     lock = f"{path.rstrip('/')}.__lock__"
     fs, lp, _ = _hadoop_fs(spark, lock)
     try:
-        out = fs.create(lp, False)  # overwrite=False: atomic create
-    except Exception as exc:  # Py4JJavaError: lock already exists
+        out = fs.create(lp, False)  # overwrite=False: create-if-absent
+    except Exception as exc:
+        # Only an already-exists failure means "held" — a permission or
+        # transient-FS error must NOT be reported as a lock conflict (the
+        # recovery advice would misdirect the operator to delete a lock
+        # file that does not exist).
+        msg = str(exc)
+        if not ("xists" in msg or fs.exists(lp)):
+            raise
         holder = "<unreadable>"
         try:
             stream = fs.open(lp)
@@ -138,9 +147,18 @@ def acquire_swap_lock(spark: SparkSession, path: str, owner: str = "writer"):
             f"writer is running and the table at {path} is intact, then "
             f"delete the lock file to recover."
         ) from exc
-    out.write(bytearray(f"{owner} pid={__import__('os').getpid()} "
-                        f"t={time.time():.3f}".encode()))
-    out.close()
+    try:
+        out.write(bytearray(f"{owner} pid={__import__('os').getpid()} "
+                            f"t={time.time():.3f}".encode()))
+        out.close()
+    except BaseException:
+        # a failure after create would leak an ownerless lock that blocks
+        # every future writer — release before propagating
+        try:
+            fs.delete(lp, False)
+        except Exception:
+            pass
+        raise
     return lock
 
 
@@ -149,20 +167,26 @@ def release_swap_lock(spark: SparkSession, lock: str) -> None:
     fs.delete(lp, False)
 
 
-def vacuum_orphans(spark: SparkSession, path: str) -> list[str]:
+def vacuum_orphans(
+    spark: SparkSession, path: str, include_temporary: bool = False
+) -> list[str]:
     """VACUUM-style orphan sweep for the swap/epoch sinks: remove crash
-    leftovers that are provably not part of the committed table —
-    ``<path>.__staging__`` (a writer died between staging and rename) and
-    ``_temporary`` task-attempt dirs inside the table (a Spark write
-    failed before job commit; readers ignore them, but at 100 TB they
-    accumulate listing cost and confuse manual inspection).
+    leftovers that are not part of the committed table —
+    ``<path>.__staging__`` (a writer died between staging and rename)
+    and, opt-in, ``_temporary`` task-attempt dirs inside the table (a
+    Spark write failed before job commit; readers ignore them, but at
+    100 TB they accumulate listing cost and confuse manual inspection).
 
     Safety: the sweep runs UNDER the single-writer lock, so a staging dir
-    seen while holding the lock is guaranteed abandoned (a live writer
-    would be holding the lock while its staging exists). A held lock
-    raises :class:`WriterLockHeld` — never sweep under a live writer.
-    Committed data files are never touched: only the two well-known
-    orphan names are candidates. Returns the removed paths."""
+    seen while holding the lock is GUARANTEED abandoned — every staging
+    writer holds the lock across its stage-and-swap. A held lock raises
+    :class:`WriterLockHeld`. The ``_temporary`` sweep is opt-in
+    (``include_temporary=True``) because the lock does NOT protect it: a
+    live ingest loop (which deliberately does not take the lock — see
+    compact_epochs) writes through ``_temporary`` during every
+    micro-batch, and sweeping it mid-write destroys the batch's
+    task-committed output. Only enable it with ingest quiesced.
+    Committed data files are never candidates. Returns removed paths."""
     lock = acquire_swap_lock(spark, path, owner="vacuum_orphans")
     removed: list[str] = []
     try:
@@ -173,7 +197,7 @@ def vacuum_orphans(spark: SparkSession, path: str) -> list[str]:
         if fs.exists(staging):
             fs.delete(staging, True)
             removed.append(staging.toString())
-        if fs.exists(root):
+        if include_temporary and fs.exists(root):
             stack = [root]
             while stack:
                 d = stack.pop()

@@ -307,10 +307,14 @@ def compact_epochs(
     df = spark.read.parquet(path)
     if "epoch" not in df.columns:
         raise ValueError(f"{path} is not an epoch-partitioned sink")
+    # epoch ids come from the directory listing already taken for the
+    # fence snapshot — a select('epoch').distinct() would scan data files
+    # of every partition (metadata-only-query is off by default), a full
+    # extra pass over exactly the 100 TB sink this function serves.
     folded_epochs = [
-        r["epoch"]
-        for r in df.select("epoch").distinct().collect()
-        if r["epoch"] != -1 and r["epoch"] <= upto_epoch
+        e
+        for e in (int(name.split("=", 1)[1]) for name in snapshot)
+        if e != -1 and e <= upto_epoch
     ]
     if not folded_epochs:
         return 0

@@ -1094,13 +1094,18 @@ def test_vacuum_orphans_sweeps_staging_and_temporary(spark, tmp_path):
         vacuum_orphans(spark, path)
     release_swap_lock(spark, lock)
 
+    # default sweep: staging only — _temporary may belong to a LIVE
+    # ingest micro-batch (ingest does not take the lock), so it is opt-in
     removed = vacuum_orphans(spark, path)
-    assert len(removed) == 2
+    assert len(removed) == 1 and removed[0].endswith(".__staging__")
+    assert os.path.exists(path + "/epoch=0/_temporary")  # untouched
+    removed = vacuum_orphans(spark, path, include_temporary=True)
+    assert len(removed) == 1
     assert not os.path.exists(path + ".__staging__")
     assert not os.path.exists(path + "/epoch=0/_temporary")
     assert not os.path.exists(path + ".__lock__")  # released after sweep
     assert read_epoch_sink(spark, path).count() == 10  # data intact
-    assert vacuum_orphans(spark, path) == []  # idempotent
+    assert vacuum_orphans(spark, path, include_temporary=True) == []
 
 
 def test_stateful_ewma_final_state_equals_batch(spark, events_batch, chunked_dir):
