@@ -43,11 +43,17 @@ def attribute_conversions(
     """One row per conversion event with its attributed ``channel``.
 
     ``position='last'`` credits the latest qualifying touch at or before
-    the conversion (last-touch); ``'first'`` credits the earliest touch
-    seen so far for the user (first-touch) — both still subject to the
-    lookback. A row can be both a touch and a conversion; the frame ends
-    at the current row, so a self-touching conversion credits itself,
-    which is the standard treatment.
+    the conversion (last-touch, within the lookback); ``'first'`` credits
+    the EARLIEST touch INSIDE the lookback window ``[conv - lookback,
+    conv]`` (standard first-touch-within-window — NOT the user's
+    first-ever touch, which would mark conversions 'direct' whenever an
+    ancient touch exists outside the window even though a fresh one
+    qualifies; r07 review finding). A touch whose label is NULL cannot
+    be credited and is ignored by BOTH the label and the timestamp pick
+    (picking them independently would desynchronize: an old channel
+    credited under a newer NULL-label touch's timestamp). A row can be
+    both a touch and a conversion; the frames end at the current row, so
+    a self-touching conversion credits itself — the standard treatment.
 
     Output: user_col, id_col, ts_col, conv_us (epoch micros), channel,
     plus any ``keep_cols`` passed through from the conversion row.
@@ -55,26 +61,51 @@ def attribute_conversions(
     if position not in ("last", "first"):
         raise ValueError(f"position must be 'last' or 'first', got {position!r}")
     us = F.unix_micros(F.col(ts_col))
-    w = (
-        Window.partitionBy(user_col)
-        .orderBy(F.col(ts_col), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    pick = F.last if position == "last" else F.first
-    t_label = pick(F.when(touch_pred, touch_label), ignorenulls=True).over(w)
-    t_us = pick(F.when(touch_pred, us), ignorenulls=True).over(w)
-    lookback_us = F.lit(int(lookback_days) * 86_400_000_000).cast("long")
+    lb = int(lookback_days) * 86_400_000_000
+    qualify = touch_pred & touch_label.isNotNull()
+    if position == "last":
+        w = (
+            Window.partitionBy(user_col)
+            .orderBy(F.col(ts_col), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        t_label = F.last(F.when(qualify, touch_label), ignorenulls=True).over(w)
+        t_us = F.last(F.when(qualify, us), ignorenulls=True).over(w)
+    else:
+        # first-WITHIN-WINDOW: a RANGE frame on epoch-µs bounds the
+        # candidates to the lookback; min over a (us, id, label) struct
+        # picks the earliest with the id tie-break (a range frame allows
+        # only one ordering expression, so the tie-break must ride the
+        # aggregate, not the frame order).
+        wr = (
+            Window.partitionBy(user_col)
+            .orderBy(us.cast("long"))
+            .rangeBetween(-lb, 0)
+        )
+        t = F.min(
+            F.when(
+                qualify,
+                F.struct(
+                    us.cast("long").alias("us"),
+                    F.col(id_col).alias("id"),
+                    touch_label.alias("label"),
+                ),
+            )
+        ).over(wr)
+        t_label, t_us = t["label"], t["us"]
+    lookback_us = F.lit(lb).cast("long")
     # the touch columns MUST materialize before the conversion filter:
     # referencing the window expressions after .filter() would re-plan
     # them over the filtered (touch-free) frame and attribute everything
-    # to 'direct'
+    # to 'direct'. The in-window test is shared: for 'first' the range
+    # frame already guarantees it whenever _tus is non-null.
     in_window = F.col("_tus").isNotNull() & (
         (F.col("conv_us") - F.col("_tus")) <= lookback_us
     )
     return (
         events.withColumn("conv_us", us.cast("long"))
         .withColumn("_tl", t_label)
-        .withColumn("_tus", t_us)
+        .withColumn("_tus", t_us.cast("long"))
         .filter(conv_pred)
         .select(
             user_col,
@@ -96,20 +127,36 @@ def sql_attribution_cte(
     position: str = "last",
 ) -> str:
     """DuckDB CTE replaying :func:`attribute_conversions` on ``events``
-    operation-for-operation (same rows-frame, same epoch-microsecond
-    lookback test, same tie-break). Yields a relation ``attributed``
-    with (user_id, event_id, ts, conv_us, channel)."""
-    fn = "last_value" if position == "last" else "first_value"
-    win = (
-        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-    )
+    operation-for-operation (same frames, same NULL-label qualify gate,
+    same epoch-microsecond lookback test, same tie-break). Yields a
+    relation ``attributed`` with (user_id, event_id, ts, conv_us,
+    channel)."""
     lb = int(lookback_days) * 86_400_000_000
+    qualify = f"({touch_sql}) AND ({label_sql}) IS NOT NULL"
+    if position == "last":
+        win = (
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        picks = f"""
+         last_value(CASE WHEN {qualify} THEN {label_sql} END IGNORE NULLS) {win} AS t_label,
+         last_value(CASE WHEN {qualify} THEN epoch_us(ts) END IGNORE NULLS) {win} AS t_us,"""
+    else:
+        win = (
+            "OVER (PARTITION BY user_id ORDER BY epoch_us(ts) "
+            f"RANGE BETWEEN {lb} PRECEDING AND CURRENT ROW)"
+        )
+        m = (
+            f"min(CASE WHEN {qualify} THEN "
+            f"{{'us': epoch_us(ts), 'id': event_id, 'label': {label_sql}}} "
+            f"END) {win}"
+        )
+        picks = f"""
+         ({m}).label AS t_label,
+         ({m}).us AS t_us,"""
     return f"""
 base AS (
-  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
-         {fn}(CASE WHEN {touch_sql} THEN {label_sql} END IGNORE NULLS) {win} AS t_label,
-         {fn}(CASE WHEN {touch_sql} THEN epoch_us(ts) END IGNORE NULLS) {win} AS t_us,
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,{picks}
          value, event_type
   FROM events
 ),

@@ -26,21 +26,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bbt_etl_dw_spark.functions.numeric import DEC
+from bbt_etl_dw_spark.functions.numeric import DEC, _dec_to_double
 
 
-def _dec_to_double(c):
-    return c.cast("string").cast("double")
-
-
-def covariance_matrix(df: DataFrame, vec_col: str) -> DataFrame:
+def covariance_matrix(
+    df: DataFrame, vec_col: str, include_sums: bool = False
+) -> DataFrame:
     """Upper-triangle sample covariance of an ``array<float|double>``
-    column: rows (dim_i, dim_j, n, cov) with dim_i <= dim_j (0-based).
+    column: rows (dim_i, dim_j, n, cov) with dim_i <= dim_j (0-based);
+    ``include_sums=True`` adds the per-cell exact-decimal sums
+    (sx_i, sx_j) so callers (pca_components) can derive means without a
+    second corpus pass.
 
     One explode chain produces (i, x_i, j, x_j) products for j >= i;
-    they hash-aggregate into d(d+1)/2 exact-decimal cells (map-side
-    combined). Per-dimension sums ride the same first explode. Closing
-    arithmetic: cov = (Sxy - Sx*Sy/n) / (n-1), fixed IEEE order.
+    they hash-aggregate into d(d+1)/2 cells (map-side combined). ALL
+    four sufficient statistics of a cell — n, Σxy, Σxi, Σxj — are gated
+    on the SAME per-row validity (every decimal try_cast non-null):
+    counting a NaN-product row while its product nulls out of Σxy would
+    yield a plausible-looking but wrong covariance, invisible to the
+    oracle because the old COUNT(*) mirrored the bias (r07 review; the
+    davg precedent). Closing arithmetic:
+    cov = (Sxy - Sxi*Sxj/n) / (n-1), fixed IEEE order — on NaN-free
+    data the per-cell Σxi equals the old global per-dimension sum, so
+    results are bit-unchanged.
     """
     v = F.col(vec_col).cast("array<double>")
     ex1 = df.select(v.alias("_v")).select(
@@ -49,16 +57,16 @@ def covariance_matrix(df: DataFrame, vec_col: str) -> DataFrame:
     pairs = ex1.select(
         "i", "xi", F.posexplode("_v").alias("j", "xj")
     ).filter(F.col("j") >= F.col("i"))
+    xi_dec = F.col("xi").try_cast(DEC)
+    xj_dec = F.col("xj").try_cast(DEC)
+    p_dec = (F.col("xi") * F.col("xj")).try_cast(DEC)
+    ok = xi_dec.isNotNull() & xj_dec.isNotNull() & p_dec.isNotNull()
     moments = pairs.groupBy("i", "j").agg(
-        F.sum((F.col("xi") * F.col("xj")).try_cast(DEC)).alias("_sxy"),
-        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(ok, p_dec)).alias("_sxy"),
+        F.count(F.when(ok, F.lit(1))).alias("_n"),
+        F.sum(F.when(ok, xi_dec)).alias("_sxi"),
+        F.sum(F.when(ok, xj_dec)).alias("_sxj"),
     )
-    sums = ex1.groupBy("i").agg(F.sum(F.col("xi").try_cast(DEC)).alias("_sx"))
-    si = sums.select(F.col("i").alias("_i"), F.col("_sx").alias("_sxi"))
-    sj = sums.select(F.col("i").alias("_j"), F.col("_sx").alias("_sxj"))
-    joined = moments.join(
-        F.broadcast(si), moments.i == si._i
-    ).join(F.broadcast(sj), moments.j == sj._j)
     n_d = F.col("_n").cast("double")
     sxy = _dec_to_double(F.col("_sxy"))
     sxi = _dec_to_double(F.col("_sxi"))
@@ -66,11 +74,17 @@ def covariance_matrix(df: DataFrame, vec_col: str) -> DataFrame:
     cov = F.when(
         F.col("_n") >= 2, (sxy - (sxi * sxj) / n_d) / (n_d - F.lit(1.0))
     )
-    return joined.select(
+    extra = (
+        [F.col("_sxi").alias("sx_i"), F.col("_sxj").alias("sx_j")]
+        if include_sums
+        else []
+    )
+    return moments.select(
         F.col("i").alias("dim_i"),
         F.col("j").alias("dim_j"),
         F.col("_n").cast("long").alias("n"),
         cov.alias("cov"),
+        *extra,
     )
 
 
@@ -87,30 +101,37 @@ vecs AS (
 dims AS (SELECT UNNEST(range({dims})) AS d),
 pairs AS (
   SELECT di.d AS i, dj.d AS j,
+         v[di.d + 1] AS xi, v[dj.d + 1] AS xj,
          v[di.d + 1] * v[dj.d + 1] AS p
   FROM vecs CROSS JOIN dims di CROSS JOIN dims dj
   WHERE dj.d >= di.d
 ),
+gated AS (
+  SELECT i, j,
+         TRY_CAST(CAST(xi AS VARCHAR) AS {dec}) AS xi_d,
+         TRY_CAST(CAST(xj AS VARCHAR) AS {dec}) AS xj_d,
+         TRY_CAST(CAST(p AS VARCHAR) AS {dec}) AS p_d
+  FROM pairs
+),
 moments AS (
   SELECT i, j,
-         SUM(TRY_CAST(CAST(p AS VARCHAR) AS {dec})) AS sxy,
-         COUNT(*) AS n
-  FROM pairs GROUP BY i, j
-),
-sums AS (
-  SELECT di.d AS i,
-         SUM(TRY_CAST(CAST(v[di.d + 1] AS VARCHAR) AS {dec})) AS sx
-  FROM vecs CROSS JOIN dims di GROUP BY di.d
+         SUM(CASE WHEN xi_d IS NOT NULL AND xj_d IS NOT NULL
+                   AND p_d IS NOT NULL THEN p_d END) AS sxy,
+         COUNT(CASE WHEN xi_d IS NOT NULL AND xj_d IS NOT NULL
+                     AND p_d IS NOT NULL THEN 1 END) AS n,
+         SUM(CASE WHEN xi_d IS NOT NULL AND xj_d IS NOT NULL
+                   AND p_d IS NOT NULL THEN xi_d END) AS sxi,
+         SUM(CASE WHEN xi_d IS NOT NULL AND xj_d IS NOT NULL
+                   AND p_d IS NOT NULL THEN xj_d END) AS sxj
+  FROM gated GROUP BY i, j
 ),
 covmat AS (
   SELECT m.i AS dim_i, m.j AS dim_j, CAST(m.n AS BIGINT) AS n,
          (CASE WHEN m.n >= 2 THEN
-            ({d2d('m.sxy')} - ({d2d('si.sx')} * {d2d('sj.sx')})
+            ({d2d('m.sxy')} - ({d2d('m.sxi')} * {d2d('m.sxj')})
                / CAST(m.n AS DOUBLE))
             / (CAST(m.n AS DOUBLE) - CAST(1.0 AS DOUBLE)) END) AS cov
   FROM moments m
-  JOIN sums si ON m.i = si.i
-  JOIN sums sj ON m.j = sj.i
 )"""
 
 
@@ -125,25 +146,22 @@ def pca_components(df: DataFrame, vec_col: str, k: int):
     repeated runs and resumed pipelines agree."""
     import numpy as np
 
-    rows = covariance_matrix(df, vec_col).collect()
+    rows = covariance_matrix(df, vec_col, include_sums=True).collect()
     if not rows:
         raise ValueError("pca_components: empty input")
     d = max(r.dim_j for r in rows) + 1
     if not (0 < k <= d):
         raise ValueError(f"k must be in 1..{d}, got {k}")
     c = np.zeros((d, d))
+    means = [0.0] * d
     for r in rows:
         c[r.dim_i, r.dim_j] = r.cov if r.cov is not None else 0.0
         c[r.dim_j, r.dim_i] = c[r.dim_i, r.dim_j]
-    # means for centering the projection
-    v = F.col(vec_col).cast("array<double>")
-    ex = df.select(F.posexplode(v).alias("i", "x"))
-    sums = ex.groupBy("i").agg(
-        F.sum(F.col("x").try_cast(DEC)).alias("s"), F.count(F.lit(1)).alias("n")
-    ).collect()
-    means = [0.0] * d
-    for r in sums:
-        means[r.i] = float(r.s) / r.n
+        # means from the DIAGONAL cells' gated sums — no second corpus
+        # pass, and the count excludes NaN/Inf rows exactly like the sum
+        # (the old separate explode counted them, biasing the centering)
+        if r.dim_i == r.dim_j and r.n:
+            means[r.dim_i] = float(r.sx_i) / r.n
     w, vecs = np.linalg.eigh(c)  # ascending eigenvalues
     order = np.argsort(w)[::-1][:k]
     comps = []

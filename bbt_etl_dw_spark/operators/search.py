@@ -61,7 +61,12 @@ def bm25_topk(
     base = docs.select(
         F.col(id_col).alias("_id"), words(text_col).alias("_ws")
     )
-    lens = base.select("_id", F.size("_ws").cast("long").alias("dl"))
+    # NULL text => NULL words array => size() = -1 under Spark's legacy
+    # sizeOfNull, which would SUBTRACT from n_tokens and skew avgdl (and
+    # diverge from the oracle, whose SUM skips NULLs). Treat NULL text as
+    # an empty document on both engines.
+    dl = F.when(F.col("_ws").isNull(), F.lit(0)).otherwise(F.size("_ws"))
+    lens = base.select("_id", dl.cast("long").alias("dl"))
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("n_tokens")
     )
@@ -134,10 +139,13 @@ def sql_bm25_ctes(
     n_terms_hit), unranked — the caller adds ORDER BY/LIMIT. Literals
     carry Python's exact double repr so e.g. k1+1 folds identically."""
     terms = list(dict.fromkeys(query_terms))
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    # words() splits on whitespace only, so realistic tokens can carry
+    # apostrophes ("don't") — escape for the SQL string literals
+    esc = [t.replace("'", "''") for t in terms]
+    in_list = ", ".join(f"'{t}'" for t in esc)
     pivots = ",\n         ".join(
         f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
-        for i, t in enumerate(terms)
+        for i, t in enumerate(esc)
     )
     total = " + ".join(f"COALESCE(s{i}, CAST(0.0 AS DOUBLE))" for i in range(len(terms)))
     nhit = " + ".join(
@@ -147,7 +155,7 @@ def sql_bm25_ctes(
 base AS (
   SELECT {id_sql} AS _id, {words_sql} AS ws FROM documents
 ),
-lens AS (SELECT _id, CAST(len(ws) AS BIGINT) AS dl FROM base),
+lens AS (SELECT _id, CAST(COALESCE(len(ws), 0) AS BIGINT) AS dl FROM base),
 stats AS (
   SELECT COUNT(*) AS n_docs, SUM(dl) AS n_tokens,
          CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl

@@ -39,7 +39,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bbt_etl_dw_spark.functions.numeric import dsum
+from bbt_etl_dw_spark.functions.numeric import davg, dsum
 
 
 def autocorrelation(
@@ -59,14 +59,20 @@ def autocorrelation(
 
     where mean and the denominator range over the FULL series (constant
     across lags), so r_0 would be exactly 1.
+
+    Duplicate lags are deduplicated (each would otherwise double-count
+    every pair, returning 2·r_k — an out-of-[-1,1] value; r07 review).
+    A lag that forms ZERO pairs still returns a row (n_pairs=0, NULL
+    acf) so callers zipping against their requested lags never misalign.
+    The mean is ``davg`` (denominator counts the decimal cast): NaN/Inf
+    rows null out of the exact-decimal numerator, so counting them in
+    the denominator silently biased every deviation.
     """
     spark = series.sparkSession
     b, v = F.col(bucket_col), F.col(value_col)
     base = series.select(b.alias("__b"), v.cast("double").alias("__x"))
 
-    stats = base.agg(
-        (dsum(F.col("__x"), "s").cast("double") / F.count("__x")).alias("__mean")
-    )
+    stats = base.agg(davg(F.col("__x"), "__mean"))
     dev = (
         base.crossJoin(F.broadcast(stats))
         .select("__b", (F.col("__x") - F.col("__mean")).alias("__d"))
@@ -74,23 +80,26 @@ def autocorrelation(
     denom = dev.agg(dsum(F.col("__d") * F.col("__d"), "__den"))
 
     lag_dim = spark.createDataFrame(
-        [(int(k),) for k in lags], "lag bigint"
+        [(k,) for k in dict.fromkeys(int(k) for k in lags)], "lag bigint"
     )
     left = dev.crossJoin(F.broadcast(lag_dim)).select(
         "lag", (F.col("__b") + F.col("lag")).alias("__b2"), F.col("__d").alias("__d1")
     )
     right = dev.select(F.col("__b").alias("__b2"), F.col("__d").alias("__d2"))
-    return (
+    nums = (
         left.join(right, "__b2")
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             dsum(F.col("__d1") * F.col("__d2"), "__num"),
         )
+    )
+    return (
+        lag_dim.join(nums, "lag", "left")
         .crossJoin(F.broadcast(denom))
         .select(
             "lag",
-            "n_pairs",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
             (F.col("__num") / F.col("__den")).alias("acf"),
         )
         .orderBy("lag")
@@ -197,7 +206,9 @@ def cross_correlation(
     per bucket with both values. Same plan shape as autocorrelation:
     equi self-join on ``bucket + lag``, 1-row broadcast scalars, no
     global sort; the closing sqrt/division are correctly-rounded IEEE
-    ops. Returns ``(lag, n_pairs, xcorr)`` ordered by lag."""
+    ops. Same lag hygiene as :func:`autocorrelation` (dedup; zero-pair
+    lags surface with n_pairs=0/NULL) and the same davg mean discipline.
+    Returns ``(lag, n_pairs, xcorr)`` ordered by lag."""
     spark = series.sparkSession
     base = series.select(
         F.col(bucket_col).alias("__b"),
@@ -205,8 +216,8 @@ def cross_correlation(
         F.col(y_col).cast("double").alias("__y"),
     )
     stats = base.agg(
-        (dsum(F.col("__x"), "sx").cast("double") / F.count("__x")).alias("__mx"),
-        (dsum(F.col("__y"), "sy").cast("double") / F.count("__y")).alias("__my"),
+        davg(F.col("__x"), "__mx"),
+        davg(F.col("__y"), "__my"),
     )
     dev = base.crossJoin(F.broadcast(stats)).select(
         "__b",
@@ -217,22 +228,27 @@ def cross_correlation(
         dsum(F.col("__dx") * F.col("__dx"), "__den_x"),
         dsum(F.col("__dy") * F.col("__dy"), "__den_y"),
     )
-    lag_dim = spark.createDataFrame([(int(k),) for k in lags], "lag bigint")
+    lag_dim = spark.createDataFrame(
+        [(k,) for k in dict.fromkeys(int(k) for k in lags)], "lag bigint"
+    )
     left = dev.crossJoin(F.broadcast(lag_dim)).select(
         "lag", (F.col("__b") + F.col("lag")).alias("__b2"), "__dx"
     )
     right = dev.select(F.col("__b").alias("__b2"), "__dy")
-    return (
+    nums = (
         left.join(right, "__b2")
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             dsum(F.col("__dx") * F.col("__dy"), "__num"),
         )
+    )
+    return (
+        lag_dim.join(nums, "lag", "left")
         .crossJoin(F.broadcast(denom))
         .select(
             "lag",
-            "n_pairs",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
             (F.col("__num") / F.sqrt(F.col("__den_x") * F.col("__den_y")))
             .alias("xcorr"),
         )

@@ -756,7 +756,9 @@ WITH daily AS (
   FROM events GROUP BY day
 ),
 stats AS (
-  SELECT {_sql_dsum('x', 's')}, COUNT(*) AS n FROM daily
+  SELECT {_sql_dsum('x', 's')},
+         COUNT(TRY_CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18))) AS n
+  FROM daily
 ),
 dev AS (
   SELECT day, x - (s / n) AS d FROM daily CROSS JOIN stats
@@ -771,8 +773,8 @@ nums AS (
   SELECT lag, COUNT(*) AS n_pairs, {_sql_dsum('d1 * d2', 'num')}
   FROM pairs GROUP BY lag
 )
-SELECT lag, n_pairs, num / den AS acf
-FROM nums CROSS JOIN den
+SELECT lag, CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs, num / den AS acf
+FROM lags LEFT JOIN nums USING (lag) CROSS JOIN den
 ORDER BY lag
 """
 
@@ -932,11 +934,13 @@ WITH daily AS (
   FROM events GROUP BY day
 ),
 stats AS (
-  SELECT {_sql_dsum('x', 'sx')}, {_sql_dsum('y', 'sy')}, COUNT(*) AS n
+  SELECT {_sql_dsum('x', 'sx')}, {_sql_dsum('y', 'sy')},
+         COUNT(TRY_CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18))) AS nx,
+         COUNT(TRY_CAST(CAST(y AS VARCHAR) AS DECIMAL(38,18))) AS ny
   FROM daily
 ),
 dev AS (
-  SELECT day, x - (sx / n) AS dx, y - (sy / n) AS dy
+  SELECT day, x - (sx / nx) AS dx, y - (sy / ny) AS dy
   FROM daily CROSS JOIN stats
 ),
 den AS (
@@ -955,8 +959,9 @@ nums AS (
   SELECT lag, COUNT(*) AS n_pairs, {_sql_dsum('dx * dy', 'num')}
   FROM pairs GROUP BY lag
 )
-SELECT lag, n_pairs, num / sqrt(den_x * den_y) AS xcorr
-FROM nums CROSS JOIN den
+SELECT lag, CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+       num / sqrt(den_x * den_y) AS xcorr
+FROM lags LEFT JOIN nums USING (lag) CROSS JOIN den
 ORDER BY lag
 """
 

@@ -478,6 +478,38 @@ def test_autocorrelation_skips_gap_pairs(spark):
     assert out[2] == 1  # (1,3)
 
 
+def test_autocorrelation_lag_hygiene(spark):
+    """r07 review: duplicate lags must not double-count pairs (acf(1)
+    would read -1.8, outside [-1,1]); a lag beyond the series span still
+    returns a row with n_pairs=0 and NULL acf; NaN values are excluded
+    from the mean's denominator (davg discipline) so deviations are not
+    silently biased."""
+    from bbt_etl_dw_spark.operators.timeseries import (
+        autocorrelation,
+        cross_correlation,
+    )
+
+    n = 10
+    rows = [(t, 1.0 if t % 2 == 0 else -1.0) for t in range(n)]
+    df = spark.createDataFrame(rows, "b bigint, x double")
+    out = {r.lag: (r.n_pairs, r.acf) for r in
+           autocorrelation(df, "b", "x", [1, 1, 1, 50]).collect()}
+    assert out[1] == (9, -0.9)          # dedup: not tripled
+    assert out[50] == (0, None)         # zero-pair lag surfaces
+    # NaN row: mean over the REAL values (+1/-1 -> 0), acf unchanged
+    nan_df = spark.createDataFrame(
+        rows + [(100, float("nan"))], "b bigint, x double"
+    )
+    # the NaN bucket pairs with nothing (no bucket 99/101), so only the
+    # mean could leak bias; with davg it cannot
+    out2 = {r.lag: r.acf for r in
+            autocorrelation(nan_df, "b", "x", [1]).collect()}
+    assert abs(out2[1] - -0.9) < 1e-12
+    xc = {r.lag: (r.n_pairs, r.xcorr) for r in
+          cross_correlation(df, "b", "x", "x", [0, 0, 50]).collect()}
+    assert xc[0] == (10, 1.0) and xc[50] == (0, None)
+
+
 def test_gap_fill_linear_interpolates_and_passes_through(spark):
     from bbt_etl_dw_spark.operators.timeseries import gap_fill_linear
 

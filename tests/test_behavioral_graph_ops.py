@@ -68,6 +68,48 @@ def test_attribution_last_vs_first_touch(spark):
     assert _attr(spark, rows, "first") == {3: "click"}
 
 
+def test_attribution_first_touch_is_within_window_not_first_ever(spark):
+    # r07 review: 'first' must credit the earliest touch INSIDE the
+    # lookback, not test the window against the user's first-ever touch
+    # (which would mark this conversion 'direct' despite a fresh touch).
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "click", None),                            # day 0
+        (1, 2, t0 + dt.timedelta(days=28), "view", None),     # in window
+        (1, 3, t0 + dt.timedelta(days=29), "click", None),    # in window
+        (1, 4, t0 + dt.timedelta(days=30), "purchase", 4.0),
+    ]
+    assert _attr(spark, rows, "first") == {4: "view"}  # earliest IN window
+    assert _attr(spark, rows, "last") == {4: "click"}
+
+
+def test_attribution_null_label_touch_cannot_desync_picks(spark):
+    # r07 review: a NULL-label touch must be ignored by BOTH the label
+    # and the timestamp pick — independently-picked columns credited an
+    # out-of-window channel under the NULL-label touch's fresh timestamp.
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = _events(spark, [
+        (1, 1, t0, "click", None),                             # day 0
+        (1, 2, t0 + dt.timedelta(days=29), "view", None),      # NULL label
+        (1, 3, t0 + dt.timedelta(days=30), "purchase", 4.0),
+    ])
+    out = attribute_conversions(
+        ev,
+        touch_pred=F.col("event_type").isin("click", "view"),
+        conv_pred=F.col("event_type") == "purchase",
+        # 'view' maps to NULL: a touch that cannot be credited
+        touch_label=F.when(F.col("event_type") == "click", F.lit("click")),
+        lookback_days=7,
+        position="last",
+    )
+    ch = {r.event_id: r.channel for r in out.collect()}
+    assert ch == {3: "direct"}  # NOT 'click' riding the view's timestamp
+
+
 def test_attribution_ts_tie_breaks_on_event_id(spark):
     import datetime as dt
 
