@@ -73,9 +73,15 @@ def cooccurrence_pairs(
         .crossJoin(F.broadcast(total))
     )
     support = F.col("pair_n").cast("double") / F.col("_total").cast("double")
-    lift = (F.col("pair_n") * F.col("_total")).cast("double") / (
-        F.col("n_a") * F.col("n_b")
-    ).cast("double")
+    # factors cast to double BEFORE multiplying (r07 review): two
+    # billion-basket items make n_a*n_b overflow BIGINT (ANSI crash, or
+    # a silent wrap). Counts < 2^53 are exact in double and the double
+    # product is correctly rounded, so the result is bit-identical to
+    # the old exact-BIGINT-then-cast path wherever that path didn't
+    # overflow.
+    lift = (F.col("pair_n").cast("double") * F.col("_total").cast("double")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
     return out.select(
         "item_a",
         "item_b",
@@ -126,8 +132,10 @@ def item_cosine_topk(
         F.col("n_a").alias("n_other"),
     )
     both = fwd.unionAll(rev)
+    # double factors before multiplying — same BIGINT-overflow guard (and
+    # same bit-identity argument) as cooccurrence_pairs' lift
     cos = F.col("pair_n").cast("double") / F.sqrt(
-        (F.col("n_self") * F.col("n_other")).cast("double")
+        F.col("n_self").cast("double") * F.col("n_other").cast("double")
     )
     w = Window.partitionBy("item").orderBy(F.col("cos_sim").desc(), F.col("neighbor"))
     return (

@@ -74,6 +74,17 @@ def blocked_fuzzy_lookup(
     # checkpoint pins ids once; cost is one materialization of the probe
     # frame (executor-local blocks — pass a pre-checkpointed frame on
     # clusters where executor loss during the match is a concern).
+    # the ±1 band expansion guarantees a true match stays reachable only
+    # while an edit budget of max_dist cannot move the length across more
+    # than one band boundary; a larger budget would SILENTLY lose matches
+    # whose lengths differ by more than a band span (r07 review) — make
+    # the recall limit loud instead
+    if max_dist > band_width:
+        raise ValueError(
+            f"blocked_fuzzy_lookup: max_dist={max_dist} exceeds "
+            f"band_width={band_width} — the ±1 length-band expansion "
+            f"cannot guarantee recall; raise band_width to >= max_dist"
+        )
     reserved = {"_rid", "_bc", "_bb", "_dist", "_rk"} & (
         set(df.columns) | set(canonical.columns)
     )

@@ -50,6 +50,15 @@ def trailing_ewma(
     ``alpha`` should be an exact binary fraction with exact complement
     (0.5 is the only one) when bit-reproducibility across engines is
     required; other values remain deterministic within Spark.
+
+    NULL values: ``collect_list`` DROPS NULLs from the frame, so a
+    NULL-value row receives the EWMA of the surrounding non-null values
+    (explicit smoothing-over-gaps semantics, documented rather than
+    accidental; r07 review) and a frame that is entirely NULL yields
+    NULL. The DuckDB twin must mirror with ``list_filter(l, x -> x IS
+    NOT NULL)`` plus an empty-list guard — DuckDB's ``list()`` KEEPS
+    NULLs (one NULL would poison the whole fold) and its
+    ``list_reduce`` raises on empty lists.
     """
     w = (
         Window.partitionBy(*part_cols)

@@ -30,14 +30,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bbt_etl_dw_spark.functions.numeric import DEC, SQL_DEC
-
-
-def _dec_to_double(c: Column) -> Column:
-    # String-mediated decimal→double (see functions/numeric.py): the
-    # digit-string parse is correctly rounded in both engines, DuckDB's
-    # direct decimal cast is not.
-    return c.cast("string").cast("double")
+from bbt_etl_dw_spark.functions.numeric import (  # noqa: F401
+    DEC,
+    SQL_DEC,
+    _dec_to_double,  # shared string-mediated decimal→double discipline
+)
 
 
 def group_ols_slope(
@@ -68,9 +65,15 @@ def group_ols_slope(
     # pearson_corr `both` pattern; ADVICE r06): a row with NULL/NaN y (or
     # NULL x) must not contribute to Σx/Σx² while being absent from
     # n/Σy/Σxy — mismatched sums silently skew the fit with no NULL to
-    # warn downstream. The y-gate is the decimal try_cast (NULL for
-    # NULL/NaN/Inf), matching what the Σy/Σxy sums can actually absorb.
-    ok = x.isNotNull() & y.try_cast(DEC).isNotNull()
+    # warn downstream. The gate includes the PRODUCT cast (r07 review):
+    # operands inside DECIMAL(38,18) range can still overflow it when
+    # multiplied (x=2024, y≈1e17), which would drop the row from Σxy
+    # only — the exact mismatch this gate exists to prevent.
+    ok = (
+        x.isNotNull()
+        & y.try_cast(DEC).isNotNull()
+        & xy.try_cast(DEC).isNotNull()
+    )
 
     agg = df.groupBy(*group_cols).agg(
         F.count(F.when(ok, y)).alias("_n"),
@@ -109,8 +112,16 @@ def sql_ols_exprs(x: str, y: str) -> dict[str, str]:
     keyed n_points / slope / intercept — the arithmetic mirrors the Spark
     expressions operation-for-operation."""
     # pairwise-deletion gate, mirroring the builder's `ok` exactly
+    # (operands AND the xy product cast)
     y_dec = f"TRY_CAST(CAST(CAST(({y}) AS DOUBLE) AS VARCHAR) AS {SQL_DEC})"
-    ok = f"(CAST(({x}) AS BIGINT) IS NOT NULL AND {y_dec} IS NOT NULL)"
+    xy_gate = (
+        f"TRY_CAST(CAST((CAST(CAST(({x}) AS BIGINT) AS DOUBLE) "
+        f"* CAST(({y}) AS DOUBLE)) AS VARCHAR) AS {SQL_DEC})"
+    )
+    ok = (
+        f"(CAST(({x}) AS BIGINT) IS NOT NULL AND {y_dec} IS NOT NULL "
+        f"AND {xy_gate} IS NOT NULL)"
+    )
     n_d = f"CAST(COUNT(CASE WHEN {ok} THEN CAST(({y}) AS DOUBLE) END) AS DOUBLE)"
     sx_d = f"CAST(SUM(CASE WHEN {ok} THEN CAST(({x}) AS BIGINT) END) AS DOUBLE)"
     dec = lambda e: (  # noqa: E731
@@ -147,7 +158,17 @@ def pearson_corr(x_col: str, y_col: str) -> Column:
     yd = F.col(y_col).cast("double")
     x_dec = xd.try_cast(DEC)
     y_dec = yd.try_cast(DEC)
-    both = x_dec.isNotNull() & y_dec.isNotNull()
+    # gate includes every PRODUCT cast (r07 review): v≈1e10 fits DEC but
+    # v² = 1e20 overflows it, and a row dropped from Σxy/Σxx/Σyy only
+    # yields mismatched sufficient statistics (possibly negative variance
+    # → NaN) instead of a loud failure
+    both = (
+        x_dec.isNotNull()
+        & y_dec.isNotNull()
+        & (xd * yd).try_cast(DEC).isNotNull()
+        & (xd * xd).try_cast(DEC).isNotNull()
+        & (yd * yd).try_cast(DEC).isNotNull()
+    )
 
     n_d = F.count(F.when(both, x_dec)).cast("double")
     sx = _dec_to_double(F.sum(F.when(both, x_dec)))
@@ -167,7 +188,16 @@ def sql_pearson_corr(x: str, y: str) -> str:
     xd, yd = f"CAST(({x}) AS DOUBLE)", f"CAST(({y}) AS DOUBLE)"
     x_dec = f"TRY_CAST(CAST({xd} AS VARCHAR) AS {SQL_DEC})"
     y_dec = f"TRY_CAST(CAST({yd} AS VARCHAR) AS {SQL_DEC})"
-    both = f"({x_dec} IS NOT NULL AND {y_dec} IS NOT NULL)"
+
+    def pdec(e: str) -> str:
+        return f"TRY_CAST(CAST(({e}) AS VARCHAR) AS {SQL_DEC})"
+
+    both = (
+        f"({x_dec} IS NOT NULL AND {y_dec} IS NOT NULL"
+        f" AND {pdec(f'{xd} * {yd}')} IS NOT NULL"
+        f" AND {pdec(f'{xd} * {xd}')} IS NOT NULL"
+        f" AND {pdec(f'{yd} * {yd}')} IS NOT NULL)"
+    )
 
     def gsum(e: str) -> str:
         return (
@@ -212,18 +242,20 @@ def exact_group_percentiles(
     acceptable, or the mergeable sketch path
     (``order_quantile_sketch_check``) when approximation is.
 
-    NULL values are EXCLUDED before ranking (``percentile_cont``
-    semantics; ADVICE r06): Spark windows order NULLS FIRST while DuckDB's
-    ROW_NUMBER defaults NULLS LAST, so a NULL-bearing column would both
-    skew the interpolation (NULLs inflate ``_cnt``) and diverge
-    cross-engine. The ranked-CTE oracle contract mirrors this with
-    ``WHERE _v IS NOT NULL`` (see :func:`sql_percentile_exprs`), exactly
-    as ``weighted_group_percentiles`` already guards.
+    NULL and NaN values are EXCLUDED before ranking (``percentile_cont``
+    semantics; ADVICE r06 + r07 review): Spark windows order NULLS FIRST
+    while DuckDB's ROW_NUMBER defaults NULLS LAST, and a NaN ranks LAST
+    in both engines but shifts every index and poisons any percentile
+    that interpolates against it — one NaN row would silently skew the
+    whole group (and mad_outlier_summary built on top). The ranked-CTE
+    oracle contract mirrors this with ``WHERE _v IS NOT NULL AND NOT
+    isnan(_v)`` (see :func:`sql_percentile_exprs`), exactly as
+    ``weighted_group_percentiles`` and ``mann_whitney_u`` already guard.
 
     Output: group_cols + one double column per ``percentiles`` key.
     """
     v = F.col(value_col).cast("double")
-    df = df.filter(v.isNotNull())
+    df = df.filter(v.isNotNull() & ~F.isnan(v))
     w_rank = Window.partitionBy(*group_cols).orderBy(v)
     w_all = Window.partitionBy(*group_cols)
     ranked = df.withColumn("_rn", F.row_number().over(w_rank) - 1).withColumn(
@@ -248,10 +280,11 @@ def sql_percentile_exprs(percentiles: dict[str, float]) -> list[str]:
     exposing ``_v`` (double value), ``_rn`` (0-based rank within group)
     and ``_cnt`` (group size); each fragment mirrors the Spark
     interpolation arithmetic operation-for-operation. CONTRACT: the
-    ranked CTE must carry ``WHERE <value> IS NOT NULL`` so ``_rn``/``_cnt``
-    range over exactly the rows the builder ranks (the builder excludes
-    NULL values before ranking — NULLS FIRST vs NULLS LAST would
-    otherwise diverge cross-engine and skew ``_cnt``)."""
+    ranked CTE must carry ``WHERE <value> IS NOT NULL AND NOT
+    isnan(<value>)`` so ``_rn``/``_cnt`` range over exactly the rows the
+    builder ranks (the builder excludes NULL and NaN values before
+    ranking — NULLS FIRST vs NULLS LAST would diverge cross-engine, and
+    a NaN shifts every index and poisons interpolation)."""
     outs = []
     for name, p in percentiles.items():
         # CAST the literal: DuckDB parses a bare `0.25` as DECIMAL, and
@@ -332,12 +365,17 @@ def welch_t_test(
     """
     v = F.col(value_col).cast("double")
     v_dec = v.try_cast(DEC)
+    # row gate includes the v² cast (r07 review): v≈1e10 fits DEC but v²
+    # overflows it — dropping the row from Σx² only would fabricate a
+    # negative variance
+    vv_dec = (v * v).try_cast(DEC)
+    ok_row = v_dec.isNotNull() & vv_dec.isNotNull()
 
     def side(name: str):
-        cond = F.col(group_col) == name
+        cond = (F.col(group_col) == name) & ok_row
         n = F.count(F.when(cond, v_dec))
         s = F.sum(F.when(cond, v_dec))
-        ss = F.sum(F.when(cond, (v * v).try_cast(DEC)))
+        ss = F.sum(F.when(cond, vv_dec))
         return n, s, ss
 
     na, sa, ssa = side(group_a)
@@ -387,7 +425,10 @@ def sql_welch_t_test(
     vv_dec = f"TRY_CAST(CAST(({v} * {v}) AS VARCHAR) AS {SQL_DEC})"
 
     def side(name: str):
-        cond = f"({group_expr}) = '{name}'"
+        cond = (
+            f"(({group_expr}) = '{name}' AND {v_dec} IS NOT NULL "
+            f"AND {vv_dec} IS NOT NULL)"
+        )
         n = f"COUNT(CASE WHEN {cond} THEN {v_dec} END)"
         s = f"CAST(CAST(SUM(CASE WHEN {cond} THEN {v_dec} END) AS VARCHAR) AS DOUBLE)"
         ss = f"CAST(CAST(SUM(CASE WHEN {cond} THEN {vv_dec} END) AS VARCHAR) AS DOUBLE)"
@@ -443,7 +484,11 @@ def mann_whitney_u(
     sqrt. No continuity correction (documented; both engines agree).
 
     Returns one row: (n_a, n_b, u_a, u_b, z_stat); z NULL when either
-    side is empty or every value ties (zero variance).
+    side is empty or every value ties (zero variance). ``u_a`` follows
+    the scipy/Wikipedia convention U_a = R_a − n_a(n_a+1)/2, so a
+    stochastically SMALLER group_a gives small u_a and negative z —
+    one-sided comparisons read the same direction as every textbook
+    table.
     """
     v = F.col(value_col).cast("double")
     side = F.col(group_col)
@@ -489,7 +534,11 @@ def mann_whitney_u(
     n_d = na_d + nb_d
     r2a_d = _dec_to_double(F.col("_r2a"))
     ties_d = _dec_to_double(F.col("_ties"))
-    u_a = na_d * nb_d + (na_d * (na_d + F.lit(1.0))) / F.lit(2.0) - r2a_d / F.lit(2.0)
+    # scipy/Wikipedia convention (r07 review — the previous expression
+    # n_a·n_b + n_a(n_a+1)/2 − R_a is the OTHER group's U, so u_a/u_b
+    # were swapped and z's sign inverted vs every textbook table):
+    #   U_a = R_a − n_a(n_a+1)/2
+    u_a = r2a_d / F.lit(2.0) - (na_d * (na_d + F.lit(1.0))) / F.lit(2.0)
     u_b = na_d * nb_d - u_a
     mu = (na_d * nb_d) / F.lit(2.0)
     sigma2 = (
@@ -551,8 +600,8 @@ mwu AS (
   FROM (
     SELECT na, nb,
            na_d, nb_d,
-           na_d * nb_d + (na_d * (na_d + CAST(1.0 AS DOUBLE))) / CAST(2.0 AS DOUBLE)
-             - {dec2dbl('r2a')} / CAST(2.0 AS DOUBLE) AS u_a,
+           {dec2dbl('r2a')} / CAST(2.0 AS DOUBLE)
+             - (na_d * (na_d + CAST(1.0 AS DOUBLE))) / CAST(2.0 AS DOUBLE) AS u_a,
            (na_d * nb_d) / CAST(12.0 AS DOUBLE)
              * (((na_d + nb_d) + CAST(1.0 AS DOUBLE))
                 - {dec2dbl('ties')} / ((na_d + nb_d) * ((na_d + nb_d) - CAST(1.0 AS DOUBLE)))) AS sigma2
@@ -646,7 +695,13 @@ def benford_digit_audit(
     return full.crossJoin(F.broadcast(total_in)).select(
         "digit",
         "n_obs",
-        F.when(F.col("digit") >= 1, n_d / nt_d).alias("share_obs"),
+        # nt_d > 0 guard (r07 review): an input with ZERO in-range values
+        # (all rows in (0,1), or empty) makes this 0/0 — an ANSI
+        # DIVIDE_BY_ZERO crash, or a NULL-vs-NaN oracle divergence with
+        # ANSI off. Every other division in this module is guarded.
+        F.when((F.col("digit") >= 1) & (nt_d > 0.0), n_d / nt_d).alias(
+            "share_obs"
+        ),
         p_expr.alias("benford_share"),
         chisq.alias("chisq_term"),
     )
@@ -694,7 +749,7 @@ benford_total AS (
 ),
 benford AS (
   SELECT digit, n_obs,
-         (CASE WHEN digit >= 1
+         (CASE WHEN digit >= 1 AND CAST(t.n_in_range AS DOUBLE) > 0.0
                THEN CAST(n_obs AS DOUBLE) / CAST(t.n_in_range AS DOUBLE) END) AS share_obs,
          {p_case} AS benford_share,
          (CASE WHEN digit >= 1 AND ({p_case}) * CAST(t.n_in_range AS DOUBLE) > 0.0

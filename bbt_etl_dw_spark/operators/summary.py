@@ -55,7 +55,20 @@ from bbt_etl_dw_spark.functions.numeric import _dec, _dec_to_double
 _FNS = ("count", "sum", "min", "max", "argmin", "argmax")
 
 
-def _check_specs(specs: dict[str, tuple[str, str | None]]) -> None:
+def _check_specs(
+    specs: dict[str, tuple[str, str | None]], keys: list[str] | None = None
+) -> None:
+    # 'epoch' is the log's exactly-once partition column: fold_summary
+    # detects a streaming-written log by its presence and DROPS it, so a
+    # user key or output column with that name would be silently lost or
+    # misread as partition metadata (r07 review; same reserved-name
+    # discipline as er.blocked_fuzzy_lookup).
+    reserved = {"epoch"} & ({*specs} | set(keys or ()))
+    if reserved:
+        raise ValueError(
+            "summary: 'epoch' is reserved for the log's partition column "
+            "— rename the key/output column"
+        )
     for out, (fn, col) in specs.items():
         if fn not in _FNS:
             raise ValueError(
@@ -78,7 +91,7 @@ def partial_summary(
     """One batch reduced to one partial row per touched key. Sums are
     stored as exact decimals so later merges are order- and
     batch-boundary-independent."""
-    _check_specs(specs)
+    _check_specs(specs, keys)
     aggs = []
     for out, (fn, col) in specs.items():
         if fn == "count":
@@ -148,7 +161,7 @@ def streaming_summary(
     stopped AND its checkpoint committed past the folded epochs (a
     pre-fold epoch replayed after folding would re-add its partial on
     top of the folded total)."""
-    _check_specs(specs)
+    _check_specs(specs, keys)
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         append_summary_batch(batch_df, path, keys, specs, epoch_id=epoch_id)
@@ -195,7 +208,7 @@ def read_summary(
     over candidate rows. ``derived_avgs`` adds mean columns computed from
     already-folded (sum_col, count_col) pairs — exact decimal sum over
     exact long count, one IEEE division, bit-stable at any batching."""
-    _check_specs(specs)
+    _check_specs(specs, keys)
     out = spark.read.parquet(path).groupBy(*keys).agg(*_merge_aggs(specs))
     for avg_col, (sum_col, count_col) in (derived_avgs or {}).items():
         out = out.withColumn(
@@ -224,7 +237,7 @@ def fold_summary(
     checkpoint, or a replayed pre-fold epoch double-counts)."""
     from bbt_etl_dw_spark.sources.parquet import overwrite_atomic
 
-    _check_specs(specs)
+    _check_specs(specs, keys)
     log = spark.read.parquet(path)
     epoch_layout = "epoch" in log.columns  # streaming-written log
     if epoch_layout:

@@ -113,6 +113,7 @@ WITH ranked AS (
          COUNT(*) OVER (PARTITION BY o_orderpriority) AS _cnt
   FROM orders
   WHERE CAST(o_totalprice AS DOUBLE) IS NOT NULL
+    AND NOT isnan(CAST(o_totalprice AS DOUBLE))
 )
 SELECT o_orderpriority,
        {_PCT_FRAGS}
@@ -153,8 +154,8 @@ freq AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY i),
 tot AS (SELECT COUNT(DISTINCT b) AS total FROM bi)
 SELECT p.item_a, p.item_b, p.pair_n, fa.n AS n_a, fb.n AS n_b,
        CAST(p.pair_n AS DOUBLE) / CAST(t.total AS DOUBLE) AS support,
-       CAST(p.pair_n * t.total AS DOUBLE)
-         / CAST(fa.n * fb.n AS DOUBLE) AS lift
+       (CAST(p.pair_n AS DOUBLE) * CAST(t.total AS DOUBLE))
+         / (CAST(fa.n AS DOUBLE) * CAST(fb.n AS DOUBLE)) AS lift
 FROM pairs p
 JOIN freq fa ON p.item_a = fa.i
 JOIN freq fb ON p.item_b = fb.i
@@ -187,15 +188,16 @@ def order_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _EWMA_ORACLE = """
-SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
-       list_reduce(
-           l, (acc, x) -> CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * acc
-       ) AS ewma
+SELECT event_id, user_id, ts_us, value,
+       (CASE WHEN len(lf) > 0 THEN list_reduce(
+           lf, (acc, x) -> CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * acc
+       ) END) AS ewma
 FROM (
-  SELECT event_id, user_id, ts, value,
-         list(CAST(value AS DOUBLE)) OVER (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         list_filter(list(CAST(value AS DOUBLE)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS l
+             ROWS BETWEEN 31 PRECEDING AND CURRENT ROW),
+             x -> x IS NOT NULL) AS lf
   FROM events
   WHERE event_type = 'purchase'
 )
@@ -369,6 +371,7 @@ WITH ranked AS (
          COUNT(*) OVER (PARTITION BY event_type) AS _cnt
   FROM events
   WHERE CAST(value AS DOUBLE) IS NOT NULL
+    AND NOT isnan(CAST(value AS DOUBLE))
 ),
 med AS (SELECT event_type, {_MED_FRAG} FROM ranked GROUP BY event_type),
 dev AS (
@@ -382,7 +385,7 @@ ranked2 AS (
              PARTITION BY event_type ORDER BY adev) - 1 AS _rn,
          COUNT(*) OVER (PARTITION BY event_type) AS _cnt
   FROM dev
-  WHERE adev IS NOT NULL
+  WHERE adev IS NOT NULL AND NOT isnan(adev)
 ),
 madt AS (SELECT event_type, {_MAD_FRAG} FROM ranked2 GROUP BY event_type)
 SELECT d.event_type,
@@ -538,6 +541,7 @@ WITH ranked AS (
          COUNT(*) OVER (PARTITION BY o_orderpriority) AS _cnt
   FROM orders
   WHERE CAST(o_totalprice AS DOUBLE) IS NOT NULL
+    AND NOT isnan(CAST(o_totalprice AS DOUBLE))
 ),
 bnd AS (
   SELECT o_orderpriority,
@@ -753,6 +757,7 @@ def _rfm_bnd_ctes(metric_sql: str, prefix: str) -> str:
          COUNT(*) OVER () AS _cnt
   FROM per_cust
   WHERE CAST({metric_sql} AS DOUBLE) IS NOT NULL
+    AND NOT isnan(CAST({metric_sql} AS DOUBLE))
 ),
 {prefix}_bnd AS (
   SELECT {pct}
@@ -975,7 +980,8 @@ both_dirs AS (
 ),
 scored AS (
   SELECT item, neighbor, pair_n,
-         CAST(pair_n AS DOUBLE) / sqrt(CAST(n_self * n_other AS DOUBLE)) AS cos_sim
+         CAST(pair_n AS DOUBLE)
+           / sqrt(CAST(n_self AS DOUBLE) * CAST(n_other AS DOUBLE)) AS cos_sim
   FROM both_dirs
 )
 SELECT item, neighbor, pair_n, cos_sim, rank FROM (

@@ -316,7 +316,7 @@ ranked AS (
              PARTITION BY cohort_week ORDER BY latency_us) - 1 AS _rn,
          COUNT(*) OVER (PARTITION BY cohort_week) AS _cnt
   FROM lat
-  WHERE latency_us IS NOT NULL
+  WHERE latency_us IS NOT NULL AND NOT isnan(latency_us)
 )
 SELECT cohort_week,
        CAST(MAX(_cnt) AS BIGINT) AS n_converted,

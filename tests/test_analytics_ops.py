@@ -66,6 +66,44 @@ def test_ols_null_and_nan_y_rows_fully_excluded(spark):
     assert out.intercept == 0.0
 
 
+def test_ols_product_overflow_rows_fully_excluded(spark):
+    # r07 review: y=1e17 fits DECIMAL(38,18) but x*y ~ 2e20 overflows it;
+    # the gate must drop such rows from EVERY sum, not just Σxy
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0), ("a", 2024, 1e17)],
+        "g string, x int, y double",
+    )
+    out = group_ols_slope(df, ["g"], "x", "y").collect()[0]
+    assert out.n_points == 3 and out.slope == 1.0
+
+
+def test_pearson_product_overflow_rows_fully_excluded(spark):
+    # v=1e10 fits DEC but v*v = 1e20 overflows it: pairwise deletion must
+    # drop the row entirely (mismatched sums could fabricate a negative
+    # variance -> NaN correlation)
+    import math
+
+    from bbt_etl_dw_spark.operators.stats import pearson_corr
+
+    rows = [("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0), ("g", 1e10, 1e10)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = df.groupBy("g").agg(pearson_corr("x", "y").alias("r")).collect()[0]
+    assert out.r is not None and math.isfinite(out.r)
+    assert abs(out.r - 1.0) < 1e-12  # the clean rows are exactly linear
+
+
+def test_benford_zero_in_range_returns_null_shares(spark):
+    # r07 review: a column entirely below 1 has zero in-range values —
+    # share_obs must be NULL, not an ANSI DIVIDE_BY_ZERO crash
+    from bbt_etl_dw_spark.operators.stats import benford_digit_audit
+
+    df = spark.createDataFrame([(0.5,), (0.25,)], "v double")
+    rows = benford_digit_audit(df, "v").collect()
+    assert all(r.share_obs is None for r in rows if r.digit >= 1)
+    oor = [r for r in rows if r.digit == 0]
+    assert oor and oor[0].n_obs == 2
+
+
 # --- exact_group_percentiles ----------------------------------------------
 
 
@@ -78,6 +116,19 @@ def test_percentiles_interpolation(spark):
     ).collect()[0]
     assert out.p50 == 25.0
     assert out.p25 == 17.5
+    assert out.p100 == 40.0
+
+
+def test_percentiles_exclude_nan_values(spark):
+    # r07 review: one NaN ranks last in Spark AND DuckDB but shifts every
+    # index and poisons interpolation against v_hi=NaN — excluded like
+    # NULLs (mann_whitney_u / weighted percentiles already do)
+    rows = [("g", v) for v in (40.0, 10.0, float("nan"), 30.0, 20.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = exact_group_percentiles(
+        df, ["g"], "v", {"p50": 0.5, "p100": 1.0}
+    ).collect()[0]
+    assert out.p50 == 25.0
     assert out.p100 == 40.0
 
 
@@ -261,6 +312,17 @@ def test_fuzzy_duplicate_probes_keep_cardinality(spark, canon):
     out = blocked_fuzzy_lookup(probes, "s", canon, "name", "k", max_dist=2).collect()
     assert len(out) == 2
     assert all(r.k == 1 for r in out)
+
+
+def test_fuzzy_rejects_max_dist_beyond_band_width(spark, canon):
+    # r07 review: the ±1 band expansion cannot guarantee recall once the
+    # edit budget can move a length across more than one band boundary —
+    # loud raise instead of silent lost matches
+    probes = spark.createDataFrame([("ALPHA",)], "s string")
+    with pytest.raises(ValueError, match="band_width"):
+        blocked_fuzzy_lookup(
+            probes, "s", canon, "name", "k", max_dist=5, band_width=4
+        )
 
 
 def test_fuzzy_null_in_unrelated_probe_column_still_matches(spark, canon):

@@ -165,24 +165,28 @@ def test_star_graph_has_no_triangles_and_null_leaf_clustering(spark):
 
 
 def test_mwu_separated_groups(spark):
+    # scipy convention (r07 review): U_a = R_a - n_a(n_a+1)/2, so the
+    # stochastically SMALLER group a has U_a = 0 and negative z
     rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [("b", v) for v in (4.0, 5.0, 6.0)]
     df = spark.createDataFrame(rows, "g string, v double")
     out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
     assert (out.n_a, out.n_b) == (3, 3)
-    assert out.u_a == 9.0 and out.u_b == 0.0
+    assert out.u_a == 0.0 and out.u_b == 9.0
+    assert out.z_stat < 0
 
 
 def test_mwu_with_ties_hand_computed(spark):
-    # a=[1,2,2], b=[2,3]: midrank of the 2-tie block is 3 -> R_a = 7
+    # a=[1,2,2], b=[2,3]: midrank of the 2-tie block is 3 -> R_a = 7,
+    # U_a = 7 - 3*4/2 = 1 (scipy.stats.mannwhitneyu agrees)
     rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
     df = spark.createDataFrame(rows, "g string, v double")
     out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
-    assert out.u_a == 5.0 and out.u_b == 1.0
+    assert out.u_a == 1.0 and out.u_b == 5.0
     # z replayed with the operator's exact IEEE op order
     na, nb, n, ties = 3.0, 2.0, 5.0, 24.0
     mu = (na * nb) / 2.0
     sigma2 = (na * nb) / 12.0 * ((n + 1.0) - ties / (n * (n - 1.0)))
-    assert out.z_stat == (5.0 - mu) / math.sqrt(sigma2)
+    assert out.z_stat == (1.0 - mu) / math.sqrt(sigma2)
 
 
 def test_mwu_degenerate_all_tied_and_empty_side(spark):
@@ -211,9 +215,10 @@ def test_mwu_giant_tie_bin_no_bigint_overflow(spark):
     out = mann_whitney_u(a.unionByName(b), "g", "v", "a", "b").collect()[0]
     assert (out.n_a, out.n_b) == (n_a, 2)
     # hand-computed: the 2.0-bin ties n_a + 1 rows; 9.0 ranks last.
-    # R_a = n_a * midrank(2.0-bin); midrank = (n_a + 2) / 2 exactly.
+    # R_a = n_a * midrank(2.0-bin); midrank = (n_a + 2) / 2 exactly;
+    # U_a = R_a - n_a(n_a+1)/2 (scipy convention).
     r_a = n_a * (n_a + 2) / 2.0
-    u_a = n_a * 2 + n_a * (n_a + 1) / 2.0 - r_a
+    u_a = r_a - n_a * (n_a + 1) / 2.0
     assert out.u_a == u_a and out.u_b == n_a * 2 - u_a
     assert out.z_stat is not None and math.isfinite(out.z_stat)
 

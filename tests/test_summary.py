@@ -119,6 +119,20 @@ def test_rejects_non_mergeable_spec(spark):
         partial_summary(_events(spark, 0, 5), KEYS, {"m": ("sum", None)})
 
 
+def test_rejects_reserved_epoch_name(spark):
+    # r07 review: 'epoch' is the log's exactly-once partition column —
+    # fold_summary drops it, so a user key/output named 'epoch' would be
+    # silently lost. Must raise loudly at spec-check time.
+    with pytest.raises(ValueError, match="reserved"):
+        partial_summary(
+            _events(spark, 0, 5), KEYS, {"epoch": ("max", "value")}
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        partial_summary(
+            _events(spark, 0, 5), ["epoch"], {"m": ("sum", "value")}
+        )
+
+
 def test_streaming_log_replay_and_fold(spark, tmp_path):
     """Streaming-mode log: replaying an epoch replaces its own partials
     (no double counting — count/sum are not duplicate-tolerant), and
