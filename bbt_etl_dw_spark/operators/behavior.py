@@ -45,9 +45,16 @@ def funnel_stage_counts(
     of type ``steps[k]`` STRICTLY AFTER the time stage k-1 was reached
     (stage 0 = earliest event of its type). With ``max_gap_us`` the step
     must also land within that many epoch-microseconds of the previous
-    stage — the time-boxed conversion funnel (note the earliest
-    qualifying event is taken per stage, so a user whose only in-window
-    step-k event follows a faster out-of-window one still converts).
+    stage — the time-boxed conversion funnel, FIRST-ENTRY ANCHORED: each
+    stage's clock starts at the EARLIEST qualifying reach of the
+    previous stage (the Amplitude-default "first occurrence" semantics).
+    A user who re-enters the funnel (A@0, A@10, B@60 with a 50µs gap)
+    is NOT credited for the A@10→B@60 path — re-entry funnels are a
+    per-event sequencing problem, served by events_sequence_patterns /
+    events_session_funnel, not by this window formulation (r07 review:
+    the choice is deliberate and now explicit). Within one stage the
+    earliest qualifying event is taken, so a user whose only in-window
+    step-k event follows a faster out-of-window one still converts.
     Returns ``(stage_idx, stage, n_users)`` ordered by stage.
 
     One exchange on ``user_col`` regardless of funnel depth — each step
@@ -107,8 +114,13 @@ def week_index(ts_col: str = "ts", anchor_day: int = WEEK_ANCHOR_DAY):
     earlier week labels were off by up to 6 days (review finding; the
     SQL oracle's `//` truncates identically, which is why the twin
     check could not catch it)."""
-    # floor(x/n) = (x - pmod(x, n)) div n  (numerator multiple of n)
-    micros = f"unix_micros({ts_col})"
+    # floor(x/n) = (x - pmod(x, n)) div n  (numerator multiple of n).
+    # The column name is spliced as a BACKTICK-QUOTED identifier (r07
+    # review): a bare splice made names needing quoting a parse error
+    # and let a crafted name be read as SQL — the funnel unpivot above
+    # documents the same hazard for literals.
+    quoted = "`" + ts_col.replace("`", "``") + "`"
+    micros = f"unix_micros({quoted})"
     day = f"(({micros}) - pmod({micros}, 86400000000)) div 86400000000"
     wk_num = f"(({day}) - {anchor_day})"
     return F.expr(f"(({wk_num}) - pmod({wk_num}, 7)) div 7")

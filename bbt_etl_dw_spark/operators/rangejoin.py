@@ -35,21 +35,47 @@ def interval_join(
     upper_s: int,
     how: str = "inner",
     left_id: str | None = None,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Bucketed interval join; ``lower_s``/``upper_s`` are second offsets
     (e.g. (-3600, 0) = right events in the hour before each left event).
     Column names must be disjoint apart from ``by``.
 
     ``how='left'`` additionally keeps unmatched left rows (null right
-    columns) and requires ``left_id``, a unique left key: the bucket
-    fan-out means a plain left join would emit one null row PER probed
-    bucket, so unmatched rows are recovered with an anti join instead."""
+    columns) and requires ``left_id``, a UNIQUE NON-NULL left key: the
+    bucket fan-out means a plain left join would emit one null row PER
+    probed bucket, so unmatched rows are recovered with an anti join
+    instead. The anti join makes the contract correctness-critical (r07
+    review): a NULL id never matches itself (its row would DUPLICATE —
+    once matched, once null-padded), and two rows sharing an id suppress
+    each other's unmatched recovery (silent loss). NULL ids therefore
+    RAISE in-plan on the left path; uniqueness is the caller's contract
+    (pass ``validate_unique=True`` to spend one aggregate proving it)."""
     if upper_s < lower_s:
         raise ValueError("upper_s must be >= lower_s")
     if how not in ("inner", "left"):
         raise NotImplementedError("interval_join supports inner and left joins")
     if how == "left" and left_id is None:
         raise ValueError("how='left' requires left_id (a unique left key column)")
+    if how == "left" and validate_unique:
+        dup = (
+            left.groupBy(left_id).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"interval_join(how='left'): {left_id!r} is not unique — "
+                f"duplicate ids suppress each other's unmatched recovery"
+            )
+    if how == "left":
+        guard = F.when(
+            F.col(left_id).isNull(),
+            F.raise_error(F.lit(
+                "interval_join(how='left'): NULL left_id — the anti-join "
+                "recovery cannot represent it (row would duplicate); "
+                "filter or surrogate-key NULL-id rows first"
+            )),
+        ).otherwise(F.col(left_id))
+        left = left.withColumn(left_id, guard)
     by = list(by)
     # microsecond precision end-to-end: unix_timestamp would truncate to
     # seconds and disagree with interval arithmetic on boundary rows

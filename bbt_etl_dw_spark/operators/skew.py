@@ -30,19 +30,23 @@ def salted_join(
 ) -> DataFrame:
     """Join a skewed big side to a per-key-unique small side on ``on``.
 
-    big rows get salt = crc32(row-random-free: xxhash64 of all key cols +
-    monotonically spread via spark_partition_id) — deterministic per row
-    position is NOT required, only uniformity; we use pmod(xxhash64(keys,
-    rand-free row fingerprint), salt). The small side is exploded
-    ``salt``x (bounded: dims only).
+    Salt = pmod(xxhash64(ALL columns), salt) — a pure CONTENT hash
+    (r07 review): the previous spark_partition_id + mono_id mix was not
+    stable under recomputation, so a map-task retry after a shuffle
+    fetch failure could re-salt rows already fetched by completed
+    reducers — rows landing in zero or two (key, salt) partitions, the
+    SPARK-23207 silent-loss class, at exactly the fetch-failure-prone
+    scale salting targets. Content hashing is retry-deterministic; rows
+    identical in EVERY column share a bucket, which cannot affect
+    correctness (identical rows are interchangeable) and degrades
+    uniformity only for massively duplicated identical rows.
     """
     if how not in ("inner", "left"):
         # Replicating the small side `salt` times duplicates its unmatched
         # rows under right/full outer joins — only inner/left are correct.
         raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
     salt_col = F.pmod(
-        F.xxhash64(*[F.col(c) for c in on], F.spark_partition_id(), F.monotonically_increasing_id()),
-        F.lit(salt),
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)
     ).cast("int")
     big_s = big.withColumn("_salt", salt_col)
     small_s = small.withColumn(
@@ -54,10 +58,10 @@ def salted_join(
 
 def salted_count(df: DataFrame, key_cols: list[str], salt: int = 16) -> DataFrame:
     """Two-phase count per key, skew-proof: partial count on (key, salt),
-    final sum on key. Output column: n_rows."""
+    final sum on key. Output column: n_rows. Salt is the same
+    retry-deterministic content hash as :func:`salted_join`."""
     salt_col = F.pmod(
-        F.xxhash64(*[F.col(c) for c in key_cols], F.spark_partition_id(), F.monotonically_increasing_id()),
-        F.lit(salt),
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)
     ).cast("int")
     partial = (
         df.withColumn("_salt", salt_col)

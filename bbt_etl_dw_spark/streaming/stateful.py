@@ -125,10 +125,16 @@ def _make_update_funnel(steps: tuple[str, ...]):
         (reached_s,) = state.get if state.exists else ("",)
         reached = [int(x) for x in reached_s.split(",") if x]
         rows = _pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ts", "event_id"])
+        rows = rows.sort_values(["ts", "event_id"], na_position="first")
         for _, r in rows.iterrows():
             if len(reached) >= len(steps):
                 break
+            # NULL event time has no position in event-time order: the
+            # batch twin's min(when(reached, t)) skips NULL t and every
+            # `t > prev` comparison is NULL — mirrored by skipping the
+            # row (int(NaT.value) is garbage epoch -9.2e15; r07 review)
+            if _pd.isna(r["ts"]):
+                continue
             t = int(r["ts"].value) // 1000  # ns -> us
             if r["event_type"] == steps[len(reached)] and (
                 not reached or t > reached[-1]
@@ -188,7 +194,7 @@ def _make_update_ewma(alpha: float):
         # events arrive per micro-batch unordered within the batch: the
         # recursion is order-sensitive, so impose the same total order
         # the batch twin folds in (ts, then event_id tie-break)
-        batch = batch.sort_values(["ts", "event_id"])
+        batch = batch.sort_values(["ts", "event_id"], na_position="first")
         for v in batch["value"]:
             # skip BOTH null and NaN: pandas folds SQL NULL into NaN
             # (float64 column), so the stream cannot tell them apart —
@@ -282,8 +288,15 @@ def _make_update_attribution(
         batch = _pd.concat(list(pdfs), ignore_index=True)
         # same total order the batch twin's window folds in; within a
         # micro-batch rows arrive unordered
-        batch = batch.sort_values(["ts", "event_id"])
+        batch = batch.sort_values(["ts", "event_id"], na_position="first")
         for row in batch.itertuples():
+            # NULL event time: no position in event-time order — the
+            # stream's ordering contract is meaningless for it, and
+            # Timestamp(NaT).value is garbage (r07 review). Skipped; the
+            # batch twin handles such rows per SQL NULL semantics (a
+            # NULL-ts conversion surfaces as 'direct' with NULL conv_us).
+            if _pd.isna(row.ts):
+                continue
             us = _pd.Timestamp(row.ts).value // 1000  # ns -> µs, integer
             et = row.event_type
             if et in touch:
@@ -342,7 +355,11 @@ ZSCORE_MIN_HISTORY = 8
 
 
 def _make_update_zscore(min_history: int):
-    mh = int(min_history)
+    # n >= 2 is required by the var denominator (n-1): min_history=1
+    # would divide by 0.0 — ZeroDivisionError in Python where the batch
+    # twin's double division just yields non-finite and skips (r07
+    # review). Clamp rather than crash the stream.
+    mh = max(int(min_history), 2)
 
     def update_zscore(
         key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -356,18 +373,30 @@ def _make_update_zscore(min_history: int):
         ctx = _d.Context(prec=60)
         q18 = _d.Decimal("1.000000000000000000")
 
-        def to_dec(x: float) -> _d.Decimal:
-            # repr() is the shortest round-trip string — the SAME value
-            # Spark's double->decimal(38,18) cast produces (string-
-            # mediated, HALF_UP at 18 places; functions/numeric.py)
-            return ctx.create_decimal(repr(x)).quantize(
-                q18, rounding=_d.ROUND_HALF_UP, context=ctx
-            )
+        def try_dec(x: float):
+            # mirror of Spark's try_cast(double -> decimal(38,18)): NULL
+            # for NaN/Inf and for values whose integer part needs > 20
+            # digits (|x| >= 1e20). Without the mirror, Inf crashed the
+            # stateful task (decimal.InvalidOperation — a permanently
+            # wedged stream), and |v| in [1e10, 1e20) diverged from the
+            # batch twin's NULLed v² term (r07 review).
+            if not _math.isfinite(x):
+                return None
+            d0 = ctx.create_decimal(repr(x))
+            # magnitude check BEFORE quantize: quantizing a huge value to
+            # 18 dp needs more digits than prec and raises InvalidOperation
+            if d0.adjusted() >= 20:
+                return None
+            d = d0.quantize(q18, rounding=_d.ROUND_HALF_UP, context=ctx)
+            # rounding can push 9.99…e19 over the boundary
+            if d.adjusted() >= 20:
+                return None
+            return d
 
         n, s_s, ss_s = state.get if state.exists else (0, "0", "0")
         s, ss = _d.Decimal(s_s), _d.Decimal(ss_s)
         batch = _pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"])
+        batch = batch.sort_values(["ts", "event_id"], na_position="first")
         uids, eids, vals, zs = [], [], [], []
         for _, r in batch.iterrows():
             v = r["value"]
@@ -387,8 +416,15 @@ def _make_update_zscore(min_history: int):
                     eids.append(int(r["event_id"]))
                     vals.append(fv)
                     zs.append((fv - mean) / _math.sqrt(var))
-            s = ctx.add(s, to_dec(fv))
-            ss = ctx.add(ss, to_dec(fv * fv))
+            # a row enters the state only when BOTH v and v² fit the
+            # decimal — full pairwise deletion, same gate as the batch
+            # twin's `ok` (mismatched n/s/ss could fabricate negative
+            # variance)
+            dv, dvv = try_dec(fv), try_dec(fv * fv)
+            if dv is None or dvv is None:
+                continue
+            s = ctx.add(s, dv)
+            ss = ctx.add(ss, dvv)
             n += 1
         state.update((n, str(s), str(ss)))
         yield _pd.DataFrame(

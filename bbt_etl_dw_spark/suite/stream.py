@@ -392,16 +392,21 @@ from bbt_etl_dw_spark.streaming.stateful import (  # noqa: E402
 )
 
 _ZS_WDEC = f"TRY_CAST(CAST(value AS VARCHAR) AS {_SQL_DEC})"
+_ZS_WDEC_SQ = f"TRY_CAST(CAST(value * value AS VARCHAR) AS {_SQL_DEC})"
+# pairwise-deletion gate: row enters the trailing state only when BOTH
+# v and v² fit decimal(38,18) — mirrors the builder and the stream twin
+_ZS_OK = f"({_ZS_WDEC} IS NOT NULL AND {_ZS_WDEC_SQ} IS NOT NULL)"
 _ZS_FRAME = """PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"""
 
 _USER_ZSCORES_ORACLE = f"""
 WITH trail AS (
   SELECT user_id, event_id, value,
-         CAST(COUNT({_ZS_WDEC}) OVER ({_ZS_FRAME}) AS DOUBLE) AS n,
-         CAST(CAST(SUM({_ZS_WDEC}) OVER ({_ZS_FRAME}) AS VARCHAR)
-              AS DOUBLE) AS s,
-         CAST(CAST(SUM(TRY_CAST(CAST(value * value AS VARCHAR) AS {_SQL_DEC}))
+         CAST(COUNT(CASE WHEN {_ZS_OK} THEN {_ZS_WDEC} END)
+              OVER ({_ZS_FRAME}) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CASE WHEN {_ZS_OK} THEN {_ZS_WDEC} END)
+              OVER ({_ZS_FRAME}) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CASE WHEN {_ZS_OK} THEN {_ZS_WDEC_SQ} END)
               OVER ({_ZS_FRAME}) AS VARCHAR) AS DOUBLE) AS ss
   FROM events
 ),
@@ -436,10 +441,16 @@ def user_value_zscores_batch(events: DataFrame) -> DataFrame:
     )
     dec = F.col("value").try_cast(_DEC)
     dec_sq = (F.col("value") * F.col("value")).try_cast(_DEC)
-    sd = lambda c: F.sum(c).over(w).cast("string").cast("double")
+    # full pairwise deletion (r07 review): a row enters the trailing
+    # state only when BOTH v and v² fit decimal(38,18) — counting a row
+    # whose v² term NULLed out of ss (|v| in [1e10, 1e20)) fabricated
+    # mismatched sufficient statistics, and diverged from the stream
+    # twin. The stream's try_dec gate mirrors this exactly.
+    ok = dec.isNotNull() & dec_sq.isNotNull()
+    sd = lambda c: F.sum(F.when(ok, c)).over(w).cast("string").cast("double")
     trail = events.select(
         "user_id", "event_id", "value",
-        F.count(dec).over(w).cast("double").alias("n"),
+        F.count(F.when(ok, dec)).over(w).cast("double").alias("n"),
         sd(dec).alias("s"),
         sd(dec_sq).alias("ss"),
     )

@@ -1108,6 +1108,156 @@ def test_vacuum_orphans_sweeps_staging_and_temporary(spark, tmp_path):
     assert vacuum_orphans(spark, path, include_temporary=True) == []
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the stateful
+    automatons without a streaming query."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def test_zscore_automaton_survives_inf_huge_and_tiny_history(spark):
+    """r07 review: Inf/NaN and |v| >= 1e20 crashed to_dec
+    (decimal.InvalidOperation -> permanently wedged stream); |v| in
+    [1e10, 1e20) diverged from the batch twin's NULLed v-squared term;
+    min_history=1 hit ZeroDivisionError. The try_dec gate + clamp must
+    keep the automaton running and the state aligned with try_cast
+    semantics."""
+    import pandas as pd
+
+    from bbt_etl_dw_spark.streaming.stateful import _make_update_zscore
+
+    fn = _make_update_zscore(min_history=1)  # clamps to 2 internally
+    st = _FakeState()
+    batch = pd.DataFrame({
+        "user_id": [1] * 7,
+        "event_id": [1, 2, 3, 4, 5, 6, 7],
+        "ts": pd.to_datetime([1, 2, 3, 4, 5, 6, 7], unit="s"),
+        "value": [1.0, float("inf"), 1e10, 2.0, float("nan"), 1e21, 3.0],
+    })
+    out = pd.concat(list(fn((1,), iter([batch]), st)), ignore_index=True)
+    # state took only 1.0, 2.0, 3.0 (inf/1e10/nan/1e21 all gated out:
+    # v*v overflows decimal(38,18) for 1e10)
+    n, s, ss = st.get
+    assert n == 3 and s.startswith("6") and ss.startswith("14")
+    # scored rows appear once history >= 2: events after the first two
+    # valid values with positive variance
+    assert all(z == z for z in out["z"])  # no NaN emitted
+
+
+def test_funnel_automaton_skips_null_timestamps(spark):
+    """r07 review: int(NaT.value) is garbage epoch -9.2e15, letting a
+    NULL-ts event claim stage 0 and trivially satisfy the next gap test;
+    the batch twin's NULL comparisons skip such rows."""
+    import pandas as pd
+
+    from bbt_etl_dw_spark.streaming.stateful import _make_update_funnel
+
+    fn = _make_update_funnel(("signup", "purchase"))
+    st = _FakeState()
+    batch = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "event_id": [1, 2, 3],
+        "ts": [pd.NaT, pd.Timestamp("2024-01-02"), pd.Timestamp("2024-01-03")],
+        "event_type": ["signup", "signup", "purchase"],
+    })
+    out = pd.concat(list(fn((1,), iter([batch]), st)), ignore_index=True)
+    assert out["stages_reached"].tolist() == [2]
+    # stage 0 anchored at the NON-null signup, not the NaT garbage epoch
+    (reached_s,) = st.get
+    t0 = int(reached_s.split(",")[0])
+    assert t0 == int(pd.Timestamp("2024-01-02").value) // 1000
+
+
+def test_span_ingest_idempotent_progresses_past_first_batch(spark, tmp_path):
+    """Pin: the index write (dynamic partition overwrite of epoch=N) may
+    read the SAME index path for its left-anti probe — Spark's
+    overwrite-read rejection does not fire for this shape, and batch 1+
+    must progress (r07 review candidate, empirically disproved; this
+    test keeps it that way)."""
+    from bbt_etl_dw_spark.streaming.ops import span_ingest_batch
+
+    sp, ix = str(tmp_path / "spans"), str(tmp_path / "index")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda")],
+        "doc_id long, text string",
+    )
+    span_ingest_batch(b0, 0, sp, ix, idempotent=True)
+    span_ingest_batch(b1, 1, sp, ix, idempotent=True)
+    assert spark.read.parquet(ix).count() > 0
+    # retry of batch 1 replaces its own partition: index stays distinct
+    n_before = spark.read.parquet(ix).count()
+    span_ingest_batch(b1, 1, sp, ix, idempotent=True)
+    assert spark.read.parquet(ix).count() == n_before
+
+
+def test_interval_join_left_guards_null_and_duplicate_ids(spark):
+    """r07 review: the anti-join recovery cannot represent NULL left ids
+    (row duplicates) and duplicate ids suppress each other — NULL raises
+    in-plan, validate_unique=True proves uniqueness up front."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from bbt_etl_dw_spark.operators.rangejoin import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    rdf = spark.createDataFrame(
+        [(1, base, 10)], "k long, rt timestamp, rid long"
+    )
+    ldf_null = spark.createDataFrame(
+        [(1, base, None)], "k long, lt timestamp, lid long"
+    )
+    with _pytest.raises(Exception, match="NULL left_id"):
+        interval_join(
+            ldf_null, rdf, ["k"], "lt", "rt", -5, 5, how="left", left_id="lid"
+        ).collect()
+    ldf_dup = spark.createDataFrame(
+        [(1, base, 7), (1, base, 7)], "k long, lt timestamp, lid long"
+    )
+    with _pytest.raises(ValueError, match="not unique"):
+        interval_join(
+            ldf_dup, rdf, ["k"], "lt", "rt", -5, 5,
+            how="left", left_id="lid", validate_unique=True,
+        )
+
+
+def test_salted_ops_deterministic_and_correct(spark):
+    """r07 review: the salt is now a pure content hash (retry-stable);
+    results must equal the unsalted equivalents."""
+    from bbt_etl_dw_spark.operators.skew import salted_count, salted_join
+
+    big = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, name string"
+    )
+    got = sorted(
+        (r.k, r.payload, r.name)
+        for r in salted_join(big, small, ["k"], salt=8).collect()
+    )
+    want = sorted(
+        (r.k, r.payload, r.name) for r in big.join(small, "k").collect()
+    )
+    assert got == want
+    counts = {r.k: r.n_rows for r in salted_count(big, ["k"], salt=8).collect()}
+    assert counts == {0: 334, 1: 333, 2: 333}
+
+
 def test_stateful_ewma_final_state_equals_batch(spark, events_batch, chunked_dir):
     from bbt_etl_dw_spark.streaming.stateful import ewma_stream, final_ewma_batch
 
