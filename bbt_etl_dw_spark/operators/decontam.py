@@ -91,11 +91,32 @@ def decontaminate(
     n: int = 4,
     max_hits: int = 0,
     broadcast_eval: bool = True,
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """Drop training docs with more than ``max_hits`` distinct eval
     n-grams (default: any overlap). Left-anti join on the hit set — the
-    surviving corpus is never widened or shuffled."""
+    surviving corpus is never widened or shuffled when the hit set
+    broadcasts.
+
+    The contaminated-id set is UNBOUNDED (common n-grams can contaminate
+    a large share of a web corpus), so the broadcast hint is guarded by
+    ``assert_broadcastable`` (r07 review): a hit set past the broadcast
+    budget raises loudly with ``broadcast_hits=False`` as the remedy —
+    then the anti join shuffles the corpus once instead of OOMing the
+    driver with a forced hash relation."""
+    from bbt_etl_dw_spark.operators.guards import assert_broadcastable
+
     hits = contamination_hits(
         train, eval_df, id_col, text_col, n, broadcast_eval
     ).filter(F.col("n_eval_grams_hit") > max_hits)
-    return train.join(F.broadcast(hits.select(id_col)), id_col, "left_anti")
+    ids = hits.select(id_col)
+    if broadcast_hits:
+        ids = F.broadcast(
+            assert_broadcastable(
+                ids,
+                label="decontaminate contaminated-id set",
+                remedy="pass broadcast_hits=False (corpus anti-joins "
+                "via one shuffle)",
+            )
+        )
+    return train.join(ids, id_col, "left_anti")

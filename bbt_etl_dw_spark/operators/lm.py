@@ -29,13 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# the ONE canonical normalization (r07 review: a verbatim private copy
+# here could drift from the fingerprint/shingle normalization the LM is
+# supposed to share)
+from bbt_etl_dw_spark.operators.textstats import normalize_text as _normalized
+
 BOS = "\x02"  # padded document start: first real char gets a context too
-
-
-def _normalized(text_col: str):
-    """lower + collapse runs of whitespace to single spaces + trim, with
-    (n-1) BOS padding handled by the caller."""
-    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
 
 
 def _char_ngrams(text_col: str, n: int):

@@ -51,15 +51,34 @@ def jl_project(
 ) -> DataFrame:
     """Append ``k`` projected components ``{prefix}00..`` (doubles) of
     the ``in_dim``-wide float-array ``vec_col``, scaled by 1/sqrt(k)
-    (k must be a power of 4 so the scale is exact)."""
+    (k must be a power of 4 so the scale is exact).
+
+    An in-plan dims guard raises on any vector whose length differs from
+    ``in_dim`` (r07 review): shorter vectors made element_at return NULL
+    — every component silently all-NULL — and longer ones were silently
+    truncated, breaking the distance-preservation contract. NULL vectors
+    pass through with NULL components (no geometry)."""
+    if k < 1 or in_dim < 1:
+        raise ValueError(f"jl_project: k={k} and in_dim={in_dim} must be >= 1")
     scale = _check_scale(k)
-    v = [F.element_at(F.col(vec_col), i + 1).cast("double") for i in range(in_dim)]
+    vec = F.col(vec_col)
+    guard_ok = F.when(
+        vec.isNull() | (F.size(vec) == in_dim), F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"jl_project: expected {in_dim}-dim vectors, got "),
+                F.coalesce(F.size(vec).cast("string"), F.lit("NULL")),
+            )
+        ).cast("boolean")
+    )
+    v = [F.element_at(vec, i + 1).cast("double") for i in range(in_dim)]
     cols: list[Column] = []
     for j in range(k):
         terms = [v[i] if jl_sign(i, j) > 0 else -v[i] for i in range(in_dim)]
         acc = reduce(lambda a, b: a + b, terms)
         cols.append((acc * F.lit(scale)).alias(f"{prefix}{j:02d}"))
-    return df.select("*", *cols)
+    return df.filter(guard_ok).select("*", *cols)
 
 
 def sql_jl_exprs(

@@ -546,7 +546,25 @@ def random_projection(
         )
         return (fold / scale).alias(f"proj_{p}")
 
-    return df.select(F.col(id_col), *[proj(p) for p in range(out_dims)])
+    # dims guard, same contract as hyperplane_signature (r07 review): a
+    # ragged vector would zip_pad the coefficient array with NULLs and
+    # silently emit an all-NULL projection — rows vanishing from
+    # downstream dedup/LSH with no error. NULL vectors stay NULL (no
+    # geometry); any OTHER length raises in-plan.
+    checked_len = F.when(
+        v.isNull() | (F.size(v) == dims), F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"random_projection: expected {dims}-dim vectors, got "),
+                F.coalesce(F.size(v).cast("string"), F.lit("NULL")),
+                F.lit(" — pass the correct dims="),
+            )
+        ).cast("boolean")
+    )
+    return df.filter(checked_len).select(
+        F.col(id_col), *[proj(p) for p in range(out_dims)]
+    )
 
 
 def semantic_dedup(
@@ -578,7 +596,12 @@ def semantic_dedup(
     corpus size to bound cluster cardinality (the SemDeDup paper's k ~
     sqrt(n) regime) and the per-cluster join stays broadcast-free on the
     cid-partitioned exchange."""
-    cents = ivf_centroids(df, nlist=nlist, iters=iters)
+    # forward the column names (r07 review: the defaults-only call made
+    # non-default names an AnalysisException — or, worse, trained on a
+    # coincidentally-named wrong column)
+    cents = ivf_centroids(
+        df, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+    )
     v = F.col(vec_col).cast("array<double>")
     assigned = df.select(
         F.col(id_col).alias("vec_id"),
@@ -714,6 +737,10 @@ def negative_samples(
     same point; the sampler stays an equi-join, never a within-cluster
     all-pairs."""
     hexd = "0123456789abcdef"
+    if k < 1:
+        # sequence(0, k-1) at k=0 auto-descends to [0, -1] — two phantom
+        # draws per anchor where the caller expects none (r07 review)
+        raise ValueError(f"negative_samples: k={k} must be >= 1")
     if n_buckets not in (16, 256, 4096):
         raise ValueError("n_buckets must be a power-of-16 prefix size")
     prefix_len = {16: 1, 256: 2, 4096: 3}[n_buckets]

@@ -73,6 +73,13 @@ def quality_features(text_col: str) -> dict[str, Column]:
     t = F.col(text_col)
     ws = words(text_col)
     n_chars = F.length(t).cast("long")
+    # avg word length is computed over the NORMALIZED text (single-space
+    # separators), where "chars minus one separator per gap" is exact:
+    # the raw length counts every blank line / indent as word mass (r07
+    # review — a markdown doc's avg_word_len inflated past the [3,12]
+    # quality window). n_chars stays the RAW length (the reported size
+    # feature), as does punct_ratio's denominator.
+    n_norm = F.length(normalize_text(text_col)).cast("long")
     n_words = F.size(ws).cast("long")
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("long")
     n_stop = _marker_count(ws, STOPWORDS).cast("long")
@@ -80,7 +87,7 @@ def quality_features(text_col: str) -> dict[str, Column]:
     return {
         "n_chars": n_chars,
         "n_words": n_words,
-        "avg_word_len": (n_chars - (n_words - 1)) / safe_words,
+        "avg_word_len": (n_norm - (n_words - 1)) / safe_words,
         "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1).cast("long")),
         "stopword_ratio": n_stop / safe_words,
     }
@@ -223,12 +230,22 @@ def split_bucket(id_col: str, n_buckets: int = 100) -> Column:
 def assign_split(
     id_col: str, train: int = 80, valid: int = 10, n_buckets: int = 100
 ) -> Column:
-    """'train' / 'valid' / 'test' label by hash bucket (train%, valid%,
-    remainder test)."""
+    """'train' / 'valid' / 'test' label by hash bucket. ``train`` /
+    ``valid`` are PERCENTAGES (remainder test) regardless of
+    ``n_buckets`` — thresholds scale by n_buckets/100 (r07 review: the
+    raw-bucket comparison silently turned 80% into 8% at
+    n_buckets=1000). n_buckets must keep the percentage boundaries on
+    whole buckets (a multiple of 100) so the split is exact."""
+    if n_buckets % 100:
+        raise ValueError(
+            f"assign_split: n_buckets={n_buckets} must be a multiple of "
+            f"100 so percentage boundaries land on whole buckets"
+        )
+    per = n_buckets // 100
     b = split_bucket(id_col, n_buckets)
     return (
-        F.when(b < train, "train")
-        .when(b < train + valid, "valid")
+        F.when(b < train * per, "train")
+        .when(b < (train + valid) * per, "valid")
         .otherwise("test")
     )
 
@@ -500,15 +517,16 @@ def collocation_lift(
     Output: (bigram, n_xy, n_x, n_y, lift), one row per surviving bigram.
     """
     grams = docs.select(F.explode(word_ngrams(text_col, 2)).alias("bigram"))
-    big = (
-        grams.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n_xy"))
-        .filter(F.col("n_xy") >= min_count)
-    )
+    big_all = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_xy"))
+    big = big_all.filter(F.col("n_xy") >= min_count)
     toks = docs.select(F.explode(words(text_col)).alias("word"))
     uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
-    totals = grams.agg(F.count(F.lit(1)).alias("nb")).crossJoin(
-        toks.agg(F.count(F.lit(1)).alias("nt"))
+    # corpus totals fold the ALREADY-BUILT count tables (vocab-sized
+    # aggregates; r07 review: agg over `grams`/`toks` re-exploded and
+    # re-tokenized the full corpus twice — doubling the most expensive
+    # stages for identical values, since Σ group counts == total count)
+    totals = big_all.agg(F.sum("n_xy").alias("nb")).crossJoin(
+        uni.agg(F.sum("n_w").alias("nt"))
     )
     x = F.split(F.col("bigram"), " ")[0]
     y = F.split(F.col("bigram"), " ")[1]

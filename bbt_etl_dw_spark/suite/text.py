@@ -80,13 +80,15 @@ _QUALITY_ORACLE = f"""
 WITH feats AS (
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                AS BIGINT) AS n_norm,
            CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words,
            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
            CAST(len(list_filter({_WORDS_SQL}, w -> list_contains({_STOP_LIST}, w))) AS BIGINT) AS n_stop
     FROM documents
 ), ratios AS (
     SELECT doc_id, n_chars, n_words,
-           (n_chars - (n_words - 1)) / greatest(n_words, 1) AS avg_word_len,
+           (n_norm - (n_words - 1)) / greatest(n_words, 1) AS avg_word_len,
            n_punct / greatest(n_chars, 1) AS punct_ratio,
            n_stop / greatest(n_words, 1) AS stopword_ratio
     FROM feats

@@ -397,6 +397,81 @@ def test_word_ngrams_and_repetition(spark):
     assert rep[2] == (0, 0, 0.0)  # no div-by-zero on short docs
 
 
+def test_r07_batch9_guards(spark):
+    """Review batch 9 regression pins: semantic_dedup forwards column
+    names; decontaminate's hit-set broadcast is guarded (and the
+    shuffled path gives identical results); random_projection/jl_project
+    raise on ragged vectors instead of emitting all-NULL rows;
+    assign_split thresholds are PERCENTAGES at any n_buckets;
+    negative_samples rejects k<1 (sequence(0,-1) phantom draws);
+    quality avg_word_len uses normalized separators."""
+    import pytest as _pytest
+
+    from bbt_etl_dw_spark.operators.decontam import decontaminate
+    from bbt_etl_dw_spark.operators.projection import jl_project
+    from bbt_etl_dw_spark.operators.similarity import (
+        negative_samples,
+        random_projection,
+        semantic_dedup,
+    )
+    from bbt_etl_dw_spark.operators.textstats import (
+        assign_split,
+        quality_features,
+    )
+
+    # semantic_dedup with non-default column names (was: AnalysisException)
+    vecs = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(12)],
+        "my_id long, emb array<double>",
+    )
+    out = semantic_dedup(vecs, id_col="my_id", vec_col="emb", nlist=2, iters=1)
+    assert out.count() == 12
+
+    # decontaminate: broadcast_hits=False equals the guarded default
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "alpha beta gamma delta")],
+                               "doc_id long, text string")
+    a = sorted(r.doc_id for r in decontaminate(docs, ev).collect())
+    b = sorted(r.doc_id for r in
+               decontaminate(docs, ev, broadcast_hits=False).collect())
+    assert a == b == [2]
+
+    # ragged vectors raise in-plan; NULL vectors pass through
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="expected 2-dim"):
+        random_projection(ragged, out_dims=4, dims=2).collect()
+    with _pytest.raises(Exception, match="expected 2-dim"):
+        jl_project(ragged, "embedding", in_dim=2, k=4).collect()
+    ok2 = ragged.filter("vec_id != 2")
+    assert random_projection(ok2, out_dims=4, dims=2).count() == 2
+    assert jl_project(ok2, "embedding", in_dim=2, k=4).count() == 2
+
+    # assign_split: percentage semantics at n_buckets=1000
+    ids = spark.range(3000).select(F.col("id").cast("string").alias("sid"))
+    frac = (
+        ids.select(assign_split("sid", n_buckets=1000).alias("s"))
+        .filter(F.col("s") == "train").count()
+    ) / 3000.0
+    assert 0.75 < frac < 0.85, frac
+    with _pytest.raises(ValueError, match="multiple of"):
+        assign_split("sid", n_buckets=64)
+
+    with _pytest.raises(ValueError, match="k=0"):
+        negative_samples(vecs, k=0, id_col="my_id")
+
+    # whitespace-heavy doc: avg word length over normalized separators
+    wdoc = spark.createDataFrame([("a\n\n\n  b",)], "text string")
+    feats = quality_features("text")
+    r = wdoc.select(feats["avg_word_len"].alias("awl")).collect()[0]
+    assert r.awl == 1.0  # was (7-1)/2 = 3.0 on the raw length
+
+
 def test_decontaminate_drops_overlapping_docs(spark):
     from bbt_etl_dw_spark.operators.decontam import contamination_hits, decontaminate
 
