@@ -59,6 +59,16 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
     """Decorator registering a query builder under ``name``."""
 
     def deco(fn: Builder) -> Builder:
+        if name in QUERIES:
+            # A silent overwrite shadowed a live query+oracle in round 7
+            # (embedding_random_projection registered twice; the Achlioptas
+            # variant's oracle became dead code, VERDICT r07 #1). Duplicate
+            # names are always a bug: raise at import time so the suite
+            # fails loudly instead of losing a query.
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already registered by {QUERIES[name].builder.__module__})"
+            )
         QUERIES[name] = QueryDef(
             name=name,
             builder=fn,

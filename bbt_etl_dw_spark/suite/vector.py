@@ -745,8 +745,8 @@ _RP_ORACLE = (
 )
 
 
-@register("embedding_random_projection", oracle=_RP_ORACLE)
-def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("embedding_achlioptas_projection", oracle=_RP_ORACLE)
+def embedding_achlioptas_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-dim embeddings reduced to 8 dims by an Achlioptas ±1 random
     projection (operators/similarity.random_projection): coefficients are
     md5-derived plan LITERALS (zero per-row hashing), projections fold
