@@ -36,17 +36,57 @@ def cooccurrence_pairs(
     basket_col: str,
     item_col: str,
     min_pair_count: int = 2,
+    max_basket_size: int | None = 10_000,
 ) -> DataFrame:
     """Item pairs by co-occurrence count with support and lift.
 
     Output: (item_a, item_b, pair_n, n_a, n_b, support, lift) with
     ``item_a < item_b``; ``support`` = pair_n / n_baskets.
+
+    ``max_basket_size`` is a HOT-BASKET fanout guard (r07 review): the
+    per-basket pair fanout is C(k,2), so one pathological key — a NULL or
+    default basket id collecting 10^6 items at warehouse scale — emits
+    ~5*10^11 pairs from a single task and the plan lint cannot see it
+    (the join is a legitimate equi-join). The guard rides the join's own
+    basket partitioning (a window count on the build side, no extra
+    shuffle over the raw data) and RAISES on the first oversized basket
+    instead of silently melting an executor. Baskets that large are data
+    bugs, not signal — filter them, or pass ``None``/a larger cap
+    explicitly after deciding the fanout is affordable.
     """
+    from pyspark.sql import Window
+
     bi = df.select(
         F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
     ).distinct()
 
     a = bi.select(F.col("_basket"), F.col("_item").alias("item_a"))
+    if max_basket_size is not None:
+        bsize = F.count(F.lit(1)).over(Window.partitionBy("_basket"))
+        a = (
+            a.withColumn("_bsize", bsize)
+            .withColumn(
+                "item_a",
+                F.when(
+                    F.col("_bsize") > max_basket_size,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("cooccurrence_pairs: basket "),
+                            F.col("_basket").cast("string"),
+                            F.lit(" holds "),
+                            F.col("_bsize").cast("string"),
+                            F.lit(
+                                " distinct items > max_basket_size="
+                                f"{max_basket_size}; C(k,2) pair fanout from "
+                                "one key would melt the stage — filter the "
+                                "hot basket or raise the cap explicitly"
+                            ),
+                        )
+                    ),
+                ).otherwise(F.col("item_a")),
+            )
+            .drop("_bsize")
+        )
     b = bi.select(F.col("_basket"), F.col("_item").alias("item_b"))
     pairs = (
         a.join(b, "_basket")
@@ -99,6 +139,7 @@ def item_cosine_topk(
     item_col: str,
     k: int = 5,
     min_pair_count: int = 2,
+    max_basket_size: int | None = 10_000,
 ) -> DataFrame:
     """Item-to-item cosine similarity neighbors — the "customers also
     bought" primitive: cos(a,b) = pair_n / sqrt(n_a · n_b) over binary
@@ -116,7 +157,9 @@ def item_cosine_topk(
     """
     from pyspark.sql import Window
 
-    pairs = cooccurrence_pairs(df, basket_col, item_col, min_pair_count)
+    pairs = cooccurrence_pairs(
+        df, basket_col, item_col, min_pair_count, max_basket_size=max_basket_size
+    )
     fwd = pairs.select(
         F.col("item_a").alias("item"),
         F.col("item_b").alias("neighbor"),

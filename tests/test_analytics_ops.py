@@ -207,6 +207,30 @@ def test_basket_dedups_multiline_items(spark):
     assert out[0].pair_n == 1 and out[0].n_a == 1
 
 
+def test_basket_hot_basket_guard_raises(spark):
+    """A pathological hot basket (one key holding more distinct items than
+    max_basket_size) must fail LOUDLY instead of fanning out C(k,2) pairs
+    from a single task (r07 review: the one scale-killer the plan lint
+    cannot see, because the pair join is a legitimate equi-join)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    rows = [(0, f"item_{i}") for i in range(50)] + [(1, "A"), (1, "B")]
+    df = spark.createDataFrame(rows, "b int, i string")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="max_basket_size"):
+        cooccurrence_pairs(df, "b", "i", min_pair_count=1, max_basket_size=10).collect()
+
+
+def test_basket_guard_cap_and_none_pass(spark):
+    # at or under the cap, and with the guard disabled, results are
+    # identical to the unguarded path
+    rows = [(0, f"item_{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "b int, i string")
+    capped = cooccurrence_pairs(df, "b", "i", min_pair_count=1, max_basket_size=12)
+    off = cooccurrence_pairs(df, "b", "i", min_pair_count=1, max_basket_size=None)
+    assert capped.count() == off.count() == 12 * 11 // 2
+
+
 # --- trailing_ewma --------------------------------------------------------
 
 
