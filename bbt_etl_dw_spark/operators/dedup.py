@@ -271,8 +271,9 @@ def jaccard_verify(
     corpus is 100TB and the candidate set is a few percent."""
     # the pair list is small (that is the point of LSH); materialize it
     # once so the upstream candidate pipeline (signatures + bucket join)
-    # is not re-executed for each of its three uses below
-    candidates = candidates.localCheckpoint()
+    # is not re-executed for each of its three uses below (reliable
+    # checkpoint when a checkpoint dir is configured — see _ckpt)
+    candidates = _ckpt(candidates, None)
     cand_ids = candidates.select(
         F.explode(F.array("id_a", "id_b")).alias("doc_id")
     ).distinct()
@@ -437,18 +438,21 @@ def minhash_dedup_pairs(
 
 
 
-def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
-    """Per-round lineage truncation for iterative plans. ``reliable=True``
-    uses checkpoint() into the session's checkpoint dir (HDFS/S3 on a real
-    cluster — survives executor loss, which localCheckpoint's
-    executor-local blocks do not); the caller must have called
-    ``sparkContext.setCheckpointDir`` first. Default stays localCheckpoint
-    (no dir needed, right for local/tests)."""
-    return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+def _ckpt(df: DataFrame, reliable: bool | None) -> DataFrame:
+    """Per-round lineage truncation for iterative plans. ``reliable=None``
+    (the default throughout this module) AUTO-SELECTS: reliable
+    checkpoint() into the session's checkpoint dir when one is configured
+    (HDFS/S3 on a real cluster — survives executor loss, which
+    localCheckpoint's executor-local blocks do not), localCheckpoint
+    otherwise (zero-config, right for local/tests). Explicit True/False
+    override. See operators/ckpt.py for the full contract."""
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    return materialize(df, reliable)
 
 
 def _star_components(
-    edges: DataFrame, max_rounds: int = 40, reliable_checkpoint: bool = False
+    edges: DataFrame, max_rounds: int = 40, reliable_checkpoint: bool | None = None
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -675,7 +679,7 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_iters: int = 20,
     star_fallback: bool = True,
-    reliable_checkpoint: bool = False,
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list -> (doc_id,
     cluster_id), cluster_id = the component's minimum doc id. The dedup
@@ -687,13 +691,15 @@ def dedup_clusters(
     itself and its neighbors; converges in O(component diameter) rounds
     (near-dup components are shallow in practice — exact dups are cliques
     of diameter 1). Each round is ONE shuffle (edge join + min-agg), and
-    each round's labels are localCheckpoint'ed: caching alone does NOT
+    each round's labels are checkpointed: caching alone does NOT
     truncate lineage, so a deep iteration would grow the logical plan
     every round until planning itself OOMs the driver (observed at ~30
-    rounds even on toy data). On a cluster, pass
-    ``reliable_checkpoint=True`` (after ``sparkContext.setCheckpointDir``)
-    so rounds checkpoint to HDFS/S3 and survive executor loss, which
-    localCheckpoint's executor-local blocks do not.
+    rounds even on toy data). ``reliable_checkpoint=None`` (default)
+    AUTO-SELECTS the checkpoint flavor: reliable HDFS/S3 checkpoints when
+    ``sparkContext.setCheckpointDir`` has been called — the only variant
+    that survives executor loss, since truncated lineage cannot be
+    recomputed — else executor-local localCheckpoint (local/test runs).
+    Explicit True/False force either path.
 
     A component with diameter > ``max_iters`` (a pathological near-dup
     CHAIN — boilerplate drifting one edit at a time) does not converge

@@ -72,8 +72,10 @@ def blocked_fuzzy_lookup(
     # nondeterminism) — row R would take one id on the left and another
     # inside `best`, silently receiving a different row's match. The
     # checkpoint pins ids once; cost is one materialization of the probe
-    # frame (executor-local blocks — pass a pre-checkpointed frame on
-    # clusters where executor loss during the match is a concern).
+    # frame. materialize() auto-selects a RELIABLE checkpoint when the
+    # session has a checkpoint dir configured (truncated lineage cannot
+    # be recomputed, so executor-local blocks die with their executor on
+    # a real cluster); local blocks otherwise.
     # the ±1 band expansion guarantees a true match stays reachable only
     # while an edit budget of max_dist cannot move the length across more
     # than one band boundary; a larger budget would SILENTLY lose matches
@@ -93,7 +95,9 @@ def blocked_fuzzy_lookup(
             f"blocked_fuzzy_lookup: columns {sorted(reserved)} collide "
             f"with the operator's internal names — rename them first"
         )
-    base = df.withColumn("_rid", F.monotonically_increasing_id()).localCheckpoint()
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    base = materialize(df.withColumn("_rid", F.monotonically_increasing_id()))
 
     pc, pb = _block_key(F.col(col), band_width)
     probe = base.withColumn("_bc", pc).withColumn("_bb", pb)

@@ -11,9 +11,12 @@ DataFrames: each round joins the CURRENT frontier (nodes first reached
 last round) against the edge list, anti-joins the visited set, and
 appends the survivors at hops+1. Per round that is one equi-join keyed
 on the node id plus one anti-join; the frontier and visited frames are
-localCheckpoint()ed every round so lineage stays O(1) instead of
-O(rounds) (same discipline as ``operators/dedup.dedup_clusters``, which
-also documents the HDFS-reliable variant for real clusters). Round
+materialized every round (operators/ckpt.materialize: reliable
+checkpoint when the session has a checkpoint dir — the cluster-safe
+default, since localCheckpoint blocks die with their executor and
+truncated lineage cannot be recomputed — else localCheckpoint) so
+lineage stays O(1) instead of O(rounds); same discipline as
+``operators/dedup.dedup_clusters``. Round
 count is bounded by ``max_hops`` AND by frontier exhaustion — on a
 graph with diameter d the loop runs min(d, max_hops) rounds regardless
 of edge count.
@@ -29,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.operators.ckpt import materialize
 
 
 def bfs_hops(
@@ -52,8 +57,8 @@ def bfs_hops(
         sources.select(F.col(node_col).alias(node_col))
         .distinct()
         .withColumn("hops", F.lit(0).cast("int"))
-        .localCheckpoint()
     )
+    frontier = materialize(frontier)
     visited = frontier
     for h in range(1, max_hops + 1):
         nxt = (
@@ -62,10 +67,10 @@ def bfs_hops(
             .distinct()
             .join(visited.select(node_col), node_col, "left_anti")
             .withColumn("hops", F.lit(h).cast("int"))
-            .localCheckpoint()
         )
+        nxt = materialize(nxt)
         if nxt.rdd.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = materialize(visited.unionByName(nxt))
         frontier = nxt
     return visited

@@ -118,3 +118,67 @@ def test_incremental_semantic_dedup_cross_cluster_blindness(spark):
     batch = _emb(spark, [(2, [0.55, 0.6])])                         # cluster 1
     out = incremental_semantic_dedup(index, batch, cents, threshold=0.9)
     assert [r["vec_id"] for r in out.collect()] == [2]  # survives: other cluster
+
+
+# --- checkpoint auto-selection (operators/ckpt.materialize) ----------------
+
+
+def _unset_checkpoint_dir(sc):
+    # Spark exposes no public un-setter; clear the scala Option directly so
+    # the session fixture returns to its zero-config state for later tests.
+    scala_none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+    getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
+    assert sc.getCheckpointDir() is None
+
+
+def test_materialize_auto_selects_reliable_with_checkpoint_dir(spark, tmp_path):
+    """With a checkpoint dir configured, iterative paths must default to
+    RELIABLE checkpoints (VERDICT r07 #3): localCheckpoint blocks die with
+    their executor and truncated lineage cannot be recomputed, so on a
+    real cluster the local flavor turns one executor loss into a dead job."""
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # test session is zero-config
+    df = spark.range(10)
+
+    # no dir -> local flavor: isLocallyCheckpointed true after action
+    out = materialize(df)
+    assert out.count() == 10
+    assert out.rdd.context is sc
+
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        rel = materialize(spark.range(10))
+        assert rel.count() == 10
+        # a reliable checkpoint writes files under the configured dir
+        files = list((tmp_path / "ckpt").rglob("*"))
+        assert files, "reliable checkpoint selected no files written"
+    finally:
+        _unset_checkpoint_dir(sc)
+
+
+def test_dedup_clusters_reliable_auto(spark, tmp_path):
+    """dedup_clusters under a configured checkpoint dir runs the reliable
+    path end-to-end and produces identical components."""
+    from bbt_etl_dw_spark.operators.dedup import dedup_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    expect = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    got_local = {
+        (r.doc_id, r.cluster_id) for r in dedup_clusters(edges).collect()
+    }
+    assert got_local == expect
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    try:
+        got_rel = {
+            (r.doc_id, r.cluster_id) for r in dedup_clusters(edges).collect()
+        }
+        assert got_rel == expect
+        assert list((tmp_path / "cc_ckpt").rglob("*")), "reliable path unused"
+    finally:
+        _unset_checkpoint_dir(sc)
