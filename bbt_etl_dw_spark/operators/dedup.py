@@ -305,9 +305,16 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard via a shingle inverted index: explode
-    word k-shingles, self-join on the shingle (the only wide shuffle, and
-    its two sides are the identical subplan — one exchange, reused), count
-    shared shingles per pair, finish with |A∩B| / (|A|+|B|-|A∩B|).
+    word k-shingles, self-join on the shingle (the only wide shuffle),
+    count shared shingles per pair, finish with |A∩B| / (|A|+|B|-|A∩B|).
+
+    The exploded index is MATERIALIZED once before the self-join (r07 plan
+    audit: relying on exchange reuse recomputed the full scan + shingle
+    Generate on both join sides — and when one side broadcasts, there is
+    no exchange to reuse at all). One checkpoint write of skinny
+    (doc_id, n, sh) rows replaces the second corpus scan and the second
+    evaluation of the lambda-heavy shingle transform — the dominant CPU
+    of this operator.
 
     Set sizes ride the exploded rows (``size(shs)`` computed before the
     explode) and are recovered with ``first`` in the pair aggregation — no
@@ -335,6 +342,7 @@ def ngram_jaccard_pairs(
         # but never in the intersection, biasing jaccard low near the
         # threshold. One extra window shuffle on doc_id — audit path only.
         sh = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    sh = _ckpt(sh, None)  # one shingle pass feeds both join sides
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(
@@ -718,7 +726,11 @@ def dedup_clusters(
         .persist()
     )
     # One count materializes the persisted edges up front (the first round
-    # would anyway) and feeds the scale counters.
+    # would anyway) and feeds the scale counters. Per-round shuffle widths
+    # are left to the session default + AQE coalescing: an experiment
+    # sizing them explicitly from n_edges (repartition(parts) per round)
+    # measured NO win — the per-round constant is driver-side planning and
+    # codegen compilation, which AQE-coalesced 32-task stages don't add to.
     n_edges = edges.count()
     LAST_CLUSTER_STATS.clear()
     LAST_CLUSTER_STATS.update(
