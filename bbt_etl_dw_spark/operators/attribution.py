@@ -52,8 +52,12 @@ def attribute_conversions(
     be credited and is ignored by BOTH the label and the timestamp pick
     (picking them independently would desynchronize: an old channel
     credited under a newer NULL-label touch's timestamp). A row can be
-    both a touch and a conversion; the frames end at the current row, so
-    a self-touching conversion credits itself — the standard treatment.
+    both a touch and a conversion; a self-touching conversion credits
+    itself — the standard treatment. Touch ELIGIBILITY is identical for
+    both positions (ADVICE r07): a touch is creditable iff it sorts at or
+    before the conversion under ``(ts, id)`` — a touch sharing the
+    conversion's exact timestamp but a LATER id is excluded by 'first'
+    exactly as the 'last' ROWS frame excludes it.
 
     Output: user_col, id_col, ts_col, conv_us (epoch micros), channel,
     plus any ``keep_cols`` passed through from the conversion row.
@@ -72,26 +76,37 @@ def attribute_conversions(
         t_label = F.last(F.when(qualify, touch_label), ignorenulls=True).over(w)
         t_us = F.last(F.when(qualify, us), ignorenulls=True).over(w)
     else:
-        # first-WITHIN-WINDOW: a RANGE frame on epoch-µs bounds the
-        # candidates to the lookback; min over a (us, id, label) struct
-        # picks the earliest with the id tie-break (a range frame allows
-        # only one ordering expression, so the tie-break must ride the
-        # aggregate, not the frame order).
-        wr = (
+        # first-WITHIN-WINDOW: min over a (us, id, label) struct picks the
+        # earliest with the id tie-break (a range frame allows only one
+        # ordering expression, so the tie-break must ride the aggregate,
+        # not the frame order). TWO frames keep eligibility identical to
+        # the 'last' path's (ts, id) ROWS frame — a single RANGE frame
+        # ending at the current timestamp VALUE would admit a touch at the
+        # conversion's exact timestamp with a LATER id (ADVICE r07):
+        # - strictly-before: RANGE (-lb, -1) over epoch-µs;
+        # - same-timestamp: ROWS up to the current row within the
+        #   (user, µs) peer group ordered by id — exactly the ids <= conv.
+        # Any strictly-before touch is earlier than any same-µs touch, so
+        # COALESCE prefers it; no cross-engine struct comparison needed.
+        cand = F.when(
+            qualify,
+            F.struct(
+                us.cast("long").alias("us"),
+                F.col(id_col).alias("id"),
+                touch_label.alias("label"),
+            ),
+        )
+        w_before = (
             Window.partitionBy(user_col)
             .orderBy(us.cast("long"))
-            .rangeBetween(-lb, 0)
+            .rangeBetween(-lb, -1)
         )
-        t = F.min(
-            F.when(
-                qualify,
-                F.struct(
-                    us.cast("long").alias("us"),
-                    F.col(id_col).alias("id"),
-                    touch_label.alias("label"),
-                ),
-            )
-        ).over(wr)
+        w_same = (
+            Window.partitionBy(user_col, us.cast("long"))
+            .orderBy(F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        t = F.coalesce(F.min(cand).over(w_before), F.min(cand).over(w_same))
         t_label, t_us = t["label"], t["us"]
     lookback_us = F.lit(lb).cast("long")
     # the touch columns MUST materialize before the conversion filter:
@@ -142,15 +157,23 @@ def sql_attribution_cte(
          last_value(CASE WHEN {qualify} THEN {label_sql} END IGNORE NULLS) {win} AS t_label,
          last_value(CASE WHEN {qualify} THEN epoch_us(ts) END IGNORE NULLS) {win} AS t_us,"""
     else:
-        win = (
+        # two frames, mirroring the Spark side: strictly-before RANGE plus
+        # a same-timestamp ROWS frame ordered by id (same (ts, id)
+        # eligibility as the 'last' path)
+        win_before = (
             "OVER (PARTITION BY user_id ORDER BY epoch_us(ts) "
-            f"RANGE BETWEEN {lb} PRECEDING AND CURRENT ROW)"
+            f"RANGE BETWEEN {lb} PRECEDING AND 1 PRECEDING)"
         )
-        m = (
-            f"min(CASE WHEN {qualify} THEN "
+        win_same = (
+            "OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        cand = (
+            f"CASE WHEN {qualify} THEN "
             f"{{'us': epoch_us(ts), 'id': event_id, 'label': {label_sql}}} "
-            f"END) {win}"
+            f"END"
         )
+        m = f"COALESCE(min({cand}) {win_before}, min({cand}) {win_same})"
         picks = f"""
          ({m}).label AS t_label,
          ({m}).us AS t_us,"""

@@ -50,7 +50,9 @@ def interval_join(
     once matched, once null-padded), and two rows sharing an id suppress
     each other's unmatched recovery (silent loss). NULL ids therefore
     RAISE in-plan on the left path; uniqueness is the caller's contract
-    (pass ``validate_unique=True`` to spend one aggregate proving it)."""
+    (pass ``validate_unique=True`` to spend one aggregate proving it —
+    note this runs an EAGER Spark job at plan-construction time, one
+    count-aggregate over the left side)."""
     if upper_s < lower_s:
         raise ValueError("upper_s must be >= lower_s")
     if how not in ("inner", "left"):
@@ -58,10 +60,24 @@ def interval_join(
     if how == "left" and left_id is None:
         raise ValueError("how='left' requires left_id (a unique left key column)")
     if how == "left" and validate_unique:
-        dup = (
-            left.groupBy(left_id).count().filter(F.col("count") > 1).limit(1).count()
+        # NULL ids are reported FIRST with the NULL-specific message:
+        # groupBy lumps all NULLs into one group, so two NULL-id rows
+        # would otherwise raise the misleading "not unique" error
+        # (ADVICE r07). One aggregate covers both checks.
+        bad = (
+            left.groupBy(left_id)
+            .count()
+            .filter((F.col("count") > 1) | F.col(left_id).isNull())
+            .limit(2)
+            .collect()
         )
-        if dup:
+        if any(r[0] is None for r in bad):
+            raise ValueError(
+                f"interval_join(how='left'): {left_id!r} contains NULLs — "
+                f"the anti-join recovery cannot represent them (rows would "
+                f"duplicate); filter or surrogate-key NULL-id rows first"
+            )
+        if bad:
             raise ValueError(
                 f"interval_join(how='left'): {left_id!r} is not unique — "
                 f"duplicate ids suppress each other's unmatched recovery"

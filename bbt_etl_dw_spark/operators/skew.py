@@ -17,8 +17,36 @@ first; the final shuffle moves one row per (key, salt).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _content_hash_cols(df: DataFrame) -> list[Column]:
+    """Columns usable in the retry-deterministic content hash: xxhash64
+    cannot hash MapType (unordered keys have no canonical hash), so map
+    columns — including maps nested in arrays/structs — are skipped
+    rather than failing analysis (ADVICE r07). Raises when NO column is
+    hashable (an all-map frame has no deterministic content identity —
+    add a key or payload column)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def hashable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return hashable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(hashable(f.dataType) for f in dt.fields)
+        return True
+
+    cols = [f.name for f in df.schema.fields if hashable(f.dataType)]
+    if not cols:
+        raise ValueError(
+            "salted content hash: every column is (or contains) a MapType, "
+            "which xxhash64 cannot hash — add a hashable key or payload "
+            "column to salt on"
+        )
+    return [F.col(c) for c in cols]
 
 
 def salted_join(
@@ -37,17 +65,22 @@ def salted_join(
     reducers — rows landing in zero or two (key, salt) partitions, the
     SPARK-23207 silent-loss class, at exactly the fetch-failure-prone
     scale salting targets. Content hashing is retry-deterministic; rows
-    identical in EVERY column share a bucket, which cannot affect
-    correctness (identical rows are interchangeable) and degrades
-    uniformity only for massively duplicated identical rows.
+    identical in every HASHABLE column share a bucket, which cannot
+    affect correctness (such rows are interchangeable for the join) but
+    DEGRADES the salting for massively duplicated identical rows — a hot
+    key whose rows are byte-identical collapses back onto one reducer;
+    salting cannot spread rows it cannot distinguish (add a
+    distinguishing column upstream if that is your skew shape). MapType
+    columns are excluded from the hash (xxhash64 cannot hash maps); see
+    :func:`_content_hash_cols`.
     """
     if how not in ("inner", "left"):
         # Replicating the small side `salt` times duplicates its unmatched
         # rows under right/full outer joins — only inner/left are correct.
         raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
-    salt_col = F.pmod(
-        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)
-    ).cast("int")
+    salt_col = F.pmod(F.xxhash64(*_content_hash_cols(big)), F.lit(salt)).cast(
+        "int"
+    )
     big_s = big.withColumn("_salt", salt_col)
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -59,10 +92,11 @@ def salted_join(
 def salted_count(df: DataFrame, key_cols: list[str], salt: int = 16) -> DataFrame:
     """Two-phase count per key, skew-proof: partial count on (key, salt),
     final sum on key. Output column: n_rows. Salt is the same
-    retry-deterministic content hash as :func:`salted_join`."""
-    salt_col = F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)
-    ).cast("int")
+    retry-deterministic content hash as :func:`salted_join` (same MapType
+    exclusion and identical-row degeneration)."""
+    salt_col = F.pmod(F.xxhash64(*_content_hash_cols(df)), F.lit(salt)).cast(
+        "int"
+    )
     partial = (
         df.withColumn("_salt", salt_col)
         .groupBy(*key_cols, "_salt")

@@ -98,6 +98,30 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
+_ALREADY_EXISTS_CLASSES = (
+    "org.apache.hadoop.fs.FileAlreadyExistsException",
+    "org.apache.hadoop.fs.PathExistsException",
+    "java.nio.file.FileAlreadyExistsException",
+)
+
+
+def _is_already_exists_exc(exc: BaseException) -> bool:
+    """True iff ``exc`` wraps a typed already-exists Java exception,
+    walking the Java cause chain (HDFS surfaces the FS exception directly;
+    other impls wrap it in RemoteException/IOException)."""
+    je = getattr(exc, "java_exception", None)
+    seen = 0
+    while je is not None and seen < 8:
+        try:
+            if je.getClass().getName() in _ALREADY_EXISTS_CLASSES:
+                return True
+            je = je.getCause()
+        except Exception:
+            return False
+        seen += 1
+    return False
+
+
 def acquire_swap_lock(spark: SparkSession, path: str, owner: str = "writer"):
     """Single-writer lock for the atomic-swap sinks: create
     ``<path>.__lock__`` with overwrite=False (atomic create-if-absent on
@@ -128,9 +152,13 @@ def acquire_swap_lock(spark: SparkSession, path: str, owner: str = "writer"):
         # Only an already-exists failure means "held" — a permission or
         # transient-FS error must NOT be reported as a lock conflict (the
         # recovery advice would misdirect the operator to delete a lock
-        # file that does not exist).
-        msg = str(exc)
-        if not ("xists" in msg or fs.exists(lp)):
+        # file that does not exist). Classify by the TYPED Java exception
+        # (message formats vary across Hadoop FS implementations); the
+        # fs.exists probe stays as a fallback for FS impls that throw a
+        # bare IOException, accepting that a holder releasing between the
+        # failed create and the probe re-raises the original error —
+        # opaque but safe (the caller retries against a free lock).
+        if not (_is_already_exists_exc(exc) or fs.exists(lp)):
             raise
         holder = "<unreadable>"
         try:
@@ -237,20 +265,36 @@ def overwrite_atomic(
     single-writer lock (:func:`acquire_swap_lock` — concurrent
     lock-honoring writers get a loud :class:`WriterLockHeld`, never a
     lost update). ``fence``, when given, is called AFTER the staging
-    write and immediately BEFORE the destructive swap; it should raise
-    (e.g. :class:`ConcurrentWriteDetected`) if the target changed since
-    the caller snapshotted it — the defense against writers that do NOT
+    write and immediately BEFORE the swap; it should raise (e.g.
+    :class:`ConcurrentWriteDetected`) if the target changed since the
+    caller snapshotted it — the defense against writers that do NOT
     honor the lock, such as a live ingest loop appending epoch
     partitions (see streaming/ops.compact_epochs). On a fence abort the
-    staging dir is removed and the target is untouched. The residual
-    fence-to-rename window is documented in :func:`acquire_swap_lock`.
+    staging dir is removed and the target is untouched.
 
-    The final delete+rename is not transactional (HDFS rename is atomic,
-    the preceding delete is separate) — callers that need concurrent
-    readers during the swap belong on a table format, not raw parquet.
+    The swap itself never deletes live data inside the race window
+    (ADVICE r07): the old table is RENAMED ASIDE to ``<path>.__old__``
+    (atomic), staging is renamed into place, and only then is the old
+    copy discarded. A lockless write landing mid-swap therefore either
+    (a) lands before the rename-aside and travels INTO ``__old__`` —
+    where a ``fence`` that accepts a path argument (``fence(at=...)``)
+    re-checks it before the discard, turning what used to be silent
+    destruction into a loud abort that leaves the data on disk; or
+    (b) recreates the target between the two renames, which the swap
+    detects (target exists again) and aborts loudly, leaving the racer's
+    data, ``__old__``, and staging all intact. A pre-existing ``__old__``
+    (a previous swap crashed between renames) also aborts loudly —
+    inspect and remove it before retrying; it may hold the only copy of
+    a raced write.
+
+    Callers that need concurrent readers during the swap belong on a
+    table format, not raw parquet.
     """
+    import inspect
+
     spark = df.sparkSession
     staging = f"{path.rstrip('/')}.__staging__"
+    old = f"{path.rstrip('/')}.__old__"
     lock = acquire_swap_lock(spark, path, owner=owner)
     try:
         writer = df.write.mode("overwrite")
@@ -259,18 +303,59 @@ def overwrite_atomic(
         writer.parquet(staging)
         fs, dst, jvm = _hadoop_fs(spark, path)
         src = jvm.org.apache.hadoop.fs.Path(staging)
+        jold = jvm.org.apache.hadoop.fs.Path(old)
+        if fs.exists(jold):
+            fs.delete(src, True)
+            raise ConcurrentWriteDetected(
+                f"{old} already exists: a previous swap crashed between "
+                f"renames (or an abort preserved a raced write there). "
+                f"Inspect it — it may hold the only copy of a concurrent "
+                f"write — then remove it and re-run."
+            )
         if fence is not None:
             try:
                 fence()
             except BaseException:
                 fs.delete(src, True)
                 raise
+        moved_aside = False
         if fs.exists(dst):
-            fs.delete(dst, True)
+            if not fs.rename(dst, jold):
+                raise IOError(
+                    f"rename {path} -> {old} failed; target untouched, "
+                    f"staging intact"
+                )
+            moved_aside = True
+        if fs.exists(dst):
+            # a lockless writer recreated the target between the two
+            # renames — renaming staging now would nest into their dir
+            raise ConcurrentWriteDetected(
+                f"{path} was recreated by a concurrent writer during the "
+                f"swap; aborting. Their data is at {path}, the previous "
+                f"table at {old}, the folded data at {staging} — merge "
+                f"manually."
+            )
         if not fs.rename(src, dst):
             raise IOError(
                 f"rename {staging} -> {path} failed; the folded data is "
                 f"intact in the staging directory"
+                + (f"; the previous table is at {old}" if moved_aside else "")
             )
+        if moved_aside:
+            # Final fence over the renamed-aside copy: a write that landed
+            # between the first fence and the rename-aside is sitting in
+            # __old__ — a path-aware fence detects it and aborts BEFORE the
+            # discard (table already swapped; the raced data survives in
+            # __old__ for manual merge, never silently deleted).
+            if fence is not None and _fence_accepts_path(fence, inspect):
+                fence(at=old)
+            fs.delete(jold, True)
     finally:
         release_swap_lock(spark, lock)
+
+
+def _fence_accepts_path(fence, inspect) -> bool:
+    try:
+        return "at" in inspect.signature(fence).parameters
+    except (TypeError, ValueError):
+        return False

@@ -327,17 +327,25 @@ def compact_epochs(
     if files_per_epoch:
         staged = staged.repartition(files_per_epoch, "epoch")
 
-    def fence() -> None:
-        if _race_injection is not None:
+    def fence(at: str | None = None) -> None:
+        # Called twice by overwrite_atomic: before the swap on the live
+        # target (at=None — abort leaves the target untouched), and after
+        # the swap on the renamed-aside previous table (at=<path>.__old__)
+        # so an epoch that raced into the fence-to-rename window is
+        # detected BEFORE the old copy is discarded: it survives in
+        # __old__ for manual merge instead of being silently destroyed.
+        if _race_injection is not None and at is None:
             _race_injection()
-        now = _epoch_dirs(spark, path)
+        now = _epoch_dirs(spark, at or path)
         if now != snapshot:
+            where = f" (raced epochs preserved at {at})" if at else (
+                " — aborting the swap (target untouched). Re-run "
+                "compaction; the new epochs fold next time."
+            )
             raise ConcurrentWriteDetected(
                 f"compact_epochs({path}): epoch partitions changed during "
                 f"compaction (snapshot {snapshot} -> now {now}) — a "
-                f"concurrent ingest committed; aborting the swap (target "
-                f"untouched). Re-run compaction; the new epochs fold next "
-                f"time."
+                f"concurrent ingest committed{where}"
             )
 
     overwrite_atomic(

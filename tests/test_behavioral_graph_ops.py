@@ -85,6 +85,32 @@ def test_attribution_first_touch_is_within_window_not_first_ever(spark):
     assert _attr(spark, rows, "last") == {4: "click"}
 
 
+def test_attribution_same_timestamp_eligibility_symmetric(spark):
+    # ADVICE r07: a touch sharing the conversion's exact timestamp but a
+    # LATER event_id must be ineligible for BOTH positions (the 'last'
+    # ROWS frame already excluded it; 'first' used a RANGE frame ending
+    # at the timestamp VALUE and credited it).
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # touch id=5 shares the conversion's (id=3) timestamp but sorts after
+    rows = [(1, 5, t0, "click", None), (1, 3, t0, "purchase", 4.0)]
+    assert _attr(spark, rows, "last") == {3: "direct"}
+    assert _attr(spark, rows, "first") == {3: "direct"}
+    # ...while an EARLIER id at the same timestamp is credited by both
+    rows2 = [(1, 2, t0, "click", None), (1, 3, t0, "purchase", 4.0)]
+    assert _attr(spark, rows2, "last") == {3: "click"}
+    assert _attr(spark, rows2, "first") == {3: "click"}
+    # and a strictly earlier touch still beats a same-ts eligible one
+    rows3 = [
+        (1, 1, t0 - dt.timedelta(hours=1), "view", None),
+        (1, 2, t0, "click", None),
+        (1, 3, t0, "purchase", 4.0),
+    ]
+    assert _attr(spark, rows3, "first") == {3: "view"}
+    assert _attr(spark, rows3, "last") == {3: "click"}
+
+
 def test_attribution_null_label_touch_cannot_desync_picks(spark):
     # r07 review: a NULL-label touch must be ignored by BOTH the label
     # and the timestamp pick — independently-picked columns credited an
@@ -572,3 +598,74 @@ def test_linear_attribution_splits_and_conserves(spark):
     assert out["view"].fractional_conversions == 0.5
     # conservation: every conversion's value is fully distributed
     assert sum(r.attributed_value for r in out.values()) == 20.0
+
+
+def test_attribution_cte_replays_first_touch_bitexact(spark):
+    """The DuckDB CTE replay (sql_attribution_cte) must match the Spark
+    operator row-for-row for position='first', including the same-ts
+    eligibility edges — the suite oracle only exercises 'last', so this
+    pins the 'first' branch of the CTE."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from bbt_etl_dw_spark.operators.attribution import (
+        attribute_conversions,
+        sql_attribution_cte,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "click", None),
+        (1, 2, t0 + dt.timedelta(hours=1), "view", None),
+        (1, 3, t0 + dt.timedelta(hours=2), "purchase", 4.0),
+        # same-ts edges: later-id touch ineligible, earlier-id eligible
+        (2, 9, t0, "click", None),
+        (2, 5, t0, "purchase", 1.0),
+        (3, 2, t0, "view", None),
+        (3, 7, t0, "purchase", 2.0),
+        # outside the lookback
+        (4, 1, t0 - dt.timedelta(days=9), "click", None),
+        (4, 2, t0, "purchase", 3.0),
+        # self-touching conversion is NOT a touch here (purchase isn't a
+        # touch type) -> direct
+        (5, 1, t0, "purchase", 5.0),
+    ]
+    ev = _events(spark, rows)
+    got = {
+        (r.user_id, r.event_id): r.channel
+        for r in attribute_conversions(
+            ev,
+            touch_pred=F.col("event_type").isin("click", "view"),
+            conv_pred=F.col("event_type") == "purchase",
+            touch_label=F.col("event_type"),
+            lookback_days=7,
+            position="first",
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts", "event_type", "value"]
+        ),
+    )
+    cte = sql_attribution_cte(
+        touch_sql="event_type IN ('click', 'view')",
+        conv_sql="event_type = 'purchase'",
+        label_sql="event_type",
+        lookback_days=7,
+        position="first",
+    )
+    oracle = {
+        (u, e): c
+        for u, e, c in con.execute(
+            f"WITH {cte} SELECT user_id, event_id, channel FROM attributed"
+        ).fetchall()
+    }
+    assert got == oracle
+    assert got[(2, 5)] == "direct" and got[(3, 7)] == "view"
+    assert got[(1, 3)] == "click" and got[(4, 2)] == "direct"
+    assert got[(5, 1)] == "direct"

@@ -1233,6 +1233,16 @@ def test_interval_join_left_guards_null_and_duplicate_ids(spark):
             ldf_dup, rdf, ["k"], "lt", "rt", -5, 5,
             how="left", left_id="lid", validate_unique=True,
         )
+    # ADVICE r07: two NULL-id rows must get the NULL-specific message,
+    # not the misleading "not unique" (groupBy lumps NULLs into one group)
+    ldf_two_nulls = spark.createDataFrame(
+        [(1, base, None), (1, base, None)], "k long, lt timestamp, lid long"
+    )
+    with _pytest.raises(ValueError, match="contains NULLs"):
+        interval_join(
+            ldf_two_nulls, rdf, ["k"], "lt", "rt", -5, 5,
+            how="left", left_id="lid", validate_unique=True,
+        )
 
 
 def test_salted_ops_deterministic_and_correct(spark):
@@ -1338,3 +1348,122 @@ def test_stateful_zscore_stream_equals_batch_bitexact(
     for k, (gv, gz) in g.items():
         wv, wz = w[k]
         assert gv == wv and gz == wz, k
+
+
+def test_overwrite_atomic_rename_aside_preserves_raced_write(spark, tmp_path):
+    """ADVICE r07: a write landing AFTER the pre-swap fence check but
+    before the swap used to be silently destroyed by the delete+rename.
+    The swap now renames the old table aside to <path>.__old__ and
+    re-runs a path-aware fence (fence(at=...)) before discarding it: the
+    raced write is detected and PRESERVED in __old__ for manual merge."""
+    import os
+
+    from bbt_etl_dw_spark.sources.parquet import (
+        ConcurrentWriteDetected,
+        overwrite_atomic,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(5).withColumn("epoch", F.lit(0)).write.partitionBy(
+        "epoch"
+    ).parquet(path)
+    snapshot = {"epoch=0"}
+
+    def listing(p):
+        return {d for d in os.listdir(p) if d.startswith("epoch=")}
+
+    calls = []
+
+    def fence(at=None):
+        calls.append(at)
+        if at is None:
+            # pre-swap check passes on the stale listing, then a lockless
+            # writer lands an epoch in the window before the rename-aside
+            # (mutating here is timing-equivalent: after the check, before
+            # the swap)
+            spark.range(100, 105).withColumn("epoch", F.lit(1)).write.mode(
+                "append"
+            ).partitionBy("epoch").parquet(path)
+            return
+        if listing(at) != snapshot:
+            raise ConcurrentWriteDetected(f"raced epochs preserved at {at}")
+
+    folded = spark.range(5).withColumn("epoch", F.lit(-1))
+    with pytest.raises(ConcurrentWriteDetected, match="preserved"):
+        overwrite_atomic(folded, path, partition_by=("epoch",), fence=fence)
+
+    assert calls == [None, path + ".__old__"]
+    # the raced epoch survives in __old__ (not silently destroyed)
+    assert listing(path + ".__old__") == {"epoch=0", "epoch=1"}
+    # the swap itself completed: the table shows the folded data
+    assert listing(path) == {"epoch=-1"}
+    assert not os.path.exists(path + ".__lock__")
+
+
+def test_overwrite_atomic_refuses_preexisting_old(spark, tmp_path):
+    import os
+
+    from bbt_etl_dw_spark.sources.parquet import (
+        ConcurrentWriteDetected,
+        overwrite_atomic,
+    )
+
+    path = str(tmp_path / "tbl2")
+    spark.range(3).write.parquet(path)
+    os.makedirs(path + ".__old__")
+    with pytest.raises(ConcurrentWriteDetected, match="__old__ already exists"):
+        overwrite_atomic(spark.range(3), path)
+    # staging cleaned, lock released, target untouched
+    assert not os.path.exists(path + ".__staging__")
+    assert not os.path.exists(path + ".__lock__")
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_overwrite_atomic_plain_fence_still_works(spark, tmp_path):
+    """A no-arg fence (the pre-r08 contract) keeps working: called once
+    before the swap; the old copy is discarded without the re-check."""
+    import os
+
+    from bbt_etl_dw_spark.sources.parquet import overwrite_atomic
+
+    path = str(tmp_path / "tbl3")
+    spark.range(4).write.parquet(path)
+    calls = []
+
+    def fence():
+        calls.append("pre")
+
+    overwrite_atomic(spark.range(7), path, fence=fence)
+    assert calls == ["pre"]
+    assert spark.read.parquet(path).count() == 7
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__staging__")
+
+
+def test_salted_ops_skip_map_columns(spark):
+    """ADVICE r07: a MapType column must not break the content-hash salt
+    (xxhash64 cannot hash maps) — it is skipped; an all-map frame raises
+    a clear error instead of an analysis failure."""
+    import pytest as _pytest
+
+    from bbt_etl_dw_spark.operators.skew import (
+        _content_hash_cols,
+        salted_count,
+        salted_join,
+    )
+
+    big = spark.createDataFrame(
+        [(1, {"a": 1}), (1, {"b": 2}), (2, {"c": 3})],
+        "k long, props map<string,int>",
+    )
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k long, label string")
+    got = sorted(
+        (r.k, r.label) for r in salted_join(big, small, ["k"], salt=4).collect()
+    )
+    assert got == [(1, "x"), (1, "x"), (2, "y")]
+    counts = {r.k: r.n_rows for r in salted_count(big, ["k"], salt=4).collect()}
+    assert counts == {1: 2, 2: 1}
+
+    all_maps = spark.createDataFrame([({"a": 1},)], "m map<string,int>")
+    with _pytest.raises(ValueError, match="MapType"):
+        _content_hash_cols(all_maps)
