@@ -123,9 +123,30 @@ def _last_verified_round() -> dict[str, int]:
 
 # Queries whose IMPLEMENTATION changed after their last driver row: recency
 # alone would defer them with stale evidence, so they sort as never-verified
-# until the next artifact re-evidences them (then remove from this set).
-_FORCE_RECHECK: frozenset[str] = frozenset()
-# (Empty since round 6.) Rotation reality check (r07): never-verified
+# until the next artifact re-evidences them. Populated MECHANICALLY from
+# the committed FORCE_RECHECK.json artifact, which
+# tools/emit_force_recheck.py derives by diffing per-query implementation
+# fingerprints (builder source + oracle + transitive operator-module
+# contents) between HEAD and each query's evidence-round driver commit —
+# VERDICT r07 #3: the manual set stayed empty through nine operator-
+# touching review batches, so the population is no longer a judgment call.
+
+
+def _load_force_recheck() -> frozenset[str]:
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo, "FORCE_RECHECK.json")
+    try:
+        with open(path) as f:
+            return frozenset(json.load(f))
+    except Exception:
+        return frozenset()
+
+
+_FORCE_RECHECK: frozenset[str] = _load_force_recheck()
+# Rotation reality check (r07): never-verified
 # queries flood the window ahead of stale-verified ones by design — the
 # round-6 registration burst (88 new queries) meant the r06 window was
 # consumed by the first 50 of them, displacing the r03-era cohort the
@@ -145,7 +166,15 @@ def _check_order(names: list[str]) -> list[str]:
     reg_idx = {n: i for i, n in enumerate(names)}
 
     def recency(n: str) -> int:
-        return -1 if n in _FORCE_RECHECK else latest.get(n, -1)
+        # three tiers: never-driver-verified first (strictly less evidenced
+        # than anything), then changed-since-evidence (FORCE_RECHECK.json,
+        # ordered by how old the invalidated evidence is), then merely
+        # stale by ascending evidence round.
+        if n not in latest:
+            return -1_000_000
+        if n in _FORCE_RECHECK:
+            return latest[n] - 1_000
+        return latest[n]
 
     return sorted(names, key=lambda n: (recency(n), reg_idx[n]))
 

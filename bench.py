@@ -60,27 +60,42 @@ def main() -> None:
     ).save()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for name in names:
-        # Discarded warmup: first execution of a plan shape pays codegen
-        # compilation and cold page cache; including it in the spread made
-        # the noise band read up to 10x the value (VERDICT r05 #2).
-        queries[name].builder(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            df = queries[name].builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 4)
-        # max-min across the TIMED (post-warmup) runs: the steady-state
-        # ambient-load noise band. A future "regression" whose delta sits
-        # inside the recorded spread is machine load, triageable from the
-        # artifact alone.
-        spreads[name] = round(max(runs) - min(runs), 4)
+
+    def time_pass(warmup: bool) -> tuple[dict[str, float], dict[str, float]]:
+        timings: dict[str, float] = {}
+        spreads: dict[str, float] = {}
+        for name in names:
+            if warmup:
+                # Discarded warmup: first execution of a plan shape pays
+                # codegen compilation and cold page cache; including it in
+                # the spread made the noise band read up to 10x the value
+                # (VERDICT r05 #2).
+                queries[name].builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                df = queries[name].builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 4)
+            # max-min across the TIMED (post-warmup) runs: the steady-state
+            # ambient-load noise band. A future "regression" whose delta
+            # sits inside the recorded spread is machine load, triageable
+            # from the artifact alone.
+            spreads[name] = round(max(runs) - min(runs), 4)
+        return timings, spreads
+
+    # TWO full passes (VERDICT r07 #7): cross-round deltas were repeatedly
+    # misread as regressions when they were ambient load — a same-process
+    # second pass bounds the noise per query IN the artifact, so a reader
+    # compares rounds against noise_band instead of guessing.
+    timings, spreads = time_pass(warmup=True)
+    timings2, _ = time_pass(warmup=False)
+    noise_band = {
+        n: round(abs(timings[n] - timings2[n]), 4) for n in timings
+    }
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -91,6 +106,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_run2": timings2,
+                "noise_band": noise_band,
                 "spread": spreads,
                 "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
