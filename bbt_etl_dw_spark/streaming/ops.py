@@ -264,12 +264,26 @@ def _epoch_dirs(spark: SparkSession, path: str) -> list[str]:
     )
 
 
+class RacedEpochsPreserved(Exception):
+    """Internal signal from the post-swap fence: epochs raced into the
+    fence-to-rename window and are sitting in ``<path>.__old__``. Caught
+    by :func:`compact_epochs` for lossless recovery; never escapes it."""
+
+    def __init__(self, raced: list[str], missing: list[str], old_dir: str):
+        self.raced = raced
+        self.missing = missing
+        self.old_dir = old_dir
+        super().__init__(f"raced={raced} missing={missing} at {old_dir}")
+
+
 def compact_epochs(
     spark: SparkSession,
     path: str,
     upto_epoch: int,
     files_per_epoch: int | None = 1,
+    retries: int = 0,
     _race_injection=None,
+    _race_injection_post_check=None,
 ) -> int:
     """Fold an idempotent sink's epoch partitions ``<= upto_epoch`` into
     the reserved ``epoch=-1`` baseline — the retention companion of the
@@ -295,64 +309,126 @@ def compact_epochs(
     untouched, instead of the full-table swap silently DESTROYING the
     freshly ingested epoch. The stream's checkpoint must additionally be
     committed PAST ``upto_epoch`` (a folded epoch replayed later would
-    re-add its rows beside the baseline). ``_race_injection`` is a
-    test-only hook running between the staging write and the fence.
-    Returns the number of epochs folded."""
+    re-add its rows beside the baseline).
+
+    OCC (r07 stretch): ``retries`` > 0 turns the pre-swap fence abort
+    into compare-and-RETRY — the standard optimistic loop (snapshot,
+    compute, validate, commit; on conflict re-snapshot and recompute),
+    sound here because each attempt restages from a FRESH listing, so a
+    retried fold includes the epoch that aborted the previous attempt.
+    Default stays 0 (loud abort) so an ingest hot loop cannot livelock a
+    compactor silently. Independently of ``retries``, an epoch that
+    races into the narrower post-fence window (landing in the
+    renamed-aside ``__old__`` copy during the swap) is RECOVERED
+    automatically: epoch partitions are directory-granular and the raced
+    epoch cannot exist in the staged output (it landed after the read),
+    so renaming its directory back into the new table is lossless —
+    detection-plus-restore where r07 had detection-only and pre-r07 had
+    silent destruction. ``_race_injection`` is a test-only hook between
+    the staging write and the fence check; ``_race_injection_post_check``
+    runs after a PASSING pre-swap check (simulating the post-fence
+    window). Returns the number of epochs folded."""
     from bbt_etl_dw_spark.sources.parquet import (
         ConcurrentWriteDetected,
+        _hadoop_fs,
         overwrite_atomic,
     )
 
-    snapshot = _epoch_dirs(spark, path)
-    df = spark.read.parquet(path)
-    if "epoch" not in df.columns:
+    df0 = spark.read.parquet(path)
+    if "epoch" not in df0.columns:
         raise ValueError(f"{path} is not an epoch-partitioned sink")
-    # epoch ids come from the directory listing already taken for the
-    # fence snapshot — a select('epoch').distinct() would scan data files
-    # of every partition (metadata-only-query is off by default), a full
-    # extra pass over exactly the 100 TB sink this function serves.
-    folded_epochs = [
-        e
-        for e in (int(name.split("=", 1)[1]) for name in snapshot)
-        if e != -1 and e <= upto_epoch
-    ]
-    if not folded_epochs:
-        return 0
-    staged = df.withColumn(
-        "epoch",
-        F.when(F.col("epoch") <= upto_epoch, F.lit(-1)).otherwise(
-            F.col("epoch")
-        ),
-    )
-    if files_per_epoch:
-        staged = staged.repartition(files_per_epoch, "epoch")
 
-    def fence(at: str | None = None) -> None:
-        # Called twice by overwrite_atomic: before the swap on the live
-        # target (at=None — abort leaves the target untouched), and after
-        # the swap on the renamed-aside previous table (at=<path>.__old__)
-        # so an epoch that raced into the fence-to-rename window is
-        # detected BEFORE the old copy is discarded: it survives in
-        # __old__ for manual merge instead of being silently destroyed.
-        if _race_injection is not None and at is None:
-            _race_injection()
-        now = _epoch_dirs(spark, at or path)
-        if now != snapshot:
-            where = f" (raced epochs preserved at {at})" if at else (
-                " — aborting the swap (target untouched). Re-run "
-                "compaction; the new epochs fold next time."
-            )
-            raise ConcurrentWriteDetected(
-                f"compact_epochs({path}): epoch partitions changed during "
-                f"compaction (snapshot {snapshot} -> now {now}) — a "
-                f"concurrent ingest committed{where}"
-            )
+    for attempt in range(retries + 1):
+        snapshot = _epoch_dirs(spark, path)
+        df = spark.read.parquet(path)
+        # epoch ids come from the directory listing already taken for the
+        # fence snapshot — a select('epoch').distinct() would scan data
+        # files of every partition (metadata-only-query is off by
+        # default), a full extra pass over exactly the 100 TB sink this
+        # function serves.
+        folded_epochs = [
+            e
+            for e in (int(name.split("=", 1)[1]) for name in snapshot)
+            if e != -1 and e <= upto_epoch
+        ]
+        if not folded_epochs:
+            return 0
+        staged = df.withColumn(
+            "epoch",
+            F.when(F.col("epoch") <= upto_epoch, F.lit(-1)).otherwise(
+                F.col("epoch")
+            ),
+        )
+        if files_per_epoch:
+            staged = staged.repartition(files_per_epoch, "epoch")
 
-    overwrite_atomic(
-        staged, path, partition_by=("epoch",), fence=fence,
-        owner=f"compact_epochs(upto={upto_epoch})",
-    )
-    return len(folded_epochs)
+        def fence(at: str | None = None) -> None:
+            # Called twice by overwrite_atomic: before the swap on the
+            # live target (at=None — abort leaves the target untouched,
+            # eligible for the OCC retry), and after the swap on the
+            # renamed-aside previous table (at=<path>.__old__), where a
+            # mismatch means epochs raced into the swap window and are
+            # sitting in __old__ — signalled for recovery, not aborted.
+            if _race_injection is not None and at is None:
+                _race_injection()
+            now = _epoch_dirs(spark, at or path)
+            if now != snapshot:
+                if at is not None:
+                    raise RacedEpochsPreserved(
+                        raced=sorted(set(now) - set(snapshot)),
+                        missing=sorted(set(snapshot) - set(now)),
+                        old_dir=at,
+                    )
+                raise ConcurrentWriteDetected(
+                    f"compact_epochs({path}): epoch partitions changed "
+                    f"during compaction (snapshot {snapshot} -> now {now})"
+                    f" — a concurrent ingest committed; aborting the swap "
+                    f"(target untouched). Re-run compaction; the new "
+                    f"epochs fold next time."
+                )
+            if _race_injection_post_check is not None and at is None:
+                _race_injection_post_check()
+
+        try:
+            overwrite_atomic(
+                staged, path, partition_by=("epoch",), fence=fence,
+                owner=f"compact_epochs(upto={upto_epoch})",
+            )
+            return len(folded_epochs)
+        except RacedEpochsPreserved as raced:
+            if raced.missing:
+                # dirs VANISHED during the swap — not an ingest race;
+                # nothing lossless to do. __old__ stays on disk.
+                raise ConcurrentWriteDetected(
+                    f"compact_epochs({path}): epoch partitions "
+                    f"{raced.missing} disappeared during the swap; the "
+                    f"previous table is preserved at {raced.old_dir} — "
+                    f"inspect and merge manually."
+                ) from raced
+            fs, dstp, jvm = _hadoop_fs(spark, path)
+            oldp = jvm.org.apache.hadoop.fs.Path(raced.old_dir)
+            for name in raced.raced:
+                src = jvm.org.apache.hadoop.fs.Path(f"{raced.old_dir}/{name}")
+                dst = jvm.org.apache.hadoop.fs.Path(
+                    f"{path.rstrip('/')}/{name}"
+                )
+                # an idempotent replay may have re-landed the epoch in the
+                # new table already — identical content, skip the restore
+                if fs.exists(dst):
+                    continue
+                if not fs.rename(src, dst):
+                    raise IOError(
+                        f"restore of raced epoch {name} from "
+                        f"{raced.old_dir} failed — merge manually"
+                    ) from raced
+            fs.delete(oldp, True)
+            return len(folded_epochs)
+        except ConcurrentWriteDetected:
+            if attempt >= retries:
+                raise
+            # OCC retry: staging was cleaned, target untouched — loop
+            # restages from a fresh snapshot that includes the racer.
+    raise AssertionError("unreachable")
 
 
 def _read_ingest_index(

@@ -1467,3 +1467,89 @@ def test_salted_ops_skip_map_columns(spark):
     all_maps = spark.createDataFrame([({"a": 1},)], "m map<string,int>")
     with _pytest.raises(ValueError, match="MapType"):
         _content_hash_cols(all_maps)
+
+
+def test_compact_epochs_occ_retry_folds_after_race(spark, tmp_path):
+    """r07 stretch: retries>0 turns the pre-swap fence abort into
+    compare-and-retry — the second attempt restages from a fresh listing
+    that includes the racing epoch, so compaction succeeds with zero
+    manual intervention and the racer is preserved unfolded."""
+    import os
+
+    from bbt_etl_dw_spark.streaming.ops import (
+        _epoch_write,
+        compact_epochs,
+        read_epoch_sink,
+    )
+
+    path = str(tmp_path / "sink_occ")
+
+    def batch(eid):
+        return spark.range(eid * 10, eid * 10 + 10).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+        )
+
+    for eid in range(3):
+        _epoch_write(batch(eid), path, eid, idempotent=True)
+
+    def racing_ingest():
+        _epoch_write(batch(3), path, 3, idempotent=True)
+
+    assert (
+        compact_epochs(
+            spark, path, upto_epoch=2, retries=1, _race_injection=racing_ingest
+        )
+        == 3
+    )
+    got = sorted(r.doc_id for r in read_epoch_sink(spark, path).collect())
+    assert got == list(range(40))
+    dirs = {d for d in os.listdir(path) if d.startswith("epoch=")}
+    assert dirs == {"epoch=-1", "epoch=3"}  # 0-2 folded, racer unfolded
+    assert not os.path.exists(path + ".__staging__")
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__lock__")
+
+
+def test_compact_epochs_recovers_epoch_raced_into_swap_window(spark, tmp_path):
+    """An epoch landing AFTER the passing pre-swap check (the narrow
+    fence-to-rename window) travels into __old__ during the swap; the
+    post-swap fence detects it and compact_epochs restores the directory
+    into the new table — lossless, automatic, no manual merge."""
+    import os
+
+    from bbt_etl_dw_spark.streaming.ops import (
+        _epoch_write,
+        compact_epochs,
+        read_epoch_sink,
+    )
+
+    path = str(tmp_path / "sink_window")
+
+    def batch(eid):
+        return spark.range(eid * 10, eid * 10 + 10).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+        )
+
+    for eid in range(3):
+        _epoch_write(batch(eid), path, eid, idempotent=True)
+
+    def post_check_ingest():
+        _epoch_write(batch(3), path, 3, idempotent=True)
+
+    assert (
+        compact_epochs(
+            spark,
+            path,
+            upto_epoch=2,
+            _race_injection_post_check=post_check_ingest,
+        )
+        == 3
+    )
+    got = sorted(r.doc_id for r in read_epoch_sink(spark, path).collect())
+    assert got == list(range(40))  # raced epoch 3 recovered, nothing lost
+    dirs = {d for d in os.listdir(path) if d.startswith("epoch=")}
+    assert dirs == {"epoch=-1", "epoch=3"}
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__lock__")
