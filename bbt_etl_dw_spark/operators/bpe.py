@@ -120,7 +120,9 @@ def bpe_train(
     vocab = word_frequencies(docs, text_col).select(
         "freq", _symbols(F.col("word")).alias("sym")
     )
-    vocab = vocab.localCheckpoint()  # one corpus pass, reused k times
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    vocab = materialize(vocab)  # one corpus pass, reused k times
     merges = []
     for rank in range(1, k + 1):
         top = (

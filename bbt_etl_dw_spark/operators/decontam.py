@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bbt_etl_dw_spark.operators.ckpt import materialize
+
 from bbt_etl_dw_spark.operators.textstats import word_ngrams
 
 
@@ -65,7 +67,7 @@ def contamination_hits(
 
         grams = F.broadcast(
             assert_broadcastable(
-                grams.localCheckpoint(),
+                materialize(grams),
                 "decontamination eval n-gram blocklist",
                 "pass broadcast_eval=False (shuffle join) or raise n / "
                 "shrink the eval corpus",

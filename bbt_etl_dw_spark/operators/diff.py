@@ -130,7 +130,9 @@ def apply_changes(
     ``changes`` must carry the key columns, ``op``, and ``new_<col>`` /
     ``old_<col>`` columns as produced by snapshot_diff; the partition
     column must be one of the preserved columns (key or compared)."""
-    changes = changes.localCheckpoint()
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    changes = materialize(changes)
 
     def change_side(c: str, prefix: str) -> str:
         return c if c in set(keys) else f"{prefix}{c}"
@@ -182,7 +184,7 @@ def apply_changes(
     survivors = target.filter(part_pred).join(
         F.broadcast(touched_keys), on=list(keys), how="left_anti"
     )
-    out = survivors.unionByName(upserts).localCheckpoint()
+    out = materialize(survivors.unionByName(upserts))
 
     (
         out.write.mode("overwrite")

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bbt_etl_dw_spark.operators.ckpt import materialize
+
 # the ONE canonical normalization (r07 review: a verbatim private copy
 # here could drift from the fingerprint/shingle normalization the LM is
 # supposed to share)
@@ -116,10 +118,10 @@ def score_char_lm(
             "model join with a shuffle join"
         )
         ngram_counts = assert_broadcastable(
-            ngram_counts.localCheckpoint(), "char-LM ngram_counts", remedy
+            materialize(ngram_counts), "char-LM ngram_counts", remedy
         )
         prefix_counts = assert_broadcastable(
-            prefix_counts.localCheckpoint(), "char-LM prefix_counts", remedy
+            materialize(prefix_counts), "char-LM prefix_counts", remedy
         )
     grams = docs.select(
         F.col(id_col), F.explode(_char_ngrams(text_col, n)).alias("ngram")
@@ -195,7 +197,7 @@ def oov_rate_vs_reference(
         # from executing a second time in the scoring plan, so the check
         # is net ~free here.
         model = assert_broadcastable(
-            model.localCheckpoint(),
+            materialize(model),
             "OOV reference n-gram set",
             "shrink the reference vocabulary (lower n, or restrict the "
             "reference corpus's charset) or replace the broadcast model "

@@ -157,12 +157,24 @@ def scd2_apply_changes(
                 F.array(*[F.lit(c) for c in tracked_cols]),
             )
         )
-    ).localCheckpoint()
+    )
+    from bbt_etl_dw_spark.operators.ckpt import materialize
 
-    # keys whose LIVE row must close (tracked update or delete)
-    closing = versioning.filter(F.col("op").isin("update", "delete")).select(*key)
-    marked = history.join(
-        F.broadcast(closing.withColumn("__close", F.lit(1))), on=key, how="left"
+    versioning = materialize(versioning)
+
+    # keys whose LIVE row must close (tracked update or delete).
+    # eqNullSafe, matching scd2_merge (r08 review): a name-based `on=key`
+    # join is null-UNSAFE, so a CDC delete/update for a row with a NULL
+    # natural-key column would silently never expire it — the same defect
+    # class the merge path already fixed.
+    closing = (
+        versioning.filter(F.col("op").isin("update", "delete"))
+        .select(*[F.col(c).alias(f"__k_{c}") for c in key])
+        .withColumn("__close", F.lit(1))
+    )
+    cond = [history[c].eqNullSafe(F.col(f"__k_{c}")) for c in key]
+    marked = history.join(F.broadcast(closing), cond, "left").drop(
+        *[f"__k_{c}" for c in key]
     )
     pass_through = marked.filter(
         ~(F.col(IS_CURRENT) & F.col("__close").isNotNull())

@@ -124,7 +124,9 @@ def key_skew_report(
     # the per-key counts already hold the total: summing the aggregate
     # (materialized once, it feeds two consumers) avoids a second full
     # scan of the 100TB input this diagnostic targets (review finding)
-    counts = counts.localCheckpoint()
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    counts = materialize(counts)
     total = counts.agg(F.sum("n_rows")).first()[0] or 0
     even_share = max(total / max(n_partitions, 1), 1.0)
     return (

@@ -248,7 +248,9 @@ def fold_summary(
         # reserved epoch=-1 partition (base-level files mixed with
         # epoch=N dirs would break partition discovery for later writes)
         folded = folded.withColumn("epoch", F.lit(-1))
-    folded = folded.localCheckpoint()
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    folded = materialize(folded)
     n = folded.count()
     overwrite_atomic(
         folded, path, partition_by=("epoch",) if epoch_layout else ()

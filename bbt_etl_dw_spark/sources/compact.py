@@ -269,11 +269,17 @@ def compact_partitions(
     # single task -> one giant file per partition and a single-task write;
     # a deterministic row-hash salt spreads each partition over per_part
     # tasks so the size target actually holds (xxhash64, never rand()).
-    data_cols = [c for c in df.columns if c != part_col]
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.lit(per_part))
-    out = sel.repartition(
+    # Hashable columns only (operators/skew._content_hash_cols): a MapType
+    # payload column would otherwise fail analysis (r08 review, same class
+    # as the salted-join fix); part_col is kept out of the hash either way.
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+    from bbt_etl_dw_spark.operators.skew import _content_hash_cols
+
+    data_cols = _content_hash_cols(df.drop(part_col))
+    salt = F.pmod(F.xxhash64(*data_cols), F.lit(per_part))
+    out = materialize(sel.repartition(
         len(values) * per_part, F.col(part_col), salt
-    ).localCheckpoint()
+    ))
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

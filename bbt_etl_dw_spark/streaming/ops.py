@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.operators.ckpt import materialize
 from pyspark.sql import types as T
 
 from bbt_etl_dw_spark.functions.numeric import dsum
@@ -485,7 +487,7 @@ def dedup_ingest_batch(
         idx, batch_df, id_col, text_col, **dedup_kwargs
     )
     # survivors feed two sinks; materialize once, not twice
-    survivors = survivors.localCheckpoint()
+    survivors = materialize(survivors)
     _epoch_write(survivors, corpus_path, epoch_id, idempotent)
     _epoch_write(
         minhash_corpus_index(survivors, id_col, text_col, **dedup_kwargs),
@@ -595,7 +597,7 @@ def fold_first_event_dim(spark, dim_path: str) -> int:
     landing between read and swap is lost with the old layout)."""
     from bbt_etl_dw_spark.sources.parquet import overwrite_atomic
 
-    folded = read_first_event_dim(spark, dim_path).localCheckpoint()
+    folded = materialize(read_first_event_dim(spark, dim_path))
     n = folded.count()
     overwrite_atomic(folded, dim_path)
     return n

@@ -949,7 +949,9 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         # execute NOW, while the enabling confs hold (the driver's later
         # action would otherwise re-plan under restored confs)
-        return out.localCheckpoint()
+        from bbt_etl_dw_spark.operators.ckpt import materialize
+
+        return materialize(out)
     finally:
         for k, v in prev.items():
             if v is None:

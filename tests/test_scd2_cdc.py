@@ -191,3 +191,33 @@ def test_scd2_merge_null_natural_key_is_stable(spark):
     nullrows = out2.filter(F.col("k").isNull())
     assert nullrows.count() == 2  # one closed version + one current
     assert nullrows.filter(F.col("is_current")).collect()[0]["v"] == 9.0
+
+
+def test_cdc_scd2_null_natural_key_closes_on_delete(spark):
+    """r08 review: the change-feed path closed live rows via a name-based
+    (null-UNSAFE) key join, so a delete for a NULL-key row never expired
+    it — scd2_merge had already fixed this class with eqNullSafe; the CDC
+    path must agree."""
+    import datetime as dt
+
+    from bbt_etl_dw_spark.operators.scd2 import (
+        END,
+        IS_CURRENT,
+        scd2_apply_changes,
+        scd2_init,
+    )
+
+    d0, d1 = dt.date(2024, 1, 1), dt.date(2024, 2, 1)
+    dim = scd2_init(
+        spark.createDataFrame([(None, "x"), (1, "y")], "k int, v string"), d0
+    )
+    changes = spark.createDataFrame(
+        [("delete", None, None, None)],
+        "op string, k int, new_v string, changed_cols array<string>",
+    ).select("op", "k", "new_v", F.col("changed_cols"))
+    out = scd2_apply_changes(dim, changes, ["k"], ["v"], d1).collect()
+    by_key = {(r.k, r[IS_CURRENT]): r for r in out}
+    assert (None, False) in by_key, "NULL-key row must expire on delete"
+    assert by_key[(None, False)][END] == d1
+    assert (1, True) in by_key  # untouched key passes through live
+    assert len(out) == 2
