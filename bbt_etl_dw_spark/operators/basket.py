@@ -47,28 +47,34 @@ def cooccurrence_pairs(
     per-basket pair fanout is C(k,2), so one pathological key — a NULL or
     default basket id collecting 10^6 items at warehouse scale — emits
     ~5*10^11 pairs from a single task and the plan lint cannot see it
-    (the join is a legitimate equi-join). The guard rides the join's own
-    basket partitioning (a window count on the build side, no extra
-    shuffle over the raw data) and RAISES on the first oversized basket
-    instead of silently melting an executor. Baskets that large are data
+    (the join is a legitimate equi-join). The guard is a SKINNY per-basket
+    count aggregate filtered to violators (normally empty — map-side
+    partial combine, then rows only for over-cap baskets) left-joined
+    onto the probe side, raising on the first oversized basket instead of
+    silently melting an executor. This shape costs ~#distinct-baskets
+    shuffle bytes; a first implementation as a window count re-shuffled
+    and SORTED the full (basket, item) relation — +46% shuffle on the
+    basket headliners (SHUFFLE_r08 vs r07). Baskets that large are data
     bugs, not signal — filter them, or pass ``None``/a larger cap
     explicitly after deciding the fanout is affordable.
     """
-    from pyspark.sql import Window
-
     bi = df.select(
         F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
     ).distinct()
 
     a = bi.select(F.col("_basket"), F.col("_item").alias("item_a"))
     if max_basket_size is not None:
-        bsize = F.count(F.lit(1)).over(Window.partitionBy("_basket"))
+        oversized = (
+            bi.groupBy("_basket")
+            .agg(F.count(F.lit(1)).alias("_bsize"))
+            .filter(F.col("_bsize") > max_basket_size)
+        )
         a = (
-            a.withColumn("_bsize", bsize)
+            a.join(oversized, "_basket", "left")
             .withColumn(
                 "item_a",
                 F.when(
-                    F.col("_bsize") > max_basket_size,
+                    F.col("_bsize").isNotNull(),
                     F.raise_error(
                         F.concat(
                             F.lit("cooccurrence_pairs: basket "),
