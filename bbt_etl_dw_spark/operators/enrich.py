@@ -26,7 +26,16 @@ def threshold_ladder(
 ) -> Column:
     """Descending (threshold, label) ladder: first threshold the value
     exceeds wins (reference client status add_columns.py:113-118,
-    ClientValue map_cols.py:86-88)."""
+    ClientValue map_cols.py:86-88). Thresholds must be strictly
+    descending — an ascending list would make the first (lowest) rung
+    shadow every higher label, silently mislabeling the top tiers, so it
+    raises instead (r08 review)."""
+    ts = [t for t, _ in thresholds]
+    if any(a <= b for a, b in zip(ts, ts[1:])):
+        raise ValueError(
+            f"threshold_ladder: thresholds must be strictly descending, "
+            f"got {ts} — an ascending rung would shadow every higher label"
+        )
     expr = None
     for t, label in thresholds:
         branch = value > F.lit(t)

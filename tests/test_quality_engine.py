@@ -268,3 +268,29 @@ def test_cleaning_plan_refuses_false_positive_duplicate_columns(spark):
     # default (parity) behavior: the reference drops unconditionally
     forced = plan.apply(df)
     assert "Address2" not in forced.columns
+
+
+def test_threshold_ladder_rejects_non_descending(spark):
+    """r08 review: an ascending rung would shadow every higher label
+    (value 20000 matching '>1000' first would label High clients Medium)
+    — the ladder raises instead of silently mislabeling."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.enrich import threshold_ladder
+
+    with _pytest.raises(ValueError, match="strictly descending"):
+        threshold_ladder(F.col("x"), [(1000.0, "Medium"), (10000.0, "High")], "Low")
+    with _pytest.raises(ValueError, match="strictly descending"):
+        threshold_ladder(F.col("x"), [(1000.0, "A"), (1000.0, "B")], "C")
+    # the valid descending form still labels correctly
+    df = spark.createDataFrame([(20000.0,), (5000.0,), (10.0,)], "x double")
+    out = [
+        r[0]
+        for r in df.select(
+            threshold_ladder(
+                F.col("x"), [(10000.0, "High"), (1000.0, "Medium")], "Low"
+            )
+        ).collect()
+    ]
+    assert out == ["High", "Medium", "Low"]
