@@ -182,3 +182,55 @@ def test_dedup_clusters_reliable_auto(spark, tmp_path):
         assert list((tmp_path / "cc_ckpt").rglob("*")), "reliable path unused"
     finally:
         _unset_checkpoint_dir(sc)
+
+
+def test_engine_paths_under_reliable_checkpoint_dir(spark, tmp_path):
+    """Engine-wide reliable-materialization smoke (r08): with a checkpoint
+    dir configured, every materialize()-routed path switches to reliable
+    checkpoints — results must be identical to the local flavor across a
+    representative operator spread (jaccard pairs, fuzzy lookup, BFS,
+    snapshot diff)."""
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.dedup import ngram_jaccard_pairs
+    from bbt_etl_dw_spark.operators.diff import snapshot_diff
+    from bbt_etl_dw_spark.operators.er import blocked_fuzzy_lookup
+    from bbt_etl_dw_spark.operators.traversal import bfs_hops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with no shared phrases here"),
+        ],
+        "doc_id long, text string",
+    )
+    canon = spark.createDataFrame(
+        [("FRANCE", 1), ("GERMANY", 2)], "cname string, key long"
+    )
+    probe = spark.createDataFrame([("FRANCE",), ("GERMANX",)], "name string")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    new = spark.createDataFrame([(1, "a"), (2, "c"), (3, "d")], "k long, v string")
+
+    def run_all():
+        return (
+            sorted(map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text").collect())),
+            sorted(map(tuple, blocked_fuzzy_lookup(
+                probe, "name", canon, "cname", "key", max_dist=1
+            ).select("name", "cname").collect())),
+            sorted(map(tuple, bfs_hops(edges, srcs, max_hops=3).collect())),
+            sorted(map(tuple, snapshot_diff(old, new, ["k"]).select("k", "op").collect())),
+        )
+
+    local = run_all()
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "engine_ckpt"))
+    try:
+        reliable = run_all()
+        assert list((tmp_path / "engine_ckpt").rglob("*")), "reliable flavor unused"
+    finally:
+        _unset_checkpoint_dir(sc)
+    assert local == reliable
