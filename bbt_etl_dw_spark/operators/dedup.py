@@ -303,6 +303,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    max_shingle_df_guard: int | None = 1_000_000,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard via a shingle inverted index: explode
     word k-shingles, self-join on the shingle (the only wide shuffle),
@@ -325,7 +326,19 @@ def ngram_jaccard_pairs(
     shingles with document frequency above the cap (standard in web-dedup
     pipelines — frequent shingles carry ~no Jaccard signal but all the
     skew). The production path at 100TB composes :func:`minhash_candidates`
-    -> :func:`jaccard_verify` instead; this operator is its oracle."""
+    -> :func:`jaccard_verify` instead; this operator is its oracle.
+
+    ``max_shingle_df_guard`` is the loud twin of the cap (r08 review, same
+    class as the basket C(k,2) guard): with no cap set, one shingle shared
+    by f surviving docs emits ~f²/2 pairs from a single join key — at
+    corpus scale a boilerplate phrase makes that ~10^12 rows out of one
+    task, and the plan lint cannot see it (the join is a legitimate
+    equi-join). The guard is a skinny per-shingle count over the already-
+    materialized index filtered to violators (normally empty) joined back
+    with ``raise_error``: bit-exact results whenever it passes, loud
+    failure instead of a melted stage when it would not. Raise the guard
+    or switch to the capped/minhash path deliberately; ``None`` disables.
+    """
     sh = df.select(
         F.col(id_col).alias("doc_id"), shingles(text_col, shingle_k).alias("shs")
     ).select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("sh"))
@@ -343,6 +356,36 @@ def ngram_jaccard_pairs(
         # threshold. One extra window shuffle on doc_id — audit path only.
         sh = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     sh = _ckpt(sh, None)  # one shingle pass feeds both join sides
+    if max_shingle_df_guard is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_sdf"))
+            .filter(F.col("_sdf") > max_shingle_df_guard)
+        )
+        sh = (
+            sh.join(hot, "sh", "left")
+            .withColumn(
+                "sh",
+                F.when(
+                    F.col("_sdf").isNotNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("ngram_jaccard_pairs: shingle appears in "),
+                            F.col("_sdf").cast("string"),
+                            F.lit(
+                                " docs > max_shingle_df_guard="
+                                f"{max_shingle_df_guard}; the self-join "
+                                "would emit ~f^2/2 pairs from one key — "
+                                "set max_shingle_df to cap, use the "
+                                "minhash path, or raise the guard "
+                                "deliberately"
+                            ),
+                        )
+                    ),
+                ).otherwise(F.col("sh")),
+            )
+            .drop("_sdf")
+        )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(

@@ -1494,3 +1494,31 @@ def test_sample_frames_zero_frame_rows_emit_nothing(spark):
         for r in sample_frames(df, every_n=10).collect()
     }
     assert got == {(1, 0), (1, 10), (1, 20), (3, 0)}
+
+
+def test_jaccard_hot_shingle_guard_raises(spark):
+    """r08 review (basket-guard class): a shingle shared by more docs than
+    max_shingle_df_guard would fan ~f^2/2 pairs out of one join key — the
+    guard raises loudly instead; results are bit-exact whenever it passes."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from bbt_etl_dw_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"shared boiler plate unique{i} tail{i} end{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    # 'shared boiler plate' appears in all 6 docs
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="max_shingle_df_guard"):
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", max_shingle_df_guard=5
+        ).collect()
+    # at/above the true df the guard passes and results match guard-off
+    on = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.1, max_shingle_df_guard=6
+    ).collect()))
+    off = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.1, max_shingle_df_guard=None
+    ).collect()))
+    assert on == off and on  # non-empty: the shared shingle pairs them
