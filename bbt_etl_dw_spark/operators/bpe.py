@@ -41,6 +41,11 @@ from bbt_etl_dw_spark.operators.textstats import words
 
 END_OF_WORD = "</w>"
 
+# re-materialize the evolving vocab every N merges: bounds both the
+# stacked-fold recompute (O(k*N) instead of O(k^2) fold evaluations) and
+# whole-stage-codegen expression depth at large k
+_REMAT_EVERY = 16
+
 
 def word_frequencies(
     docs: DataFrame, text_col: str = "text", word_out: str = "word"
@@ -115,7 +120,15 @@ def bpe_train(
     """Learn the first ``k`` BPE merges from the corpus. Returns one row
     per merge: ``(merge_rank, lft, rgt, merged, pair_count)`` in learned
     order. Each iteration collects exactly ONE row (the argmax pair) to
-    the driver; the vocab-side merge is the greedy array fold."""
+    the driver; the vocab-side merge is the greedy array fold.
+
+    Merge folds STACK lazily (iteration r's plan applies r-1 prior folds
+    to the materialized base vocab — O(k²) fold evaluations and O(k)
+    expression depth if left unchecked), so the vocab re-materializes
+    every ``_REMAT_EVERY`` merges: total fold work drops to O(k·m) and
+    codegen depth stays bounded at large k (r08 review). Real 30k-merge
+    tokenizer training remains a single-machine job by nature — this
+    operator's contract is corpus-scale COUNTING with driver-scale k."""
     spark = docs.sparkSession
     vocab = word_frequencies(docs, text_col).select(
         "freq", _symbols(F.col("word")).alias("sym")
@@ -136,6 +149,8 @@ def bpe_train(
         lft, rgt, cnt = top[0]["lft"], top[0]["rgt"], top[0]["pair_count"]
         merges.append((rank, lft, rgt, lft + rgt, cnt))
         vocab = vocab.withColumn("sym", _merge_pair(F.col("sym"), lft, rgt))
+        if rank % _REMAT_EVERY == 0:
+            vocab = materialize(vocab)
     return spark.createDataFrame(
         merges, "merge_rank int, lft string, rgt string, merged string, pair_count long"
     )
