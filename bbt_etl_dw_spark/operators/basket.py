@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bbt_etl_dw_spark.operators.ckpt import materialize
+
 
 def cooccurrence_pairs(
     df: DataFrame,
@@ -61,6 +63,14 @@ def cooccurrence_pairs(
     bi = df.select(
         F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
     ).distinct()
+    # The deduplicated (basket, item) frame is consumed FIVE times (both
+    # pair-join sides, the hot-basket violators aggregate, per-item
+    # frequencies, the basket total) and exchange reuse cannot be relied
+    # on when one consumer broadcasts (VERDICT r08 #1: the guard's extra
+    # pass cost a measured +0.29s on order_part_cooccurrence). One skinny
+    # materialization pays for the distinct shuffle ONCE; every consumer
+    # reads the checkpointed blocks instead of recomputing scan+distinct.
+    bi = materialize(bi)
 
     a = bi.select(F.col("_basket"), F.col("_item").alias("item_a"))
     if max_basket_size is not None:

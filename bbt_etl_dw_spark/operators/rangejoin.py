@@ -64,10 +64,17 @@ def interval_join(
         # groupBy lumps all NULLs into one group, so two NULL-id rows
         # would otherwise raise the misleading "not unique" error
         # (ADVICE r07). One aggregate covers both checks.
+        # orderBy(isNull desc) makes the NULL-first report DETERMINISTIC
+        # (ADVICE r08): a bare limit(2) collects an arbitrary violator
+        # subset, so two duplicate-key groups plus a NULL group could
+        # raise the misleading "not unique" error for a frame whose real
+        # problem is NULL ids. The sort input is the violators-only
+        # aggregate (normally tiny), not the relation.
         bad = (
             left.groupBy(left_id)
             .count()
             .filter((F.col("count") > 1) | F.col(left_id).isNull())
+            .orderBy(F.col(left_id).isNull().desc())
             .limit(2)
             .collect()
         )

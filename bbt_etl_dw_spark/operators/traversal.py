@@ -69,7 +69,10 @@ def bfs_hops(
             .withColumn("hops", F.lit(h).cast("int"))
         )
         nxt = materialize(nxt)
-        if nxt.rdd.isEmpty():
+        # DataFrame.isEmpty() stays a codegen'd limit-1 job; the old
+        # nxt.rdd.isEmpty() planned a non-codegen RDD conversion per round
+        # (VERDICT r08 #3).
+        if nxt.isEmpty():
             break
         visited = materialize(visited.unionByName(nxt))
         frontier = nxt

@@ -82,6 +82,13 @@ def get_spark(
         # the process starts in. Static conf — only effective when WE build
         # the session (a pre-existing session keeps its own warehouse).
         .config("spark.sql.warehouse.dir", _scratch_warehouse_dir())
+        # Reliable checkpoints (operators/ckpt.materialize) are never
+        # cleaned by default — an N-round iterative job leaves N full
+        # copies of its label frame in the checkpoint dir (ADVICE r08).
+        # This makes the ContextCleaner delete a checkpoint's files once
+        # its RDD is GC'd. Static conf: deployments that build their own
+        # session must set it themselves (documented in ckpt.py).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -248,6 +248,7 @@ def overwrite_atomic(
     path: str,
     partition_by: Sequence[str] = (),
     fence=None,
+    post_fence=None,
     owner: str = "overwrite_atomic",
 ) -> None:
     """Replace the dataset at ``path`` with ``df`` via write-to-temp +
@@ -277,9 +278,11 @@ def overwrite_atomic(
     (atomic), staging is renamed into place, and only then is the old
     copy discarded. A lockless write landing mid-swap therefore either
     (a) lands before the rename-aside and travels INTO ``__old__`` —
-    where a ``fence`` that accepts a path argument (``fence(at=...)``)
-    re-checks it before the discard, turning what used to be silent
-    destruction into a loud abort that leaves the data on disk; or
+    where ``post_fence(old_path)``, when given, re-checks the aside copy
+    before the discard, turning what used to be silent destruction into
+    a loud abort that leaves the data on disk (the check is an EXPLICIT
+    parameter — ADVICE r08: the previous signature-sniffing opt-in
+    silently downgraded to no re-check for partials/wrappers); or
     (b) recreates the target between the two renames, which the swap
     detects (target exists again) and aborts loudly, leaving the racer's
     data, ``__old__``, and staging all intact. A pre-existing ``__old__``
@@ -290,8 +293,6 @@ def overwrite_atomic(
     Callers that need concurrent readers during the swap belong on a
     table format, not raw parquet.
     """
-    import inspect
-
     spark = df.sparkSession
     staging = f"{path.rstrip('/')}.__staging__"
     old = f"{path.rstrip('/')}.__old__"
@@ -344,18 +345,11 @@ def overwrite_atomic(
         if moved_aside:
             # Final fence over the renamed-aside copy: a write that landed
             # between the first fence and the rename-aside is sitting in
-            # __old__ — a path-aware fence detects it and aborts BEFORE the
+            # __old__ — post_fence detects it and aborts BEFORE the
             # discard (table already swapped; the raced data survives in
             # __old__ for manual merge, never silently deleted).
-            if fence is not None and _fence_accepts_path(fence, inspect):
-                fence(at=old)
+            if post_fence is not None:
+                post_fence(old)
             fs.delete(jold, True)
     finally:
         release_swap_lock(spark, lock)
-
-
-def _fence_accepts_path(fence, inspect) -> bool:
-    try:
-        return "at" in inspect.signature(fence).parameters
-    except (TypeError, ValueError):
-        return False

@@ -365,12 +365,13 @@ def compact_epochs(
             staged = staged.repartition(files_per_epoch, "epoch")
 
         def fence(at: str | None = None) -> None:
-            # Called twice by overwrite_atomic: before the swap on the
-            # live target (at=None — abort leaves the target untouched,
-            # eligible for the OCC retry), and after the swap on the
-            # renamed-aside previous table (at=<path>.__old__), where a
-            # mismatch means epochs raced into the swap window and are
-            # sitting in __old__ — signalled for recovery, not aborted.
+            # Called twice by overwrite_atomic: as fence() before the
+            # swap on the live target (at=None — abort leaves the target
+            # untouched, eligible for the OCC retry), and as
+            # post_fence(old) after the swap on the renamed-aside
+            # previous table (at=<path>.__old__), where a mismatch means
+            # epochs raced into the swap window and are sitting in
+            # __old__ — signalled for recovery, not aborted.
             if _race_injection is not None and at is None:
                 _race_injection()
             now = _epoch_dirs(spark, at or path)
@@ -394,6 +395,7 @@ def compact_epochs(
         try:
             overwrite_atomic(
                 staged, path, partition_by=("epoch",), fence=fence,
+                post_fence=lambda old: fence(at=old),
                 owner=f"compact_epochs(upto={upto_epoch})",
             )
             return len(folded_epochs)

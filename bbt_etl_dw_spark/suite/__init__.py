@@ -138,11 +138,22 @@ def _load_force_recheck() -> frozenset[str]:
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(repo, "FORCE_RECHECK.json")
+    # Only a MISSING artifact means "no force-recheck set" (fresh clone
+    # before the first emit). A corrupt/unreadable artifact must raise:
+    # swallowing it would silently disable evidence rotation — exactly
+    # the stale-evidence-passes-as-verified failure this mechanism was
+    # built to eliminate (ADVICE r08, VERDICT r07 #3).
     try:
         with open(path) as f:
-            return frozenset(json.load(f))
-    except Exception:
+            data = json.load(f)
+    except FileNotFoundError:
         return frozenset()
+    if not isinstance(data, dict):
+        raise ValueError(
+            f"{path}: expected a {{query: reason}} object, "
+            f"got {type(data).__name__}"
+        )
+    return frozenset(data)
 
 
 _FORCE_RECHECK: frozenset[str] = _load_force_recheck()

@@ -1353,9 +1353,10 @@ def test_stateful_zscore_stream_equals_batch_bitexact(
 def test_overwrite_atomic_rename_aside_preserves_raced_write(spark, tmp_path):
     """ADVICE r07: a write landing AFTER the pre-swap fence check but
     before the swap used to be silently destroyed by the delete+rename.
-    The swap now renames the old table aside to <path>.__old__ and
-    re-runs a path-aware fence (fence(at=...)) before discarding it: the
-    raced write is detected and PRESERVED in __old__ for manual merge."""
+    The swap now renames the old table aside to <path>.__old__ and runs
+    the EXPLICIT post_fence(old_path) before discarding it (ADVICE r08:
+    formerly inferred from the fence's signature): the raced write is
+    detected and PRESERVED in __old__ for manual merge."""
     import os
 
     from bbt_etl_dw_spark.sources.parquet import (
@@ -1390,7 +1391,13 @@ def test_overwrite_atomic_rename_aside_preserves_raced_write(spark, tmp_path):
 
     folded = spark.range(5).withColumn("epoch", F.lit(-1))
     with pytest.raises(ConcurrentWriteDetected, match="preserved"):
-        overwrite_atomic(folded, path, partition_by=("epoch",), fence=fence)
+        overwrite_atomic(
+            folded,
+            path,
+            partition_by=("epoch",),
+            fence=fence,
+            post_fence=lambda old: fence(at=old),
+        )
 
     assert calls == [None, path + ".__old__"]
     # the raced epoch survives in __old__ (not silently destroyed)
@@ -1420,8 +1427,10 @@ def test_overwrite_atomic_refuses_preexisting_old(spark, tmp_path):
 
 
 def test_overwrite_atomic_plain_fence_still_works(spark, tmp_path):
-    """A no-arg fence (the pre-r08 contract) keeps working: called once
-    before the swap; the old copy is discarded without the re-check."""
+    """A fence without post_fence keeps working: called once before the
+    swap; the old copy is discarded without the re-check. ADVICE r08:
+    the re-check is opted into by the EXPLICIT post_fence parameter, so
+    no signature shape can silently change this behavior."""
     import os
 
     from bbt_etl_dw_spark.sources.parquet import overwrite_atomic
@@ -1438,6 +1447,30 @@ def test_overwrite_atomic_plain_fence_still_works(spark, tmp_path):
     assert spark.read.parquet(path).count() == 7
     assert not os.path.exists(path + ".__old__")
     assert not os.path.exists(path + ".__staging__")
+
+
+def test_overwrite_atomic_post_fence_partial_runs(spark, tmp_path):
+    """ADVICE r08's failure mode: a functools.partial (no inspectable
+    'at' parameter) used to silently downgrade the post-swap re-check.
+    With the explicit post_fence parameter ANY callable runs."""
+    import functools
+    import os
+
+    from bbt_etl_dw_spark.sources.parquet import overwrite_atomic
+
+    path = str(tmp_path / "tbl4")
+    spark.range(4).write.parquet(path)
+    calls = []
+
+    def check(tag, old_path):
+        calls.append((tag, old_path))
+
+    overwrite_atomic(
+        spark.range(6), path, post_fence=functools.partial(check, "post")
+    )
+    assert calls == [("post", path + ".__old__")]
+    assert spark.read.parquet(path).count() == 6
+    assert not os.path.exists(path + ".__old__")
 
 
 def test_salted_ops_skip_map_columns(spark):

@@ -72,7 +72,20 @@ def main() -> None:
     head = _fingerprints_at(REPO)
 
     force: dict[str, str] = {}
-    rounds_needed = sorted({r for r in latest.values() if r in commits})
+    # A round with driver evidence but no matching "round N: ..." commit
+    # would silently exempt its whole cohort from change detection
+    # (ADVICE r08). Fail loudly instead of shrinking the recheck set.
+    unmapped = sorted({r for r in latest.values() if r not in commits})
+    if unmapped:
+        cohort = sorted(n for n, r in latest.items() if r in set(unmapped))
+        sys.exit(
+            f"emit_force_recheck: evidence rounds {unmapped} have no "
+            f"'round N: verdict/advice/correctness/bench' commit — "
+            f"{len(cohort)} queries ({', '.join(cohort[:5])}...) would be "
+            f"silently exempted from change detection. Fix the round-to-"
+            f"commit mapping (_round_commits) before emitting."
+        )
+    rounds_needed = sorted(set(latest.values()))
     for rnd in rounds_needed:
         with tempfile.TemporaryDirectory(prefix=f"fr_r{rnd}_") as wt:
             _run("git", "worktree", "add", "--detach", wt, commits[rnd])
