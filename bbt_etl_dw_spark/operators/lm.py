@@ -183,9 +183,21 @@ def oov_rate_vs_reference(
     by |charset|^n); the scored corpus explodes to n-grams, joins
     map-side, and reduces to (id, total, oov) in partial aggregation —
     one shuffle on the doc id. Documents with no n-grams (empty text)
-    return n_grams=0 and NULL rate."""
+    return n_grams=0 and NULL rate.
+
+    Membership only needs a FINGERPRINT, not the n-gram string: both
+    sides hash to xxhash64 longs before the model's distinct, so its
+    shuffle carries fixed 8-byte keys instead of variable-length UTF-8
+    n-grams (VERDICT r08 #8 — the one plan-shape lever on this query),
+    and the broadcast hash table keys/compares longs. A false OOV "hit"
+    needs an exact 64-bit collision between a document n-gram and a
+    reference n-gram — at a generous 2^30-entry reference vocabulary the
+    per-gram odds are ~2^-34 and the expected error on a rate averaged
+    over a document is far below the double's own rounding; acceptable
+    for a statistical quality signal."""
     model = (
         reference.select(F.explode(_char_ngrams(text_col, n)).alias("ngram"))
+        .select(F.xxhash64("ngram").alias("ngram_h"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -205,9 +217,9 @@ def oov_rate_vs_reference(
         )
     grams = docs.select(
         F.col(id_col), F.explode(_char_ngrams(text_col, n)).alias("ngram")
-    )
+    ).select(F.col(id_col), F.xxhash64("ngram").alias("ngram_h"))
     scored = (
-        grams.join(F.broadcast(model), "ngram", "left")
+        grams.join(F.broadcast(model), "ngram_h", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

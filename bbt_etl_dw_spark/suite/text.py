@@ -813,15 +813,29 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword-extraction shape under retrieval and topic-dedup curation.
     One explode + two hash aggs + a broadcast-eligible df join + a
     doc-partitioned rank window; at 100TB the df table is the only
-    corpus-global state and it is term-keyed (bounded by vocabulary)."""
+    corpus-global state and it is term-keyed (bounded by vocabulary).
+
+    The df aggregate and the tf-df join key on xxhash64(term), not the
+    term string (VERDICT r08 #8): the corpus-global shuffle carries
+    fixed 8-byte keys and the join compares longs. The OUTPUT term stays
+    the string carried through tf's groupBy (its shuffle already carries
+    terms as grouping keys for exact per-doc counts), so oracles remain
+    hash-exact; a 64-bit term collision (odds ~vocab²/2^64) could only
+    nudge df on the collided pair."""
     docs = table(spark, sf_dir, "documents", spread=True)
     from pyspark.sql import Window
 
     toks = docs.select("doc_id", F.explode(words("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "term").withColumn(
-        "score", F.col("tf") / F.col("df").cast("double")
+    df = (
+        toks.select("doc_id", F.xxhash64("term").alias("term_h"))
+        .groupBy("term_h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    scored = (
+        tf.withColumn("term_h", F.xxhash64("term"))
+        .join(df, "term_h")
+        .withColumn("score", F.col("tf") / F.col("df").cast("double"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
     return (
