@@ -23,6 +23,9 @@ real multi-file lake — see catalog.table) rather than a plan defect.
 Usage:
     python shuffle_audit.py            # sf0.1 headline set -> one JSON line
     SPARK_GRAFT_SF_DIR=... python shuffle_audit.py
+    python shuffle_audit.py q1 q2      # named subset (e.g. the worst 10x
+                                       # scalers against the synthetic sf1
+                                       # set, VERDICT r08 #4)
 """
 
 from __future__ import annotations
@@ -47,8 +50,14 @@ def main() -> None:
     from bench import HEADLINE
 
     queries = load_all()
-    names = [n for n in HEADLINE if n in queries]
-    names += [n for n in sorted(queries) if n not in names and queries[n].bench]
+    if len(sys.argv) > 1:
+        unknown = [n for n in sys.argv[1:] if n not in queries]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        names = list(sys.argv[1:])
+    else:
+        names = [n for n in HEADLINE if n in queries]
+        names += [n for n in sorted(queries) if n not in names and queries[n].bench]
 
     spark = get_spark(app_name="bbt-etl-dw-spark-shuffle-audit")
     spark.sparkContext.setLogLevel("ERROR")
