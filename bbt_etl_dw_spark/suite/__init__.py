@@ -132,12 +132,15 @@ def _last_verified_round() -> dict[str, int]:
 # touching review batches, so the population is no longer a judgment call.
 
 
-def _load_force_recheck() -> frozenset[str]:
+def _load_force_recheck(path: str | None = None) -> frozenset[str]:
     import json
     import os
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    path = os.path.join(repo, "FORCE_RECHECK.json")
+    if path is None:
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        path = os.path.join(repo, "FORCE_RECHECK.json")
     # Only a MISSING artifact means "no force-recheck set" (fresh clone
     # before the first emit). A corrupt/unreadable artifact must raise:
     # swallowing it would silently disable evidence rotation — exactly

@@ -58,3 +58,32 @@ def test_duplicate_registration_raises():
     existing = next(iter(QUERIES))
     with pytest.raises(ValueError, match="duplicate query registration"):
         register(existing)(lambda spark, sf_dir: None)
+
+
+def test_force_recheck_loader_is_loud_on_corruption(tmp_path):
+    """ADVICE r08 (medium): only a MISSING FORCE_RECHECK.json maps to the
+    empty set; a corrupt or wrong-shaped artifact must raise — silently
+    returning empty would disable evidence rotation, the exact failure
+    the mechanism exists to prevent."""
+    import json
+
+    import pytest
+
+    from bbt_etl_dw_spark.suite import _load_force_recheck
+
+    missing = str(tmp_path / "nope.json")
+    assert _load_force_recheck(missing) == frozenset()
+
+    ok = tmp_path / "ok.json"
+    ok.write_text(json.dumps({"q_a": "changed since r04: impl"}))
+    assert _load_force_recheck(str(ok)) == frozenset({"q_a"})
+
+    corrupt = tmp_path / "corrupt.json"
+    corrupt.write_text("{not json")
+    with pytest.raises(json.JSONDecodeError):
+        _load_force_recheck(str(corrupt))
+
+    wrong_shape = tmp_path / "list.json"
+    wrong_shape.write_text(json.dumps(["q_a", "q_b"]))
+    with pytest.raises(ValueError, match="expected a"):
+        _load_force_recheck(str(wrong_shape))
