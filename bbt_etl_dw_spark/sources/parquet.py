@@ -291,7 +291,10 @@ def overwrite_atomic(
     a raced write.
 
     Callers that need concurrent readers during the swap belong on a
-    table format, not raw parquet.
+    table format, not raw parquet. Callers replacing SEVERAL tables that
+    must become visible together (fact + dims from one snapshot) belong
+    on :mod:`bbt_etl_dw_spark.sources.publish` — this function is
+    single-table by design.
     """
     spark = df.sparkSession
     staging = f"{path.rstrip('/')}.__staging__"

@@ -1,0 +1,163 @@
+"""Cross-table transactional publish (sources/publish.py): atomic
+all-or-nothing multi-table visibility, OCC between publishers, crash
+safety, snapshot isolation, and GC bounds."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from bbt_etl_dw_spark.sources.publish import (
+    PublishConflict,
+    current_version,
+    gc_published,
+    publish_tables,
+    read_published,
+)
+
+
+def _snap(spark, tag: str, n: int = 5):
+    fact = spark.range(n).select(
+        F.col("id").alias("k"), F.lit(tag).alias("src")
+    )
+    dim = spark.range(2).select(
+        F.col("id").alias("k"), F.concat(F.lit(tag), F.col("id")).alias("label")
+    )
+    return {"fact": fact, "dim": dim}
+
+
+def test_publish_and_read_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    v = publish_tables(_snap(spark, "a"), root)
+    assert v == 1
+    assert current_version(spark, root) == 1
+    fact = read_published(spark, root, "fact")
+    dim = read_published(spark, root, "dim")
+    assert fact.count() == 5
+    assert {r.label for r in dim.collect()} == {"a0", "a1"}
+    with pytest.raises(KeyError, match="not in snapshot"):
+        read_published(spark, root, "nope")
+
+
+def test_publish_is_atomic_across_tables(spark, tmp_path):
+    """A reader pinning a version sees one consistent snapshot for every
+    table — never new fact with old dim."""
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "a"), root)
+    pinned = current_version(spark, root)
+    publish_tables(_snap(spark, "b"), root)
+
+    # pinned reader: both tables from snapshot 1
+    f1 = read_published(spark, root, "fact", version=pinned)
+    d1 = read_published(spark, root, "dim", version=pinned)
+    assert {r.src for r in f1.collect()} == {"a"}
+    assert {r.label for r in d1.collect()} == {"a0", "a1"}
+    # fresh reader: both tables from snapshot 2
+    assert {r.src for r in read_published(spark, root, "fact").collect()} == {"b"}
+    assert {
+        r.label for r in read_published(spark, root, "dim").collect()
+    } == {"b0", "b1"}
+
+
+def test_expected_version_cas(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "a"), root)
+    # derived publish from v1 while v1 is current: fine
+    assert publish_tables(_snap(spark, "b"), root, expected_version=1) == 2
+    # derived publish still computed from v1: loud conflict, nothing staged
+    with pytest.raises(PublishConflict, match="expected version 1 but 2"):
+        publish_tables(_snap(spark, "c"), root, expected_version=1)
+    assert current_version(spark, root) == 2
+    assert not os.path.isdir(os.path.join(root, "fact", "v00000003"))
+
+
+def test_crashed_publish_is_invisible_and_gcd(spark, tmp_path):
+    """Data staged without a committed manifest is invisible to readers
+    and removed by gc; the previous snapshot stays fully readable."""
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "a"), root)
+    # simulate a publisher that died after staging, before the commit
+    orphan = _snap(spark, "zz")
+    orphan["fact"].write.parquet(os.path.join(root, "fact", "v00000002"))
+    assert current_version(spark, root) == 1
+    assert {r.src for r in read_published(spark, root, "fact").collect()} == {"a"}
+    # gc with keep_last=1 removes the orphan (<= current? no: v2 > cur=1,
+    # so it is PRESERVED as possibly in-flight)
+    assert gc_published(spark, root, keep_last=1) == 0
+    assert os.path.isdir(os.path.join(root, "fact", "v00000002"))
+    # once version 2 commits, the orphan dir is overwritten by the real
+    # publish (mode overwrite) and normal gc applies below it
+    publish_tables(_snap(spark, "b"), root)
+    assert {r.src for r in read_published(spark, root, "fact").collect()} == {"b"}
+
+
+def test_gc_keeps_referenced_versions(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    for tag in ("a", "b", "c"):
+        publish_tables(_snap(spark, tag), root)
+    deleted = gc_published(spark, root, keep_last=2)
+    assert deleted == 2  # fact/v1 and dim/v1
+    assert not os.path.isdir(os.path.join(root, "fact", "v00000001"))
+    # kept snapshots fully readable
+    assert {r.src for r in read_published(spark, root, "fact", version=2).collect()} == {"b"}
+    assert {r.src for r in read_published(spark, root, "fact", version=3).collect()} == {"c"}
+    # old manifest gone too
+    assert not os.path.exists(os.path.join(root, "_MANIFEST.v00000001.json"))
+
+
+def test_concurrent_publishers_one_wins_per_version(spark, tmp_path):
+    """Two publishers racing the same version slot: exactly one commit
+    per version; with retries the loser lands on the next slot; the
+    committed history is a clean chain with no torn snapshot."""
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "base"), root)
+    results: dict[str, object] = {}
+
+    def run(tag):
+        try:
+            results[tag] = publish_tables(_snap(spark, tag), root, retries=3)
+        except Exception as e:
+            results[tag] = e
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in ("p1", "p2")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    committed = [v for v in results.values() if isinstance(v, int)]
+    assert committed, results
+    assert len(set(committed)) == len(committed)  # never the same version
+    cur = current_version(spark, root)
+    assert cur == 1 + len(committed)
+    # every committed manifest names complete, readable table dirs
+    for v in range(1, cur + 1):
+        fact = read_published(spark, root, "fact", version=v)
+        dim = read_published(spark, root, "dim", version=v)
+        srcs = {r.src for r in fact.collect()}
+        assert len(srcs) == 1  # one snapshot, never mixed
+        assert dim.count() == 2
+
+
+def test_publish_rejects_bad_input(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    with pytest.raises(ValueError, match="empty table set"):
+        publish_tables({}, root)
+    with pytest.raises(ValueError, match="invalid table names"):
+        publish_tables({"_meta": spark.range(1)}, root)
+    with pytest.raises(FileNotFoundError, match="nothing committed"):
+        read_published(spark, root, "fact")
+
+
+def test_manifest_contents_are_auditable(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "a"), root)
+    with open(os.path.join(root, "_MANIFEST.v00000001.json")) as f:
+        m = json.load(f)
+    assert m["version"] == 1
+    assert m["parent"] == 0
+    assert m["tables"] == {"fact": "fact/v00000001", "dim": "dim/v00000001"}
