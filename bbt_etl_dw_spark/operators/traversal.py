@@ -70,7 +70,7 @@ def bfs_hops(
         )
         nxt = materialize(nxt)
         # DataFrame.isEmpty() stays a codegen'd limit-1 job; the old
-        # nxt.rdd.isEmpty() planned a non-codegen RDD conversion per round
+        # RDD-conversion empty check planned a non-codegen job per round
         # (VERDICT r08 #3).
         if nxt.isEmpty():
             break
