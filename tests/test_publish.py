@@ -161,3 +161,52 @@ def test_manifest_contents_are_auditable(spark, tmp_path):
     assert m["version"] == 1
     assert m["parent"] == 0
     assert m["tables"] == {"fact": "fact/v00000001", "dim": "dim/v00000001"}
+
+
+def test_ingest_compact_publish_end_to_end(spark, tmp_path):
+    """Full lake lifecycle: epoch ingest (exactly-once) -> compaction
+    (atomic single-table fold) -> cross-table publish (fact + its
+    summary visible together). A reader pinned before the second
+    publish keeps a consistent fact/summary pair."""
+    from bbt_etl_dw_spark.streaming.ops import (
+        _epoch_write,
+        compact_epochs,
+        read_epoch_sink,
+    )
+
+    sink = str(tmp_path / "ingest")
+    root = str(tmp_path / "wh")
+
+    def batch(eid):
+        return spark.range(eid * 10, eid * 10 + 10).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).alias("lang")
+        )
+
+    def refresh(upto):
+        compact_epochs(spark, sink, upto_epoch=upto)
+        fact = read_epoch_sink(spark, sink)
+        summary = fact.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+        return publish_tables({"fact": fact, "summary": summary}, root)
+
+    for eid in range(3):
+        _epoch_write(batch(eid), sink, eid, idempotent=True)
+    v1 = refresh(upto=2)
+
+    for eid in range(3, 5):
+        _epoch_write(batch(eid), sink, eid, idempotent=True)
+    v2 = refresh(upto=4)
+    assert (v1, v2) == (1, 2)
+
+    # pinned reader: fact and summary agree WITH EACH OTHER at v1
+    f1 = read_published(spark, root, "fact", version=v1)
+    s1 = read_published(spark, root, "summary", version=v1)
+    assert f1.count() == 30
+    assert sum(r.n_docs for r in s1.collect()) == 30
+    # latest reader: the refreshed pair, also internally consistent
+    f2 = read_published(spark, root, "fact")
+    s2 = read_published(spark, root, "summary")
+    assert f2.count() == 50
+    assert sum(r.n_docs for r in s2.collect()) == 50
+    recount = {r.lang: r.n_docs for r in f2.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs")).collect()}
+    assert recount == {r.lang: r.n_docs for r in s2.collect()}
