@@ -113,6 +113,7 @@ def publish_tables(
     root: str,
     expected_version: int | None = None,
     retries: int = 0,
+    partition_by: Mapping[str, list[str]] | None = None,
 ) -> int:
     """Atomically publish a consistent snapshot of ``tables`` under
     ``root``; returns the committed version number.
@@ -134,6 +135,11 @@ def publish_tables(
     the frames do NOT derive from the published state — derived
     publishes must recompute, so they get the loud conflict instead
     (``retries`` is ignored when ``expected_version`` is set).
+
+    ``partition_by``: optional per-table partition columns (e.g.
+    ``{"fact": ["ship_date"]}``) — the hive layout lands INSIDE the
+    version directory, so partition pruning composes with snapshot
+    isolation.
     """
     if not tables:
         raise ValueError("publish_tables: empty table set")
@@ -161,7 +167,10 @@ def publish_tables(
         staged = []
         for name, df in tables.items():
             data_path = f"{root}/{name}/{vdir}"
-            df.write.mode("overwrite").parquet(data_path)
+            writer = df.write.mode("overwrite")
+            if partition_by and name in partition_by:
+                writer = writer.partitionBy(*partition_by[name])
+            writer.parquet(data_path)
             staged.append(data_path)
 
         manifest = {

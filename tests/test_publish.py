@@ -210,3 +210,23 @@ def test_ingest_compact_publish_end_to_end(spark, tmp_path):
     recount = {r.lang: r.n_docs for r in f2.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs")).collect()}
     assert recount == {r.lang: r.n_docs for r in s2.collect()}
+
+
+def test_publish_partitioned_table_prunes_and_reads(spark, tmp_path):
+    """Per-table partition_by lands the hive layout inside the version
+    dir: partition pruning composes with snapshot isolation."""
+    root = str(tmp_path / "wh")
+    fact = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("shard")
+    )
+    v = publish_tables(
+        {"fact": fact, "dim": spark.range(2).select(F.col("id").alias("k"))},
+        root,
+        partition_by={"fact": ["shard"]},
+    )
+    assert v == 1
+    assert os.path.isdir(os.path.join(root, "fact", "v00000001", "shard=0"))
+    got = read_published(spark, root, "fact").filter(F.col("shard") == 1)
+    assert got.count() == 10
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "shard" in plan  # partition column survived to the scan
