@@ -15,18 +15,22 @@ create) doing all coordination:
 
 ```
 root/
-  _MANIFEST.v00000001.json    {"version": 1, "tables": {"fact": "fact/v00000001", ...}}
+  _MANIFEST.v00000001.json    {"version": 1, "tables": {"fact": "fact/v00000001-3fa9c1d2", ...}}
   _MANIFEST.v00000002.json
-  fact/v00000001/*.parquet
-  fact/v00000002/*.parquet
-  dims/v00000001/*.parquet
+  fact/v00000001-3fa9c1d2/*.parquet
+  fact/v00000002-8b02ee71/*.parquet
+  dims/v00000001-3fa9c1d2/*.parquet
 ```
 
-- **Commit point**: a publish stages every table's data into UNREFERENCED
-  version directories first, then claims the next manifest slot with
-  ``fs.create(path, overwrite=False)`` — atomic on HDFS, S3 (strong
-  consistency since 2020), and local filesystems. The manifest either
-  exists completely or not at all; there is no torn state to observe.
+- **Commit point**: a publish stages every table's data into UNREFERENCED,
+  PUBLISHER-UNIQUE version directories first (the ``-<token>`` suffix —
+  the same reason Iceberg data files are UUID-named: two publishers
+  racing the same version slot must never share a staging path, or the
+  loser's cleanup deletes the winner's data), then claims the next
+  manifest slot with ``fs.create(path, overwrite=False)`` — atomic on
+  HDFS, S3 (strong consistency since 2020), and local filesystems.
+  Readers only ever follow the exact directory a committed manifest
+  names, so the token never leaks into the API.
 - **Readers** resolve the highest committed manifest and read the exact
   directories it names. A reader that pins a manifest keeps a consistent
   multi-table snapshot for its whole job, immune to concurrent
@@ -37,11 +41,14 @@ root/
   or with ``retries>0`` re-reads the new current version and re-stages —
   the same snapshot/compute/validate/commit loop as
   ``compact_epochs(retries=...)``, extended across tables.
-- **Crash safety**: a publisher dying mid-stage leaves orphan version
-  dirs that no manifest references — invisible to every reader, cleaned
-  by :func:`gc_published` (which only touches versions at or below the
-  current commit, so it can never race an in-flight publish staging a
-  HIGHER version).
+- **Crash safety**: a publisher dying mid-stage leaves orphan token
+  dirs no manifest references — invisible to every reader. One dying
+  BETWEEN the slot claim and the content write leaves a torn (empty)
+  manifest — readers skip unparseable manifests and land on the newest
+  complete snapshot, and the next publisher targets the slot after the
+  torn one. Both kinds of debris are cleaned by :func:`gc_published`,
+  which age-gates anything indistinguishable from in-flight staging
+  (Iceberg's orphan-removal convention).
 
 At 100 TB this is the layout-level complement of the epoch sinks: data
 moves once (staged directly to its final directory — no rename of
@@ -55,14 +62,20 @@ multi-table refresh on raw parquet is never silently torn.
 from __future__ import annotations
 
 import json
+import re
+import time
+import uuid
 from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bbt_etl_dw_spark.sources.parquet import _hadoop_fs
+from bbt_etl_dw_spark.sources.parquet import _hadoop_fs, _is_already_exists_exc
 
 _MANIFEST_PREFIX = "_MANIFEST.v"
 _VERSION_DIGITS = 8
+# Version directory inside a table dir: v00000002 (legacy/orphan) or
+# v00000002-<hex token> (publisher-unique staging, the committed form).
+_VDIR_RE = re.compile(r"^v(\d+)(?:-[0-9a-f]+)?$")
 
 
 class PublishConflict(Exception):
@@ -87,10 +100,29 @@ def _list_versions(spark: SparkSession, root: str) -> list[int]:
     return sorted(out)
 
 
-def current_version(spark: SparkSession, root: str) -> int:
-    """Highest committed manifest version; 0 if never published."""
+def _max_slot(spark: SparkSession, root: str) -> int:
+    """Highest CLAIMED manifest slot (committed or torn); 0 if none.
+
+    Publishers target ``_max_slot() + 1``: a slot claimed by a crashed
+    publisher (manifest created, content never written) is still taken —
+    the exclusive create can never succeed on it again."""
     versions = _list_versions(spark, root)
     return versions[-1] if versions else 0
+
+
+def current_version(spark: SparkSession, root: str) -> int:
+    """Highest COMMITTED (readable) manifest version; 0 if never
+    published. A slot claimed by a publisher that crashed between the
+    exclusive create and the content write (torn manifest) was never
+    committed — readers skip it and land on the newest complete
+    snapshot."""
+    for v in reversed(_list_versions(spark, root)):
+        try:
+            _read_manifest(spark, root, v)
+            return v
+        except ValueError:  # includes json.JSONDecodeError
+            continue
+    return 0
 
 
 def _read_manifest(spark: SparkSession, root: str, version: int) -> dict:
@@ -162,12 +194,18 @@ def publish_tables(
             )
 
     for attempt in range(retries + 1):
-        target = current_version(spark, root) + 1
-        vdir = f"v{target:0{_VERSION_DIGITS}d}"
+        target = _max_slot(spark, root) + 1
+        # Publisher-unique staging: two racers targeting the same slot
+        # must never share a data path — with a shared path they clobber
+        # each other's files mid-write, and the loser's cleanup would
+        # delete the WINNER's committed data. The manifest records the
+        # exact token directory, so readers never guess paths.
+        token = uuid.uuid4().hex[:8]
+        vdir = f"v{target:0{_VERSION_DIGITS}d}-{token}"
         staged = []
         for name, df in tables.items():
             data_path = f"{root}/{name}/{vdir}"
-            writer = df.write.mode("overwrite")
+            writer = df.write.mode("errorifexists")
             if partition_by and name in partition_by:
                 writer = writer.partitionBy(*partition_by[name])
             writer.parquet(data_path)
@@ -184,9 +222,12 @@ def publish_tables(
             # Exactly one publisher can win a given version; everything
             # before this line is invisible, everything after is durable.
             stream = fs.create(mp, False)
-        except Exception as exc:  # FileAlreadyExists surfaces via py4j
+        except Exception as exc:
+            # Only its own token dirs — never another publisher's data.
             for data_path in staged:
                 fs.delete(jvm.org.apache.hadoop.fs.Path(data_path), True)
+            if not _is_already_exists_exc(exc):
+                raise  # real IO failure, not a lost race
             if attempt < retries:
                 continue
             raise PublishConflict(
@@ -215,7 +256,15 @@ def read_published(
         version = current_version(spark, root)
     if version <= 0:
         raise FileNotFoundError(f"read_published({root}): nothing committed")
-    manifest = _read_manifest(spark, root, version)
+    try:
+        manifest = _read_manifest(spark, root, version)
+    except ValueError as exc:
+        raise FileNotFoundError(
+            f"read_published({root}): manifest v{version} is torn (claimed "
+            f"by a publisher that crashed before writing it) — it was never "
+            f"committed; the newest committed version is "
+            f"{current_version(spark, root)}"
+        ) from exc
     rel = manifest["tables"].get(name)
     if rel is None:
         raise KeyError(
@@ -225,44 +274,81 @@ def read_published(
     return spark.read.parquet(f"{root}/{rel}")
 
 
-def gc_published(spark: SparkSession, root: str, keep_last: int = 2) -> int:
-    """Remove snapshot data no reader can see: version directories (and
-    manifests) older than the newest ``keep_last`` committed versions,
-    plus orphaned stage dirs from crashed publishes AT OR BELOW the
-    current version. Directories versioned ABOVE the current commit are
-    never touched — they may be a live publisher's in-flight staging.
-    Returns the number of directories deleted."""
+def gc_published(
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 2,
+    min_age_seconds: float = 3 * 24 * 3600.0,
+) -> int:
+    """Remove snapshot data no reader can see. Returns the number of
+    table version directories deleted.
+
+    Two deletion classes with different safety requirements:
+
+    - **Superseded committed data** — versions older than the newest
+      ``keep_last`` COMMITTED snapshots. Their manifests prove the
+      publish finished, so both manifest and data dirs go immediately.
+    - **Orphans** — data dirs no committed manifest references (crashed
+      mid-stage, or a lost race whose loser died before cleanup) and
+      torn manifests (crashed between slot claim and content write).
+      These are indistinguishable from a LIVE publisher's in-flight
+      staging, so they are only removed once older than
+      ``min_age_seconds`` (default 3 days, the same convention as
+      Iceberg's orphan-file removal). Set ``min_age_seconds`` above
+      your longest staging duration; 0 forces immediate cleanup in
+      tests / known-quiet warehouses.
+    """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the current version)")
     root = root.rstrip("/")
-    versions = _list_versions(spark, root)
-    if not versions:
-        return 0
-    cur = versions[-1]
-    keep = set(versions[-keep_last:])
+    committed: set[int] = set()
     referenced: set[str] = set()
+    manifests: dict[int, dict] = {}
+    for v in _list_versions(spark, root):
+        try:
+            manifests[v] = _read_manifest(spark, root, v)
+            committed.add(v)
+        except ValueError:
+            continue  # torn manifest: age-gated below
+    keep = set(sorted(committed)[-keep_last:])
     for v in keep:
-        referenced.update(_read_manifest(spark, root, v)["tables"].values())
+        referenced.update(manifests[v]["tables"].values())
 
-    fs, rootp, jvm = _hadoop_fs(spark, root)
+    fs, rootp, _ = _hadoop_fs(spark, root)
+    now_ms = time.time() * 1000.0
+    min_age_ms = min_age_seconds * 1000.0
+
+    def _aged(st) -> bool:
+        return (now_ms - st.getModificationTime()) >= min_age_ms
+
     deleted = 0
     for st in fs.listStatus(rootp):
         name = st.getPath().getName()
-        if name.startswith(_MANIFEST_PREFIX):
+        if name.startswith(_MANIFEST_PREFIX) and name.endswith(".json"):
             body = name[len(_MANIFEST_PREFIX) : -len(".json")]
-            if body.isdigit() and int(body) not in keep:
+            if not body.isdigit() or int(body) in keep:
+                continue
+            v = int(body)
+            # committed-but-superseded: safe now; torn: only once aged
+            # (a live publisher may be between claim and content write).
+            if v in committed or _aged(st):
                 fs.delete(st.getPath(), False)
             continue
         if not st.isDirectory():
             continue
         for sub in fs.listStatus(st.getPath()):
             vname = sub.getPath().getName()
-            if not (vname.startswith("v") and vname[1:].isdigit()):
+            m = _VDIR_RE.match(vname)
+            if m is None:
                 continue
-            if int(vname[1:]) > cur:
-                continue  # possibly in-flight staging for a future commit
+            v = int(m.group(1))
             if f"{name}/{vname}" in referenced:
                 continue
-            fs.delete(sub.getPath(), True)
-            deleted += 1
+            # Unreferenced dir at a committed version = superseded data
+            # or a lost racer's leftovers: the slot's outcome is settled,
+            # delete now. Anything else could be in-flight staging for a
+            # future commit — age-gate it.
+            if (v in committed and v not in keep) or _aged(sub):
+                fs.delete(sub.getPath(), True)
+                deleted += 1
     return deleted

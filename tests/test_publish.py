@@ -4,8 +4,10 @@ safety, snapshot isolation, and GC bounds."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import threading
 
 import pytest
@@ -18,6 +20,12 @@ from bbt_etl_dw_spark.sources.publish import (
     publish_tables,
     read_published,
 )
+
+
+def _version_dirs(root: str, table: str, version: int) -> list[str]:
+    """All on-disk data dirs for (table, version) — committed token dirs
+    and orphans alike."""
+    return glob.glob(os.path.join(root, table, f"v{version:08d}*"))
 
 
 def _snap(spark, tag: str, n: int = 5):
@@ -72,26 +80,30 @@ def test_expected_version_cas(spark, tmp_path):
     with pytest.raises(PublishConflict, match="expected version 1 but 2"):
         publish_tables(_snap(spark, "c"), root, expected_version=1)
     assert current_version(spark, root) == 2
-    assert not os.path.isdir(os.path.join(root, "fact", "v00000003"))
+    assert _version_dirs(root, "fact", 3) == []  # nothing staged at all
 
 
 def test_crashed_publish_is_invisible_and_gcd(spark, tmp_path):
-    """Data staged without a committed manifest is invisible to readers
-    and removed by gc; the previous snapshot stays fully readable."""
+    """Data staged without a committed manifest is invisible to readers;
+    gc age-gates it (fresh = possibly in-flight), then removes it."""
     root = str(tmp_path / "wh")
     publish_tables(_snap(spark, "a"), root)
     # simulate a publisher that died after staging, before the commit
     orphan = _snap(spark, "zz")
-    orphan["fact"].write.parquet(os.path.join(root, "fact", "v00000002"))
+    orphan["fact"].write.parquet(os.path.join(root, "fact", "v00000002-deadbeef"))
     assert current_version(spark, root) == 1
     assert {r.src for r in read_published(spark, root, "fact").collect()} == {"a"}
-    # gc with keep_last=1 removes the orphan (<= current? no: v2 > cur=1,
-    # so it is PRESERVED as possibly in-flight)
+    # default min_age: the fresh orphan is indistinguishable from a live
+    # publisher's in-flight staging — PRESERVED
     assert gc_published(spark, root, keep_last=1) == 0
-    assert os.path.isdir(os.path.join(root, "fact", "v00000002"))
-    # once version 2 commits, the orphan dir is overwritten by the real
-    # publish (mode overwrite) and normal gc applies below it
+    assert os.path.isdir(os.path.join(root, "fact", "v00000002-deadbeef"))
+    # the real v2 commits alongside (its own token dir; never a clobber)
     publish_tables(_snap(spark, "b"), root)
+    assert {r.src for r in read_published(spark, root, "fact").collect()} == {"b"}
+    # aged out: orphan + superseded v1 (fact, dim) go; committed v2 stays
+    assert gc_published(spark, root, keep_last=1, min_age_seconds=0) == 3
+    assert not os.path.isdir(os.path.join(root, "fact", "v00000002-deadbeef"))
+    assert _version_dirs(root, "fact", 1) == []
     assert {r.src for r in read_published(spark, root, "fact").collect()} == {"b"}
 
 
@@ -100,8 +112,8 @@ def test_gc_keeps_referenced_versions(spark, tmp_path):
     for tag in ("a", "b", "c"):
         publish_tables(_snap(spark, tag), root)
     deleted = gc_published(spark, root, keep_last=2)
-    assert deleted == 2  # fact/v1 and dim/v1
-    assert not os.path.isdir(os.path.join(root, "fact", "v00000001"))
+    assert deleted == 2  # fact/v1 and dim/v1 (committed-superseded: no age gate)
+    assert _version_dirs(root, "fact", 1) == []
     # kept snapshots fully readable
     assert {r.src for r in read_published(spark, root, "fact", version=2).collect()} == {"b"}
     assert {r.src for r in read_published(spark, root, "fact", version=3).collect()} == {"c"}
@@ -123,7 +135,9 @@ def test_concurrent_publishers_one_wins_per_version(spark, tmp_path):
         except Exception as e:
             results[tag] = e
 
-    threads = [threading.Thread(target=run, args=(t,)) for t in ("p1", "p2")]
+    threads = [
+        threading.Thread(target=run, args=(t,)) for t in ("p1", "p2", "p3")
+    ]
     for t in threads:
         t.start()
     for t in threads:
@@ -134,13 +148,87 @@ def test_concurrent_publishers_one_wins_per_version(spark, tmp_path):
     assert len(set(committed)) == len(committed)  # never the same version
     cur = current_version(spark, root)
     assert cur == 1 + len(committed)
-    # every committed manifest names complete, readable table dirs
+    # every committed manifest names complete, readable table dirs —
+    # in particular a LOSER's cleanup never deleted a WINNER's data
+    # (the shared-staging-path failure mode: racers must stage into
+    # publisher-unique token dirs)
+    refs: set[str] = set()
     for v in range(1, cur + 1):
         fact = read_published(spark, root, "fact", version=v)
         dim = read_published(spark, root, "dim", version=v)
         srcs = {r.src for r in fact.collect()}
         assert len(srcs) == 1  # one snapshot, never mixed
+        assert fact.count() == 5
         assert dim.count() == 2
+        with open(os.path.join(root, f"_MANIFEST.v{v:08d}.json")) as f:
+            refs.update(json.load(f)["tables"].values())
+    # and losers left no litter: everything on disk is manifest-named
+    on_disk = {
+        f"{t}/{os.path.basename(d)}"
+        for t in ("fact", "dim")
+        for d in glob.glob(os.path.join(root, t, "v*"))
+    }
+    assert on_disk == refs
+
+
+def test_torn_manifest_skipped_and_next_slot_used(spark, tmp_path):
+    """A publisher crashing between the slot claim and the manifest
+    content write leaves an empty manifest: readers fall back to the
+    newest complete snapshot, the next publish targets the slot AFTER
+    the torn one (exclusive create can never succeed on it again), and
+    gc removes the debris only once aged."""
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "a"), root)
+    torn = os.path.join(root, "_MANIFEST.v00000002.json")
+    open(torn, "w").close()  # claimed, never written
+    assert current_version(spark, root) == 1  # readers skip it
+    assert {r.src for r in read_published(spark, root, "fact").collect()} == {"a"}
+    with pytest.raises(FileNotFoundError, match="torn"):
+        read_published(spark, root, "fact", version=2)
+    # the torn slot stays claimed: the next publish lands on 3
+    assert publish_tables(_snap(spark, "b"), root) == 3
+    assert {r.src for r in read_published(spark, root, "fact").collect()} == {"b"}
+    # fresh torn manifest could be a publisher mid-commit: preserved
+    assert gc_published(spark, root, keep_last=2) == 0
+    assert os.path.exists(torn)
+    # aged out, it goes; committed snapshots are untouched
+    assert gc_published(spark, root, keep_last=2, min_age_seconds=0) == 0
+    assert not os.path.exists(torn)
+    assert {r.src for r in read_published(spark, root, "fact", version=1).collect()} == {"a"}
+
+
+def test_crash_between_claim_and_write_recovers(spark, tmp_path, monkeypatch):
+    """Kill the publisher at the worst instant — AFTER the exclusive
+    manifest create, BEFORE the content write — then prove the warehouse
+    heals: readers stay on the old snapshot, the next publish commits,
+    and gc eventually clears the debris."""
+    import bbt_etl_dw_spark.sources.publish as pub
+
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "a"), root)
+
+    real_dumps = json.dumps
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash after slot claim")
+
+    monkeypatch.setattr(pub.json, "dumps", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        publish_tables(_snap(spark, "b"), root)
+    monkeypatch.setattr(pub.json, "dumps", real_dumps)
+
+    # slot 2 is claimed-and-torn; staged token dirs are orphans
+    assert current_version(spark, root) == 1
+    assert {r.src for r in read_published(spark, root, "fact").collect()} == {"a"}
+    assert len(_version_dirs(root, "fact", 2)) == 1  # the dead stage
+    # the system heals without manual intervention
+    assert publish_tables(_snap(spark, "c"), root) == 3
+    assert {r.src for r in read_published(spark, root, "fact").collect()} == {"c"}
+    # aged gc clears the torn manifest AND the dead publisher's stage
+    gc_published(spark, root, keep_last=2, min_age_seconds=0)
+    assert _version_dirs(root, "fact", 2) == []
+    assert not os.path.exists(os.path.join(root, "_MANIFEST.v00000002.json"))
+    assert {r.src for r in read_published(spark, root, "fact", version=1).collect()} == {"a"}
 
 
 def test_publish_rejects_bad_input(spark, tmp_path):
@@ -160,7 +248,11 @@ def test_manifest_contents_are_auditable(spark, tmp_path):
         m = json.load(f)
     assert m["version"] == 1
     assert m["parent"] == 0
-    assert m["tables"] == {"fact": "fact/v00000001", "dim": "dim/v00000001"}
+    assert set(m["tables"]) == {"fact", "dim"}
+    for name, rel in m["tables"].items():
+        # publisher-unique token dir, recorded exactly
+        assert re.fullmatch(rf"{name}/v00000001-[0-9a-f]{{8}}", rel)
+        assert os.path.isdir(os.path.join(root, rel))
 
 
 def test_ingest_compact_publish_end_to_end(spark, tmp_path):
@@ -225,7 +317,8 @@ def test_publish_partitioned_table_prunes_and_reads(spark, tmp_path):
         partition_by={"fact": ["shard"]},
     )
     assert v == 1
-    assert os.path.isdir(os.path.join(root, "fact", "v00000001", "shard=0"))
+    [fact_dir] = _version_dirs(root, "fact", 1)
+    assert os.path.isdir(os.path.join(fact_dir, "shard=0"))
     got = read_published(spark, root, "fact").filter(F.col("shard") == 1)
     assert got.count() == 10
     plan = got._jdf.queryExecution().executedPlan().toString()
