@@ -82,6 +82,33 @@ class PublishConflict(Exception):
     """Another publisher committed the version this publish targeted."""
 
 
+class SchemaEvolutionError(ValueError):
+    """A table's new schema would break readers of the current snapshot."""
+
+
+def _schema_problems(prev_schema, new_schema, mode: str) -> list[str]:
+    """Incompatibilities between a table's committed schema and its
+    replacement, under ``mode`` ("additive": existing columns must keep
+    their name and type, new columns may appear; "same": exact column
+    set). Nullability is ignored — parquet round-trips flip it."""
+    prev = {f.name: f.dataType for f in prev_schema.fields}
+    new = {f.name: f.dataType for f in new_schema.fields}
+    problems = []
+    for name, dt in prev.items():
+        if name not in new:
+            problems.append(f"column {name!r} dropped")
+        elif new[name] != dt:
+            problems.append(
+                f"column {name!r} retyped {dt.simpleString()} -> "
+                f"{new[name].simpleString()}"
+            )
+    if mode == "same":
+        problems.extend(
+            f"column {name!r} added" for name in new if name not in prev
+        )
+    return problems
+
+
 def _manifest_name(version: int) -> str:
     return f"{_MANIFEST_PREFIX}{version:0{_VERSION_DIGITS}d}.json"
 
@@ -146,6 +173,7 @@ def publish_tables(
     expected_version: int | None = None,
     retries: int = 0,
     partition_by: Mapping[str, list[str]] | None = None,
+    schema_mode: str = "additive",
 ) -> int:
     """Atomically publish a consistent snapshot of ``tables`` under
     ``root``; returns the committed version number.
@@ -172,9 +200,25 @@ def publish_tables(
     ``{"fact": ["ship_date"]}``) — the hive layout lands INSIDE the
     version directory, so partition pruning composes with snapshot
     isolation.
+
+    ``schema_mode``: schema compatibility against the CURRENT committed
+    snapshot, enforced BEFORE anything is staged (a refresh that drops
+    or retypes a column breaks every downstream reader atomically — the
+    commit point is the one place that can refuse it, the same reason
+    table formats validate writes). ``"additive"`` (default): existing
+    columns keep their name and type, new columns may appear — readers
+    selecting old columns keep working. ``"same"``: exact column set.
+    ``"any"``: no check (intentional breaking migrations). Tables new
+    to the warehouse and first-ever publishes are never checked; the
+    comparison reads only parquet footers.
     """
     if not tables:
         raise ValueError("publish_tables: empty table set")
+    if schema_mode not in ("additive", "same", "any"):
+        raise ValueError(
+            f"publish_tables: schema_mode must be 'additive', 'same' or "
+            f"'any', got {schema_mode!r}"
+        )
     bad = [n for n in tables if "/" in n or n.startswith("_")]
     if bad:
         raise ValueError(f"publish_tables: invalid table names {bad}")
@@ -194,6 +238,29 @@ def publish_tables(
             )
 
     for attempt in range(retries + 1):
+        if schema_mode != "any":
+            # Re-checked per attempt: a retry follows someone else's
+            # commit, which is the snapshot readers will hold next.
+            cur_v = current_version(spark, root)
+            if cur_v > 0:
+                prev_tables = _read_manifest(spark, root, cur_v)["tables"]
+                problems = []
+                for name, df in tables.items():
+                    rel = prev_tables.get(name)
+                    if rel is None:
+                        continue  # new table: nothing to break
+                    prev_schema = spark.read.parquet(f"{root}/{rel}").schema
+                    problems.extend(
+                        f"{name}: {p}"
+                        for p in _schema_problems(prev_schema, df.schema, schema_mode)
+                    )
+                if problems:
+                    raise SchemaEvolutionError(
+                        f"publish_tables({root}): new snapshot would break "
+                        f"readers of v{cur_v} (schema_mode={schema_mode!r}; "
+                        f"pass schema_mode='any' for an intentional breaking "
+                        f"migration): " + "; ".join(problems)
+                    )
         target = _max_slot(spark, root) + 1
         # Publisher-unique staging: two racers targeting the same slot
         # must never share a data path — with a shared path they clobber

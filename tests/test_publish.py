@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from bbt_etl_dw_spark.sources.publish import (
     PublishConflict,
+    SchemaEvolutionError,
     current_version,
     gc_published,
     publish_tables,
@@ -229,6 +230,42 @@ def test_crash_between_claim_and_write_recovers(spark, tmp_path, monkeypatch):
     assert _version_dirs(root, "fact", 2) == []
     assert not os.path.exists(os.path.join(root, "_MANIFEST.v00000002.json"))
     assert {r.src for r in read_published(spark, root, "fact", version=1).collect()} == {"a"}
+
+
+def test_schema_evolution_gate(spark, tmp_path):
+    """The commit point refuses a snapshot that would break readers:
+    dropped/retyped columns are rejected BEFORE staging (default
+    'additive'); added columns pass 'additive' but not 'same'; 'any'
+    waves an intentional breaking migration through."""
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "a"), root)
+    base = _snap(spark, "b")
+
+    dropped = dict(base, fact=base["fact"].drop("src"))
+    with pytest.raises(SchemaEvolutionError, match="'src' dropped"):
+        publish_tables(dropped, root)
+    retyped = dict(base, fact=base["fact"].withColumn("k", F.col("k").cast("int")))
+    with pytest.raises(SchemaEvolutionError, match="'k' retyped bigint -> int"):
+        publish_tables(retyped, root)
+    # fail-fast: nothing was staged by either rejected publish
+    assert current_version(spark, root) == 1
+    assert _version_dirs(root, "fact", 2) == []
+
+    # additive: new column fine; new TABLE never checked
+    widened = dict(base, fact=base["fact"].withColumn("extra", F.lit(1)))
+    widened["newtab"] = spark.range(3)
+    assert publish_tables(widened, root) == 2
+    # same: exact column set required
+    with pytest.raises(SchemaEvolutionError, match="'extra2' added"):
+        publish_tables(
+            {"fact": widened["fact"].withColumn("extra2", F.lit(2))},
+            root,
+            schema_mode="same",
+        )
+    # any: breaking migration goes through
+    assert publish_tables(dropped, root, schema_mode="any") == 3
+    with pytest.raises(ValueError, match="schema_mode"):
+        publish_tables(base, root, schema_mode="strict")
 
 
 def test_publish_rejects_bad_input(spark, tmp_path):
