@@ -341,6 +341,23 @@ def read_published(
     return spark.read.parquet(f"{root}/{rel}")
 
 
+def list_snapshots(spark: SparkSession, root: str) -> list[dict]:
+    """Audit view of the committed history, oldest first: one dict per
+    COMMITTED snapshot (``version``, ``parent``, ``tables``). Torn
+    manifests (crashed publishers) are skipped — they were never
+    committed. The natural companion of ``read_published(version=...)``
+    time travel: pick a version here, pin it there."""
+    root = root.rstrip("/")
+    out = []
+    for v in _list_versions(spark, root):
+        try:
+            m = _read_manifest(spark, root, v)
+        except ValueError:
+            continue
+        out.append({"version": v, "parent": m.get("parent"), "tables": m["tables"]})
+    return out
+
+
 def gc_published(
     spark: SparkSession,
     root: str,
@@ -382,6 +399,8 @@ def gc_published(
         referenced.update(manifests[v]["tables"].values())
 
     fs, rootp, _ = _hadoop_fs(spark, root)
+    if not fs.exists(rootp):
+        return 0  # never published: nothing to collect
     now_ms = time.time() * 1000.0
     min_age_ms = min_age_seconds * 1000.0
 

@@ -268,6 +268,58 @@ def test_schema_evolution_gate(spark, tmp_path):
         publish_tables(base, root, schema_mode="strict")
 
 
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_publish_lifecycle_fuzz(spark, tmp_path, seed):
+    """Seeded random schedules of publish / crash-mid-stage /
+    crash-post-claim / gc, asserting after every step that the committed
+    history stays clean: versions strictly increase, every surviving
+    snapshot reads back internally consistent (fact and dim from the
+    same tag), and gc never touches the keep set."""
+    import random
+
+    from bbt_etl_dw_spark.sources.publish import list_snapshots
+
+    rng = random.Random(seed)
+    root = str(tmp_path / "wh")
+    os.makedirs(root, exist_ok=True)  # crash ops may fire before any publish
+    expected: dict[int, str] = {}  # version -> tag committed there
+    gcd: set[int] = set()
+
+    def check():
+        snaps = list_snapshots(spark, root)
+        vs = [s["version"] for s in snaps]
+        assert vs == sorted(vs) and len(set(vs)) == len(vs)
+        assert set(vs) == set(expected) - gcd
+        for v in vs:
+            fact = read_published(spark, root, "fact", version=v)
+            dim = read_published(spark, root, "dim", version=v)
+            srcs = {r.src for r in fact.collect()}
+            labels = {r.label[:-1] for r in dim.collect()}  # strip id digit
+            assert srcs == {expected[v]} and labels == {expected[v]}
+
+    for step in range(8):
+        op = rng.choice(["publish", "stage_crash", "claim_crash", "gc"])
+        tag = f"t{step}"
+        if op == "publish":
+            v = publish_tables(_snap(spark, tag, n=2), root, schema_mode="any")
+            expected[v] = tag
+        elif op == "stage_crash":
+            nxt = max(expected, default=0) + rng.randint(1, 2)
+            _snap(spark, "dead", n=1)["fact"].write.mode("overwrite").parquet(
+                os.path.join(root, "fact", f"v{nxt:08d}-{seed:08x}")
+            )
+        elif op == "claim_crash":
+            nxt = max(expected, default=0) + 1
+            open(os.path.join(root, f"_MANIFEST.v{nxt:08d}.json"), "a").close()
+        else:
+            keep = rng.randint(1, 3)
+            gc_published(spark, root, keep_last=keep, min_age_seconds=0)
+            live = sorted(v for v in expected if v not in gcd)
+            gcd.update(live[:-keep])
+        if expected:
+            check()
+
+
 def test_publish_rejects_bad_input(spark, tmp_path):
     root = str(tmp_path / "wh")
     with pytest.raises(ValueError, match="empty table set"):
@@ -276,6 +328,20 @@ def test_publish_rejects_bad_input(spark, tmp_path):
         publish_tables({"_meta": spark.range(1)}, root)
     with pytest.raises(FileNotFoundError, match="nothing committed"):
         read_published(spark, root, "fact")
+
+
+def test_list_snapshots_audit_view(spark, tmp_path):
+    from bbt_etl_dw_spark.sources.publish import list_snapshots
+
+    root = str(tmp_path / "wh")
+    assert list_snapshots(spark, root) == []
+    publish_tables(_snap(spark, "a"), root)
+    publish_tables(_snap(spark, "b"), root)
+    open(os.path.join(root, "_MANIFEST.v00000003.json"), "w").close()  # torn
+    snaps = list_snapshots(spark, root)
+    assert [s["version"] for s in snaps] == [1, 2]  # torn v3 skipped
+    assert [s["parent"] for s in snaps] == [0, 1]
+    assert all(set(s["tables"]) == {"fact", "dim"} for s in snaps)
 
 
 def test_manifest_contents_are_auditable(spark, tmp_path):
