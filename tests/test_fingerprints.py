@@ -51,3 +51,34 @@ def test_resolver_is_symbol_precise_not_file_granular():
 def test_resolver_excludes_registration_harness():
     got = _collected("pricing_summary")
     assert "suite.register" not in got and "suite.load_all" not in got
+
+
+def test_normalize_ignores_comments_and_docstrings():
+    a = '''
+def f(x):
+    """Original docstring."""
+    # a comment
+    y = x + 1  # trailing note
+    return y
+'''
+    b = '''
+def f(x):
+    "Rewritten docs, much longer and more helpful."
+    y = x + 1
+    return y
+'''
+    c = '''
+def f(x):
+    y = x + 2
+    return y
+'''
+    assert qfp._normalize(a) == qfp._normalize(b)  # doc/comment edits: same
+    assert qfp._normalize(a) != qfp._normalize(c)  # code edit: different
+
+
+def test_normalize_handles_nonparseable_and_empty_bodies():
+    marker = "->reexport pkg.mod.sym"
+    assert qfp._normalize(marker) == marker  # raw fallback, no crash
+    only_doc = 'def g():\n    """just a docstring"""\n'
+    out = qfp._normalize(only_doc)
+    assert "pass" in out and "docstring" not in out

@@ -12,7 +12,10 @@ exactly when the query's observable implementation changes:
   fingerprints exactly the queries whose builders reach it, while editing
   an unrelated function in the same operator file does not. (A first,
   file-granular version of this tool flagged 211/212 queries after any
-  infrastructure edit — useless for a 50-slot driver window.)
+  infrastructure edit — useless for a 50-slot driver window.) Segments
+  are hashed in NORMALIZED form (ast round-trip, docstrings stripped):
+  comment/docstring edits cannot change a query result, so they must not
+  invalidate driver evidence.
 
 Resolution rules: ``from pkg.mod import sym`` resolves ``sym`` inside
 ``mod`` and recurses; ``from pkg.operators import mod`` / ``import
@@ -50,6 +53,37 @@ def _sha(parts: list[str]) -> str:
         h.update(p.encode("utf-8", "replace"))
         h.update(b"\x00")
     return h.hexdigest()
+
+
+def _strip_docstrings(tree: ast.AST) -> ast.AST:
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ) and node.body:
+            first = node.body[0]
+            if (
+                isinstance(first, ast.Expr)
+                and isinstance(first.value, ast.Constant)
+                and isinstance(first.value.value, str)
+            ):
+                node.body = node.body[1:] or [ast.Pass()]
+    return tree
+
+
+def _normalize(src: str) -> str:
+    """Canonical EXECUTABLE form of a source segment: parsed and
+    unparsed (drops comments and formatting), docstrings stripped.
+    A comment or docstring edit cannot change a query result, so it must
+    not invalidate driver evidence — the first raw-text fingerprints
+    re-flagged whole cohorts after review rounds that only improved
+    documentation. Non-parseable inputs (reexport markers) hash raw.
+    Applied identically to the HEAD tree and the historical worktree
+    (emit_force_recheck always runs the CURRENT tool on both), so the
+    comparison stays apples-to-apples."""
+    try:
+        return ast.unparse(_strip_docstrings(ast.parse(src)))
+    except SyntaxError:
+        return src
 
 
 def _module_path(root: str, module: str) -> str | None:
@@ -249,8 +283,8 @@ def main() -> None:
             fn_src = ""
         r = _Resolver(root)
         r.expand(fn.__module__, fn_src)
-        parts = [fn_src] + [
-            f"{m}.{s}\n{seg}"
+        parts = [_normalize(fn_src)] + [
+            f"{m}.{s}\n{_normalize(seg)}"
             for (m, s), seg in sorted(
                 r.collected.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
             )
