@@ -65,7 +65,7 @@ import json
 import re
 import time
 import uuid
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -174,6 +174,7 @@ def publish_tables(
     retries: int = 0,
     partition_by: Mapping[str, list[str]] | None = None,
     schema_mode: str = "additive",
+    carry_forward: Sequence[str] = (),
 ) -> int:
     """Atomically publish a consistent snapshot of ``tables`` under
     ``root``; returns the committed version number.
@@ -211,6 +212,15 @@ def publish_tables(
     ``"any"``: no check (intentional breaking migrations). Tables new
     to the warehouse and first-ever publishes are never checked; the
     comparison reads only parquet footers.
+
+    ``carry_forward``: table names whose data is UNCHANGED this refresh —
+    the new manifest re-references the current snapshot's directory for
+    each of them instead of rewriting the bytes. At warehouse scale this
+    is the difference between publishing one recomputed fact table and
+    recopying every dim alongside it. Carried directories stay
+    gc-protected for as long as ANY kept manifest names them (gc keys on
+    exact referenced paths, not version numbers), so chains of carries
+    are safe.
     """
     if not tables:
         raise ValueError("publish_tables: empty table set")
@@ -219,7 +229,14 @@ def publish_tables(
             f"publish_tables: schema_mode must be 'additive', 'same' or "
             f"'any', got {schema_mode!r}"
         )
-    bad = [n for n in tables if "/" in n or n.startswith("_")]
+    carry = list(carry_forward)
+    overlap = sorted(set(carry) & set(tables))
+    if overlap:
+        raise ValueError(
+            f"publish_tables: {overlap} both staged (in tables) and "
+            f"carried forward — pick one per table"
+        )
+    bad = [n for n in list(tables) + carry if "/" in n or n.startswith("_")]
     if bad:
         raise ValueError(f"publish_tables: invalid table names {bad}")
     spark = next(iter(tables.values())).sparkSession
@@ -238,6 +255,26 @@ def publish_tables(
             )
 
     for attempt in range(retries + 1):
+        # Resolved per attempt: a retry follows someone else's commit,
+        # and carried refs must come from the snapshot readers will
+        # actually be departing from.
+        carried: dict[str, str] = {}
+        if carry:
+            cur_v = current_version(spark, root)
+            if cur_v <= 0:
+                raise ValueError(
+                    f"publish_tables({root}): carry_forward={carry} but "
+                    f"nothing is committed to carry from"
+                )
+            prev = _read_manifest(spark, root, cur_v)["tables"]
+            missing = sorted(n for n in carry if n not in prev)
+            if missing:
+                raise KeyError(
+                    f"publish_tables({root}): carry_forward tables {missing} "
+                    f"not in the current snapshot v{cur_v} "
+                    f"(has {sorted(prev)})"
+                )
+            carried = {n: prev[n] for n in carry}
         if schema_mode != "any":
             # Re-checked per attempt: a retry follows someone else's
             # commit, which is the snapshot readers will hold next.
@@ -281,7 +318,10 @@ def publish_tables(
         manifest = {
             "version": target,
             "parent": target - 1,
-            "tables": {name: f"{name}/{vdir}" for name in tables},
+            "tables": {
+                **{name: f"{name}/{vdir}" for name in tables},
+                **carried,
+            },
         }
         mp = jvm.org.apache.hadoop.fs.Path(f"{root}/{_manifest_name(target)}")
         try:

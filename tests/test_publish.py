@@ -232,6 +232,46 @@ def test_crash_between_claim_and_write_recovers(spark, tmp_path, monkeypatch):
     assert {r.src for r in read_published(spark, root, "fact", version=1).collect()} == {"a"}
 
 
+def test_carry_forward_reuses_unchanged_tables(spark, tmp_path):
+    """A refresh that recomputes only the fact table re-references the
+    current snapshot's dim directory instead of rewriting it; gc keeps
+    the carried directory alive as long as a kept manifest names it."""
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "a"), root)
+    with open(os.path.join(root, "_MANIFEST.v00000001.json")) as f:
+        dim_rel_v1 = json.load(f)["tables"]["dim"]
+
+    v2 = publish_tables(
+        {"fact": _snap(spark, "b")["fact"]}, root, carry_forward=["dim"]
+    )
+    assert v2 == 2
+    with open(os.path.join(root, "_MANIFEST.v00000002.json")) as f:
+        m2 = json.load(f)["tables"]
+    assert m2["dim"] == dim_rel_v1  # exact same directory — zero bytes moved
+    assert {r.src for r in read_published(spark, root, "fact").collect()} == {"b"}
+    assert {r.label for r in read_published(spark, root, "dim").collect()} == {"a0", "a1"}
+
+    # chains of carries: v3 carries the same dim dir again
+    publish_tables({"fact": _snap(spark, "c")["fact"]}, root, carry_forward=["dim"])
+    # gc drops v1/v2 manifests and both superseded fact dirs, but the
+    # v1 dim dir SURVIVES: the kept v3 manifest still names it
+    assert gc_published(spark, root, keep_last=1, min_age_seconds=0) == 2
+    assert len(_version_dirs(root, "dim", 1)) == 1
+    assert {r.label for r in read_published(spark, root, "dim").collect()} == {"a0", "a1"}
+
+    # guard rails
+    with pytest.raises(KeyError, match="not in the current snapshot"):
+        publish_tables(
+            {"fact": _snap(spark, "d")["fact"]}, root, carry_forward=["nope"]
+        )
+    with pytest.raises(ValueError, match="both staged"):
+        publish_tables(_snap(spark, "d"), root, carry_forward=["dim"])
+    with pytest.raises(ValueError, match="nothing is committed"):
+        publish_tables(
+            _snap(spark, "d"), str(tmp_path / "empty"), carry_forward=["other"]
+        )
+
+
 def test_schema_evolution_gate(spark, tmp_path):
     """The commit point refuses a snapshot that would break readers:
     dropped/retyped columns are rejected BEFORE staging (default
