@@ -398,6 +398,24 @@ def list_snapshots(spark: SparkSession, root: str) -> list[dict]:
     return out
 
 
+def diff_snapshots(
+    spark: SparkSession, root: str, old: int, new: int
+) -> dict[str, list[str]]:
+    """What changed between two committed snapshots, by manifest compare
+    (no data read): ``{"added": [...], "removed": [...], "rewritten":
+    [...], "carried": [...]}``. ``carried`` tables reference the exact
+    same directory in both versions (zero bytes moved — the
+    ``carry_forward`` path); ``rewritten`` tables were re-staged."""
+    mo = _read_manifest(spark, root.rstrip("/"), old)["tables"]
+    mn = _read_manifest(spark, root.rstrip("/"), new)["tables"]
+    return {
+        "added": sorted(set(mn) - set(mo)),
+        "removed": sorted(set(mo) - set(mn)),
+        "rewritten": sorted(n for n in set(mo) & set(mn) if mo[n] != mn[n]),
+        "carried": sorted(n for n in set(mo) & set(mn) if mo[n] == mn[n]),
+    }
+
+
 def gc_published(
     spark: SparkSession,
     root: str,

@@ -272,6 +272,25 @@ def test_carry_forward_reuses_unchanged_tables(spark, tmp_path):
         )
 
 
+def test_diff_snapshots(spark, tmp_path):
+    from bbt_etl_dw_spark.sources.publish import diff_snapshots
+
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "a"), root)
+    publish_tables(
+        {"fact": _snap(spark, "b")["fact"], "extra": spark.range(2)},
+        root,
+        carry_forward=["dim"],
+    )
+    d = diff_snapshots(spark, root, 1, 2)
+    assert d == {
+        "added": ["extra"],
+        "removed": [],
+        "rewritten": ["fact"],
+        "carried": ["dim"],
+    }
+
+
 def test_schema_evolution_gate(spark, tmp_path):
     """The commit point refuses a snapshot that would break readers:
     dropped/retyped columns are rejected BEFORE staging (default
