@@ -485,3 +485,191 @@ def test_publish_partitioned_table_prunes_and_reads(spark, tmp_path):
     assert got.count() == 10
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "shard" in plan  # partition column survived to the scan
+
+
+def test_gc_never_frees_the_highest_claimed_slot(spark, tmp_path):
+    """A torn manifest at the HIGHEST claimed slot must survive gc at ANY
+    age: deleting it frees the slot, and a publisher computing
+    _max_slot()+1 after the deletion could commit a DIFFERENT slot than
+    one that computed it before — two commits from the same parent, one
+    silently shadowed. Once a higher version commits, the torn slot sits
+    below max(committed), can never be re-targeted, and may go."""
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "a"), root)
+    torn = os.path.join(root, "_MANIFEST.v00000002.json")
+    open(torn, "w").close()  # claimed top slot, never written
+    # aged torn manifest at the top slot: PRESERVED (slot stays burned)
+    assert gc_published(spark, root, keep_last=1, min_age_seconds=0) == 0
+    assert os.path.exists(torn)
+    # the next publisher still targets the slot ABOVE the torn one
+    assert publish_tables(_snap(spark, "b"), root) == 3
+    # now a higher committed version exists: the torn slot is below
+    # max(committed) and the aged manifest can finally be collected
+    gc_published(spark, root, keep_last=2, min_age_seconds=0)
+    assert not os.path.exists(torn)
+
+
+def test_gc_concurrent_with_inflight_commit_at_top_slot(spark, tmp_path):
+    """The claim/content-write race (VERDICT r09 stretch): gc runs with
+    min_age_seconds=0 BETWEEN a publisher's slot claim and its manifest
+    content write. The claim is the top slot, so gc must leave both the
+    manifest file and the publisher's staged data untouched — the
+    publisher then finishes its write and the commit is readable."""
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "a"), root)
+    # publisher P: stages data, claims slot 2, is descheduled pre-write
+    staged = _snap(spark, "b")
+    token_dir = os.path.join(root, "fact", "v00000002-0badf00d")
+    staged["fact"].write.parquet(token_dir)
+    dim_dir = os.path.join(root, "dim", "v00000002-0badf00d")
+    staged["dim"].write.parquet(dim_dir)
+    claim = os.path.join(root, "_MANIFEST.v00000002.json")
+    open(claim, "w").close()
+    # hostile gc fires mid-commit
+    assert gc_published(spark, root, keep_last=1, min_age_seconds=0) == 0
+    assert os.path.exists(claim)
+    assert os.path.isdir(token_dir) and os.path.isdir(dim_dir)
+    # P wakes up and finishes the content write: the commit is whole
+    with open(claim, "w") as f:
+        json.dump(
+            {
+                "version": 2,
+                "parent": 1,
+                "tables": {"fact": "fact/v00000002-0badf00d",
+                           "dim": "dim/v00000002-0badf00d"},
+            },
+            f,
+        )
+    assert current_version(spark, root) == 2
+    assert {r.src for r in read_published(spark, root, "fact").collect()} == {"b"}
+
+
+def test_gc_age_gates_foreign_token_dirs_at_committed_versions(spark, tmp_path):
+    """A token dir at a committed version that the committed manifest
+    does NOT name may belong to a slow racer that has not yet hit the
+    commit point — gc must age-gate it (deleting mid-write turns the
+    racer's clean PublishConflict into an opaque IO error). The dir the
+    superseded manifest DOES name is settled and goes immediately."""
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "a"), root)
+    publish_tables(_snap(spark, "b"), root)
+    # slow racer's in-flight staging at the (committed, superseded) v1
+    racer = os.path.join(root, "fact", "v00000001-ffffffff")
+    _snap(spark, "slow")["fact"].write.parquet(racer)
+    # default min_age: superseded committed dirs (fact+dim v1) go now,
+    # the foreign token dir survives
+    assert gc_published(spark, root, keep_last=1) == 2
+    assert os.path.isdir(racer)
+    assert _version_dirs(root, "dim", 1) == []
+    # aged out, it goes too
+    assert gc_published(spark, root, keep_last=1, min_age_seconds=0) == 1
+    assert not os.path.isdir(racer)
+
+
+def test_parent_skips_torn_slots(spark, tmp_path):
+    """The manifest's 'parent' records the committed version the publish
+    departed from — NOT target-1, which may be a torn slot that was
+    never committed (lineage consumers would land on a hole)."""
+    from bbt_etl_dw_spark.sources.publish import list_snapshots
+
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "a"), root)
+    open(os.path.join(root, "_MANIFEST.v00000002.json"), "w").close()  # torn
+    v = publish_tables(_snap(spark, "b"), root)
+    assert v == 3
+    with open(os.path.join(root, "_MANIFEST.v00000003.json")) as f:
+        assert json.load(f)["parent"] == 1  # not 2
+    snaps = list_snapshots(spark, root)
+    assert [(s["version"], s["parent"]) for s in snaps] == [(1, 0), (3, 1)]
+
+
+def test_schema_gate_ignores_nested_nullability(spark, tmp_path):
+    """Nested nullability lives INSIDE the DataType (struct fields,
+    array elements, map values), so raw equality would flag a parquet
+    round-trip's nullable flip as a retype. Only genuine nested retypes
+    are problems."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bbt_etl_dw_spark.sources.publish import _schema_problems
+
+    prev = StructType(
+        [
+            StructField(
+                "s",
+                StructType([StructField("a", LongType(), True)]),
+                True,
+            ),
+            StructField("arr", ArrayType(LongType(), True), True),
+        ]
+    )
+    flipped = StructType(
+        [
+            StructField(
+                "s",
+                StructType([StructField("a", LongType(), False)]),
+                False,
+            ),
+            StructField("arr", ArrayType(LongType(), False), True),
+        ]
+    )
+    assert _schema_problems(prev, flipped, "additive") == []
+    retyped = StructType(
+        [
+            StructField(
+                "s",
+                StructType([StructField("a", StringType(), True)]),
+                True,
+            ),
+            StructField("arr", ArrayType(LongType(), True), True),
+        ]
+    )
+    assert _schema_problems(prev, retyped, "additive") == [
+        "column 's' retyped struct<a:bigint> -> struct<a:string>"
+    ]
+
+    # end to end: a publish whose struct column differs only in nested
+    # nullability must NOT raise SchemaEvolutionError
+    root = str(tmp_path / "wh")
+    df_nullable = spark.createDataFrame([(1, (2,))], schema="k long, s struct<a:long>")
+    publish_tables({"fact": df_nullable}, root)
+    df_nonnull = spark.createDataFrame(
+        [(1, (2,))],
+        StructType(
+            [
+                StructField("k", LongType(), False),
+                StructField(
+                    "s",
+                    StructType([StructField("a", LongType(), False)]),
+                    False,
+                ),
+            ]
+        ),
+    )
+    assert publish_tables({"fact": df_nonnull}, root) == 2
+
+
+def test_local_exclusive_create_is_single_winner(spark, tmp_path):
+    """For file: URIs the slot claim is java.io.File.createNewFile()
+    (documented atomic) — Hadoop's local fs implements
+    create(overwrite=False) as check-then-create, which two racers can
+    both pass. Second claim on the same slot must lose, and the
+    winner's content must survive."""
+    from bbt_etl_dw_spark.sources.parquet import _hadoop_fs
+    from bbt_etl_dw_spark.sources.publish import _create_exclusive
+
+    path = str(tmp_path / "slot.json")
+    fs, p, jvm = _hadoop_fs(spark, path)
+    assert fs.getScheme() == "file"
+    stream = _create_exclusive(fs, jvm, p)
+    assert stream is not None
+    stream.write(bytearray(b'{"winner": true}'))
+    stream.close()
+    assert _create_exclusive(fs, jvm, p) is None  # lost race, no truncate
+    with open(path) as f:
+        assert json.load(f) == {"winner": True}

@@ -79,8 +79,18 @@ def main() -> int:
         ]
     )
     sweep_path = os.path.join(REPO, f"SWEEP_{tag}.json")
+    raw = None
     if sw.stdout.strip():
-        raw = json.loads(sw.stdout)
+        # Parse defensively: a crashed driver_sim can emit partial/non-JSON
+        # stdout; that must report "close invalid", not a traceback.
+        try:
+            raw = json.loads(sw.stdout)
+        except ValueError:
+            ok = False
+            report.append(
+                f"sweep output unparseable (rc={sw.returncode}) — close invalid"
+            )
+    if raw is not None:
         green = sum(
             1
             for r in raw.values()
@@ -108,7 +118,7 @@ def main() -> int:
         if sw.returncode != 0 or green != len(raw):
             ok = False
             report.append("sweep has FAILURES — close invalid")
-    else:
+    elif not sw.stdout.strip():
         ok = False
         report.append(f"sweep produced no output (rc={sw.returncode}) — close invalid")
 
