@@ -52,6 +52,7 @@ _MODULES = (
     "bbt_etl_dw_spark.suite.stream",
     "bbt_etl_dw_spark.suite.behavior",
     "bbt_etl_dw_spark.suite.multimodal",
+    "bbt_etl_dw_spark.suite.lake",
 )
 
 
