@@ -122,10 +122,37 @@ def _is_already_exists_exc(exc: BaseException) -> bool:
     return False
 
 
+def _create_exclusive(fs, jvm, p):
+    """Exclusively create ``p``; return a Java output stream on a win,
+    ``None`` on a lost race, raise on real IO failure.
+
+    On HDFS and S3 (strong consistency + conditional writes),
+    ``fs.create(path, overwrite=False)`` is the atomic claim. Hadoop's
+    ``RawLocalFileSystem``/``LocalFileSystem`` however implement
+    overwrite=False as CHECK-then-create — two local racers can both
+    pass the check and the loser silently truncates the winner. For
+    ``file:`` URIs the claim is therefore ``java.io.File.createNewFile()``
+    (JDK-documented atomic), followed by a plain stream to the file this
+    process just created. Shared by the publish manifest commit and the
+    swap-lock claim (the two exclusive-create coordination points)."""
+    if fs.getScheme() == "file":
+        f = jvm.java.io.File(p.toUri().getPath())
+        if not f.createNewFile():
+            return None
+        return jvm.java.io.FileOutputStream(f)
+    try:
+        return fs.create(p, False)
+    except Exception as exc:
+        if _is_already_exists_exc(exc):
+            return None
+        raise
+
+
 def acquire_swap_lock(spark: SparkSession, path: str, owner: str = "writer"):
     """Single-writer lock for the atomic-swap sinks: create
-    ``<path>.__lock__`` with overwrite=False (atomic create-if-absent on
-    HDFS; on object stores without conditional PUT the create-vs-exists
+    ``<path>.__lock__`` exclusively via :func:`_create_exclusive`
+    (create-if-absent on HDFS, ``File.createNewFile`` on ``file:`` URIs;
+    on object stores without conditional PUT the create-vs-exists
     window is the store's consistency gap — use a real table format for
     contended multi-writer tables there). Raises
     :class:`WriterLockHeld` with the current holder's identity when the
@@ -145,21 +172,31 @@ def acquire_swap_lock(spark: SparkSession, path: str, owner: str = "writer"):
     import time
 
     lock = f"{path.rstrip('/')}.__lock__"
-    fs, lp, _ = _hadoop_fs(spark, lock)
+    fs, lp, jvm = _hadoop_fs(spark, lock)
+    held_exc: Exception | None = None
     try:
-        out = fs.create(lp, False)  # overwrite=False: create-if-absent
+        # create-if-absent via the shared exclusive primitive: atomic on
+        # HDFS/S3 through create(overwrite=False), and on file: URIs via
+        # File.createNewFile (Hadoop's local create is check-then-create,
+        # under which two racing writers could BOTH believe they hold
+        # the lock and the loser silently truncates the winner's
+        # identity record).
+        out = _create_exclusive(fs, jvm, lp)
     except Exception as exc:
-        # Only an already-exists failure means "held" — a permission or
+        # Only an already-exists outcome means "held" — a permission or
         # transient-FS error must NOT be reported as a lock conflict (the
         # recovery advice would misdirect the operator to delete a lock
-        # file that does not exist). Classify by the TYPED Java exception
-        # (message formats vary across Hadoop FS implementations); the
-        # fs.exists probe stays as a fallback for FS impls that throw a
-        # bare IOException, accepting that a holder releasing between the
-        # failed create and the probe re-raises the original error —
-        # opaque but safe (the caller retries against a free lock).
-        if not (_is_already_exists_exc(exc) or fs.exists(lp)):
+        # file that does not exist). _create_exclusive classifies by the
+        # TYPED Java exception; the fs.exists probe stays as a fallback
+        # for FS impls that throw a bare IOException, accepting that a
+        # holder releasing between the failed create and the probe
+        # re-raises the original error — opaque but safe (the caller
+        # retries against a free lock).
+        if not fs.exists(lp):
             raise
+        held_exc = exc
+        out = None
+    if out is None:
         holder = "<unreadable>"
         try:
             stream = fs.open(lp)
@@ -174,7 +211,7 @@ def acquire_swap_lock(spark: SparkSession, path: str, owner: str = "writer"):
             f"active, or a previous writer crashed mid-swap. Verify no "
             f"writer is running and the table at {path} is intact, then "
             f"delete the lock file to recover."
-        ) from exc
+        ) from held_exc
     try:
         out.write(bytearray(f"{owner} pid={__import__('os').getpid()} "
                             f"t={time.time():.3f}".encode()))
