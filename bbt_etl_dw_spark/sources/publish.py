@@ -426,8 +426,9 @@ def read_published(
 
 def list_snapshots(spark: SparkSession, root: str) -> list[dict]:
     """Audit view of the committed history, oldest first: one dict per
-    COMMITTED snapshot (``version``, ``parent``, ``tables``). Torn
-    manifests (crashed publishers) are skipped — they were never
+    COMMITTED snapshot (``version``, ``parent``, ``tables``, plus
+    ``rollback_of`` for snapshots committed by :func:`rollback_published`).
+    Torn manifests (crashed publishers) are skipped — they were never
     committed. The natural companion of ``read_published(version=...)``
     time travel: pick a version here, pin it there."""
     root = root.rstrip("/")
@@ -437,8 +438,66 @@ def list_snapshots(spark: SparkSession, root: str) -> list[dict]:
             m = _read_manifest(spark, root, v)
         except ValueError:
             continue
-        out.append({"version": v, "parent": m.get("parent"), "tables": m["tables"]})
+        snap = {"version": v, "parent": m.get("parent"), "tables": m["tables"]}
+        if "rollback_of" in m:
+            snap["rollback_of"] = m["rollback_of"]
+        out.append(snap)
     return out
+
+
+def rollback_published(
+    spark: SparkSession, root: str, to_version: int, retries: int = 0
+) -> int:
+    """Revert the warehouse to snapshot ``to_version`` by committing a
+    NEW version whose manifest re-references that snapshot's exact table
+    directories — zero bytes moved, the full-warehouse analog of
+    ``carry_forward``. Returns the committed version.
+
+    Rolling FORWARD in history (a new version) rather than deleting
+    newer manifests keeps every invariant intact: readers pinned to the
+    bad snapshot are undisturbed, ``current_version`` stays monotone,
+    the audit trail records the revert (``rollback_of`` in the manifest
+    and :func:`list_snapshots`), and gc protects the re-referenced
+    directories for as long as any kept manifest names them — so a
+    rollback also RESCUES the old data from ``keep_last`` expiry.
+
+    Races like any publish: the slot claim is the same exclusive create;
+    a concurrent commit raises :class:`PublishConflict` (with
+    ``retries>0``, re-target and re-claim — safe here because a rollback
+    stages nothing and derives nothing from the current snapshot)."""
+    root = root.rstrip("/")
+    try:
+        target_tables = _read_manifest(spark, root, to_version)["tables"]
+    except ValueError as exc:
+        raise FileNotFoundError(
+            f"rollback_published({root}): v{to_version} is torn (claimed "
+            f"but never committed) — nothing to roll back to"
+        ) from exc
+    fs, _, jvm = _hadoop_fs(spark, root)
+    for attempt in range(retries + 1):
+        target = _max_slot(spark, root) + 1
+        manifest = {
+            "version": target,
+            "parent": current_version(spark, root),
+            "rollback_of": to_version,
+            "tables": target_tables,
+        }
+        mp = jvm.org.apache.hadoop.fs.Path(f"{root}/{_manifest_name(target)}")
+        stream = _create_exclusive(fs, jvm, mp)
+        if stream is None:  # lost the race; nothing staged to clean
+            if attempt < retries:
+                continue
+            raise PublishConflict(
+                f"rollback_published({root}): version {target} was committed "
+                f"by a concurrent publisher; re-read the history and retry "
+                f"(or pass retries>0)."
+            )
+        try:
+            stream.write(bytearray(json.dumps(manifest, indent=1).encode("utf-8")))
+        finally:
+            stream.close()
+        return target
+    raise AssertionError("unreachable")
 
 
 def diff_snapshots(

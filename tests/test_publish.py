@@ -673,3 +673,49 @@ def test_local_exclusive_create_is_single_winner(spark, tmp_path):
     assert _create_exclusive(fs, jvm, p) is None  # lost race, no truncate
     with open(path) as f:
         assert json.load(f) == {"winner": True}
+
+
+def test_rollback_published_zero_copy_revert(spark, tmp_path):
+    """rollback_published commits a NEW version re-referencing the target
+    snapshot's exact directories: zero bytes move, pinned readers are
+    undisturbed, the audit trail records the revert, and gc protects the
+    re-referenced (old!) data because the newest manifest names it."""
+    from bbt_etl_dw_spark.sources.publish import (
+        diff_snapshots,
+        list_snapshots,
+        rollback_published,
+    )
+
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "good"), root)
+    publish_tables(_snap(spark, "bad"), root)
+
+    v3 = rollback_published(spark, root, to_version=1)
+    assert v3 == 3
+    # latest readers see the reverted content; v2 readers keep theirs
+    assert {r.src for r in read_published(spark, root, "fact").collect()} == {"good"}
+    assert {
+        r.src for r in read_published(spark, root, "fact", version=2).collect()
+    } == {"bad"}
+    # the rollback moved NO data: v3 references v1's exact directories
+    with open(os.path.join(root, "_MANIFEST.v00000001.json")) as f:
+        m1 = json.load(f)["tables"]
+    with open(os.path.join(root, "_MANIFEST.v00000003.json")) as f:
+        m3 = json.load(f)
+    assert m3["tables"] == m1
+    assert m3["rollback_of"] == 1 and m3["parent"] == 2
+    assert diff_snapshots(spark, root, 1, 3) == {
+        "added": [], "removed": [], "rewritten": [], "carried": ["dim", "fact"]
+    }
+    snaps = list_snapshots(spark, root)
+    assert [s.get("rollback_of") for s in snaps] == [None, None, 1]
+    # gc with keep_last=1 keeps v1's DATA (the kept v3 manifest names it)
+    # and drops v2's superseded dirs
+    assert gc_published(spark, root, keep_last=1, min_age_seconds=0) == 2
+    assert len(_version_dirs(root, "fact", 1)) == 1
+    assert _version_dirs(root, "fact", 2) == []
+    assert {r.src for r in read_published(spark, root, "fact").collect()} == {"good"}
+    # a torn target is not a snapshot
+    open(os.path.join(root, "_MANIFEST.v00000004.json"), "w").close()
+    with pytest.raises(FileNotFoundError, match="torn"):
+        rollback_published(spark, root, to_version=4)

@@ -1064,6 +1064,47 @@ def test_overwrite_atomic_single_writer_lock(spark, tmp_path):
     assert not os.path.exists(path + ".__lock__")
 
 
+def test_swap_lock_threaded_race_single_winner(spark, tmp_path):
+    """N concurrent claimants of ONE lock: exactly one wins, every loser
+    gets WriterLockHeld, and the winner's identity record survives
+    un-truncated. Pins the file:-URI claim path (File.createNewFile):
+    Hadoop's local create(overwrite=false) is check-then-create, under
+    which two racers could both 'win' and the loser would truncate the
+    winner's identity."""
+    import threading
+
+    from bbt_etl_dw_spark.sources.parquet import (
+        WriterLockHeld,
+        acquire_swap_lock,
+        release_swap_lock,
+    )
+
+    path = str(tmp_path / "t")
+    results: dict[str, object] = {}
+    barrier = threading.Barrier(6)
+
+    def claim(name):
+        barrier.wait()  # maximize claim overlap
+        try:
+            results[name] = acquire_swap_lock(spark, path, owner=name)
+        except WriterLockHeld as e:
+            results[name] = e
+
+    threads = [
+        threading.Thread(target=claim, args=(f"w{i}",)) for i in range(6)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [n for n, r in results.items() if isinstance(r, str)]
+    losers = [n for n, r in results.items() if isinstance(r, WriterLockHeld)]
+    assert len(winners) == 1 and len(losers) == 5, results
+    with open(path + ".__lock__") as f:
+        assert f.read().startswith(f"{winners[0]} pid=")  # not truncated
+    release_swap_lock(spark, results[winners[0]])
+
+
 def test_vacuum_orphans_sweeps_staging_and_temporary(spark, tmp_path):
     """VACUUM companion of the epoch sinks: abandoned __staging__ dirs and
     in-table _temporary dirs are removed under the writer lock; committed
