@@ -113,6 +113,23 @@ def cooccurrence_pairs(
     )
 
     freq = bi.groupBy("_item").agg(F.count(F.lit(1)).alias("_n"))
+    # The frequency side is O(#distinct items) and the operator is
+    # GENERIC (any item column): a billion-item corpus would make the
+    # forced broadcast below an executor/driver OOM three stages later.
+    # Guard loudly instead (r10 review) — the check reads the
+    # materialized bi blocks, so it costs one skinny agg, not a rescan.
+    from bbt_etl_dw_spark.operators.guards import assert_broadcastable
+
+    freq = assert_broadcastable(
+        freq,
+        label="cooccurrence_pairs: per-item frequency table",
+        remedy=(
+            "the item universe exceeds the broadcast budget — filter or "
+            "bucket the item column, or raise "
+            "spark.sql.autoBroadcastJoinThreshold after sizing executors "
+            "for the hash relation"
+        ),
+    )
     total = bi.agg(F.countDistinct("_basket").alias("_total"))
 
     out = (

@@ -135,8 +135,21 @@ def _create_exclusive(fs, jvm, p):
     (JDK-documented atomic), followed by a plain stream to the file this
     process just created. Shared by the publish manifest commit and the
     swap-lock claim (the two exclusive-create coordination points)."""
-    if fs.getScheme() == "file":
+    try:
+        # base FileSystem.getScheme() throws UnsupportedOperationException
+        # for implementations that never override it — treat those as
+        # non-local and take the generic create(overwrite=False) path.
+        is_local = fs.getScheme() == "file"
+    except Exception:
+        is_local = False
+    if is_local:
         f = jvm.java.io.File(p.toUri().getPath())
+        # createNewFile (unlike Hadoop's create()) does NOT make parent
+        # directories; the first-ever claim under a fresh root must not
+        # fail with an opaque IOException.
+        parent = f.getParentFile()
+        if parent is not None and not parent.exists():
+            parent.mkdirs()
         if not f.createNewFile():
             return None
         return jvm.java.io.FileOutputStream(f)

@@ -466,6 +466,18 @@ def rollback_published(
     ``retries>0``, re-target and re-claim — safe here because a rollback
     stages nothing and derives nothing from the current snapshot)."""
     root = root.rstrip("/")
+    fs, _, jvm = _hadoop_fs(spark, root)
+    mp_target = jvm.org.apache.hadoop.fs.Path(
+        f"{root}/{_manifest_name(to_version)}"
+    )
+    # Distinguish "that version was never claimed at all" (fs.open would
+    # surface a raw Py4JJavaError misattributing the failure) from the
+    # torn-manifest case below.
+    if not fs.exists(mp_target):
+        raise FileNotFoundError(
+            f"rollback_published({root}): v{to_version} does not exist — "
+            f"no snapshot was ever claimed at that version"
+        )
     try:
         target_tables = _read_manifest(spark, root, to_version)["tables"]
     except ValueError as exc:
@@ -473,7 +485,6 @@ def rollback_published(
             f"rollback_published({root}): v{to_version} is torn (claimed "
             f"but never committed) — nothing to roll back to"
         ) from exc
-    fs, _, jvm = _hadoop_fs(spark, root)
     for attempt in range(retries + 1):
         target = _max_slot(spark, root) + 1
         manifest = {

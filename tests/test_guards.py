@@ -156,3 +156,30 @@ def test_guard_floor_keeps_small_frames_safe_under_tiny_threshold(spark):
             assert_broadcastable(df, "small model")  # must not raise
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_basket_freq_broadcast_guard_trips_loudly(spark):
+    """cooccurrence_pairs forces a broadcast of the per-item frequency
+    table, which is O(#distinct items) for a GENERIC item column (VERDICT
+    r10 #1): over the budget it must raise a named error up front, not
+    OOM building the hash relation; the dim-sized happy path passes."""
+    from bbt_etl_dw_spark.operators.basket import cooccurrence_pairs
+    from bbt_etl_dw_spark.operators.guards import CardinalityError
+    import bbt_etl_dw_spark.operators.guards as guards
+
+    baskets = spark.range(40).select(
+        (F.col("id") % 10).alias("basket"),
+        F.concat(F.lit("item_"), (F.col("id") % 7).cast("string")).alias("item"),
+    )
+    assert cooccurrence_pairs(baskets, "basket", "item", min_pair_count=1).count() > 0
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_floor = guards.GUARD_FLOOR_BYTES
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100b")
+    guards.GUARD_FLOOR_BYTES = 1
+    try:
+        with pytest.raises(CardinalityError, match="per-item frequency"):
+            cooccurrence_pairs(baskets, "basket", "item", min_pair_count=1)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        guards.GUARD_FLOOR_BYTES = prev_floor

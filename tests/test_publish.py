@@ -719,3 +719,54 @@ def test_rollback_published_zero_copy_revert(spark, tmp_path):
     open(os.path.join(root, "_MANIFEST.v00000004.json"), "w").close()
     with pytest.raises(FileNotFoundError, match="torn"):
         rollback_published(spark, root, to_version=4)
+
+
+def test_exclusive_create_makes_parent_dirs_on_local_fs(spark, tmp_path):
+    """java.io.File.createNewFile() does not create parent directories
+    (Hadoop's create() does) — the first-ever claim under a fresh local
+    root must succeed, not die with an opaque IOException. Regression:
+    acquire_swap_lock is called by overwrite_atomic BEFORE any data
+    write, so a missing parent used to fail the very first write to a
+    new path."""
+    from bbt_etl_dw_spark.sources.parquet import _hadoop_fs
+    from bbt_etl_dw_spark.sources.publish import _create_exclusive
+
+    path = str(tmp_path / "brand" / "new" / "dirs" / "slot.json")
+    fs, p, jvm = _hadoop_fs(spark, path)
+    stream = _create_exclusive(fs, jvm, p)
+    assert stream is not None
+    stream.write(bytearray(b"{}"))
+    stream.close()
+    assert os.path.exists(path)
+    # and the claim is still exclusive after the mkdirs
+    assert _create_exclusive(fs, jvm, p) is None
+
+
+def test_exclusive_create_tolerates_schemeless_filesystems(tmp_path):
+    """Base Hadoop FileSystem.getScheme() throws
+    UnsupportedOperationException when not overridden; the claim must
+    fall through to the generic create(overwrite=False) path instead of
+    failing outright."""
+    from bbt_etl_dw_spark.sources.publish import _create_exclusive
+
+    class _SchemelessFS:
+        def getScheme(self):
+            raise RuntimeError("Not implemented by the FileSystem implementation")
+
+        def create(self, p, overwrite):
+            assert overwrite is False
+            return "generic-stream"
+
+    assert _create_exclusive(_SchemelessFS(), None, None) == "generic-stream"
+
+
+def test_rollback_to_never_claimed_version_is_a_distinct_error(spark, tmp_path):
+    """A to_version whose slot was never claimed at all must raise a
+    friendly FileNotFoundError naming the missing version — not a raw
+    Py4JJavaError from fs.open, and not the torn-manifest message."""
+    from bbt_etl_dw_spark.sources.publish import rollback_published
+
+    root = str(tmp_path / "wh")
+    publish_tables(_snap(spark, "only"), root)
+    with pytest.raises(FileNotFoundError, match=r"v7 does not exist"):
+        rollback_published(spark, root, to_version=7)
