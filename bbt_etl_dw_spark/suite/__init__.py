@@ -53,6 +53,8 @@ _MODULES = (
     "bbt_etl_dw_spark.suite.behavior",
     "bbt_etl_dw_spark.suite.multimodal",
     "bbt_etl_dw_spark.suite.lake",
+    "bbt_etl_dw_spark.suite.ingest",
+    "bbt_etl_dw_spark.suite.train",
 )
 
 

@@ -108,6 +108,10 @@ SCALAR_SUBQUERY_ALLOWED = {
     # token grand-total + weight normalizer as 1-row broadcast scalars
     # over the sources-sized rollup
     "doc_mix_temperature",
+    # achievable-total T = min(available/share) attached as a 1-row
+    # broadcast scalar over the dim-sized per-source counts
+    # (operators/textstats.token_mix_rates)
+    "corpus_token_mix",
 }
 QUADRATIC_ALLOWED |= SCALAR_SUBQUERY_ALLOWED
 
