@@ -99,21 +99,44 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_run2": timings2,
-                "noise_band": noise_band,
-                "spread": spreads,
-                "runs_per_query": n_runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # The recording driver keeps only the LAST 2000 chars of stdout
+    # (BENCH_r10's tail cut mid-dict, making per-query medians unreadable
+    # downstream — VERDICT r10 #7). The contract line therefore stays
+    # lean — metric/value/unit/queries/sf, 3-decimal values — and the
+    # full diagnostics (second pass, noise band, spreads) go to
+    # BENCH_DETAIL.json next to this script, committed with each round.
+    detail = {
+        "metric": "suite_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_run2": timings2,
+        "noise_band": noise_band,
+        "spread": spreads,
+        "runs_per_query": n_runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    lean = {
+        "metric": "suite_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(v, 3) for n, v in timings.items()},
+        "sf": detail["sf"],
+    }
+    line = json.dumps(lean)
+    if len(line) > 1900:  # stay inside the recorder's 2000-char tail
+        lean["queries"] = {
+            n: round(v, 3)
+            for n, v in sorted(timings.items(), key=lambda kv: -kv[1])[:40]
+        }
+        lean["queries_truncated_to_slowest"] = len(lean["queries"])
+        line = json.dumps(lean)
+    print(line)
 
 
 if __name__ == "__main__":
