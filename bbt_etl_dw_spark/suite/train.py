@@ -272,3 +272,106 @@ def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", "total_value", "last_ts", "last_type"
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# winsorize: percentile-capped outliers, exact at full sketch accuracy
+# --------------------------------------------------------------------------
+
+# accuracy >= n makes percentile_approx exact (the sketch keeps every
+# value) and its discrete percentile — smallest element at the target
+# rank — equals DuckDB's quantile_disc, probed identical at sf0.001 and
+# sf0.01 on both tails; the clip is then pure least/greatest arithmetic.
+_WINSOR_ORACLE = f"""
+WITH b AS (
+  SELECT quantile_disc(l_extendedprice, 0.01) AS plo,
+         quantile_disc(l_extendedprice, 0.99) AS phi,
+         quantile_disc(l_discount, 0.01) AS dlo,
+         quantile_disc(l_discount, 0.99) AS dhi
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum('least(greatest(l_extendedprice, b.plo), b.phi)', 'price_sum')},
+       {sql_dsum('least(greatest(l_discount, b.dlo), b.dhi)', 'disc_sum')},
+       MAX(least(greatest(l_extendedprice, b.plo), b.phi)) AS price_max,
+       MIN(least(greatest(l_extendedprice, b.plo), b.phi)) AS price_min
+FROM lineitem CROSS JOIN b
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("lineitem_winsorized_stats", oracle=_WINSOR_ORACLE)
+def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregates (operators/clean.winsorize): price and
+    discount capped at their 1st/99th percentiles in ONE mergeable-sketch
+    pass (no sort, no per-column rescan), then rolled up by return flag —
+    the capped extrema and exact-decimal sums must equal the oracle's
+    quantile_disc clip. Rows are never dropped, so counts and join keys
+    survive (unlike filter-based outlier removal). Scale: two narrow
+    passes at any size; the bounds row is a driver-side constant."""
+    from bbt_etl_dw_spark.functions.numeric import dsum
+    from bbt_etl_dw_spark.operators.clean import winsorize
+
+    li = table(spark, sf_dir, "lineitem")
+    capped = winsorize(
+        li, ["l_extendedprice", "l_discount"], 0.01, 0.99, accuracy=1_000_000
+    )
+    return (
+        capped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice", "price_sum"),
+            dsum("l_discount", "disc_sum"),
+            F.max("l_extendedprice").alias("price_max"),
+            F.min("l_extendedprice").alias("price_min"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# hashed_tf_vector: vocabulary-free feature hashing, sparse projection
+# --------------------------------------------------------------------------
+
+_HASHED_TF_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+  WHERE text IS NOT NULL AND len(trim(text)) > 0
+),
+h AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5(word), 1, 8)) AS BIGINT) % 256 AS INT)
+           AS bucket,
+         CASE WHEN CAST(('0x' || substring(md5(word), 9, 1)) AS BIGINT) % 2 = 0
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+  FROM h_src
+)
+SELECT doc_id, bucket, SUM(s) AS weight
+FROM h GROUP BY doc_id, bucket
+HAVING SUM(s) <> 0
+ORDER BY doc_id, bucket
+"""
+_HASHED_TF_ORACLE = _HASHED_TF_ORACLE.replace("FROM h_src", "FROM w")
+
+
+@register("doc_hashed_tf_sparse", oracle=_HASHED_TF_ORACLE)
+def doc_hashed_tf_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed TF vectors (operators/textstats.hashed_tf_vector,
+    Weinberger signed hashing into 256 md5 buckets) projected to sparse
+    (doc_id, bucket, weight) rows — the oracle re-derives every bucket,
+    sign, and signed count from the same md5 digests, so a hashing or
+    densify bug anywhere in the expression tree is a value mismatch.
+    The engine keeps the vector entirely expression-level (no UDF, no
+    vocabulary state); blank docs produce all-zero vectors and vanish
+    from the sparse view on both sides."""
+    from bbt_etl_dw_spark.operators.textstats import hashed_tf_vector
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    vec = docs.select("doc_id", hashed_tf_vector("text", dim=256).alias("v"))
+    sparse = vec.select(
+        "doc_id", F.posexplode("v").alias("bucket", "weight")
+    ).filter(F.col("weight") != 0.0)
+    return sparse.orderBy("doc_id", "bucket")
