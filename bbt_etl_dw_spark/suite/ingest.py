@@ -457,3 +457,103 @@ def doc_dedup_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.select(
         "doc_id", md5_fingerprint("text").alias("fp")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# S5: audit report sink round trip (JSON report written, read back, values
+# re-derived from the raw table)
+# --------------------------------------------------------------------------
+
+_AUDIT_CACHE: dict[str, list] = {}
+
+
+def _audit_report_rows(spark: SparkSession, sf_dir: str) -> list:
+    """Audit a deterministically-dirtied orders projection (planted NULL
+    priorities-as-clerk at key%97, negated totals at key%101, a duplicated key%500=7
+    slice), write the report JSON through sources/report.py, read it
+    back, and flatten the metrics. Cached per (process, sf_dir)."""
+    from bbt_etl_dw_spark.operators.audit import audit, rule_positive_number
+    from bbt_etl_dw_spark.sources.report import read_audit_json, write_audit_json
+
+    if sf_dir in _AUDIT_CACHE:
+        return _AUDIT_CACHE[sf_dir]
+    o = table(spark, sf_dir, "orders")
+    dirty_one = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("clerk"),
+        F.when(F.col("o_orderkey") % 101 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("total"),
+    )
+    dirty = dirty_one.unionAll(dirty_one.filter(F.col("o_orderkey") % 500 == 7))
+    report = audit(
+        dirty, "orders_dirty", rules=[rule_positive_number("total")],
+        collect_ids=False,
+    )
+    d = tempfile.mkdtemp(prefix="bbt_audit_report_")
+    path = os.path.join(d, "audit.json")
+    write_audit_json([report], path)
+    back = read_audit_json(path)[0]
+    rows = [
+        ("duplicate_rows", int(back["duplicate_rows"])),
+        ("missing_clerk", int(back["missing_values"].get("clerk", 0))),
+        ("row_count", int(back["row_count"])),
+        ("violations_total", int(back["inconsistencies"]["total"]["count"])),
+    ]
+    _AUDIT_CACHE[sf_dir] = rows
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return rows
+
+
+# The oracle rebuilds the dirty relation and re-derives every report
+# metric: total rows (base + duplicated slice), exact-duplicate rows
+# (the slice — keys are otherwise unique), per-column missing counts
+# (planted NULL clerks, counted PER ROW so slice overlap doubles), and
+# the positive-number rule violations (planted negations; o_totalprice
+# is strictly positive in the raw table).
+_AUDIT_ORACLE = """
+WITH dirty AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderpriority END AS clerk,
+         CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS total
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderpriority END AS clerk,
+         CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS total
+  FROM orders WHERE o_orderkey % 500 = 7
+)
+SELECT metric, value FROM (
+  SELECT 'row_count' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM dirty
+  UNION ALL
+  SELECT 'duplicate_rows',
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM dirty
+  UNION ALL
+  SELECT 'missing_clerk',
+         CAST(COUNT(*) FILTER (WHERE clerk IS NULL) AS BIGINT) FROM dirty
+  UNION ALL
+  SELECT 'violations_total',
+         CAST(COUNT(*) FILTER (WHERE total IS NOT NULL AND total <= 0)
+              AS BIGINT) FROM dirty
+) ORDER BY metric
+"""
+
+
+@register("audit_report_roundtrip", oracle=_AUDIT_ORACLE)
+def audit_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 end to end (reference audit_report.py:152-181): the audit rule
+    engine runs over a deterministically-dirtied orders projection, the
+    bounded report is written as JSON through sources/report.py and read
+    BACK — the returned metrics come from the file, not the in-memory
+    report — and the oracle re-derives each one from the raw table. A
+    wrong missing/dup/violation count, or any damage through the JSON
+    round trip, is a value mismatch. Scale: the audit is two full-table
+    jobs with capped outputs; the report is driver-side by design."""
+    rows = _audit_report_rows(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, schema="metric string, value long"
+    ).orderBy("metric")
