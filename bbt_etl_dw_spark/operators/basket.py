@@ -112,14 +112,18 @@ def cooccurrence_pairs(
         .filter(F.col("pair_n") >= min_pair_count)
     )
 
-    freq = bi.groupBy("_item").agg(F.count(F.lit(1)).alias("_n"))
     # The frequency side is O(#distinct items) and the operator is
     # GENERIC (any item column): a billion-item corpus would make the
-    # forced broadcast below an executor/driver OOM three stages later.
-    # Guard loudly instead (r10 review) — the check reads the
-    # materialized bi blocks, so it costs one skinny agg, not a rescan.
+    # forced broadcasts below an executor/driver OOM three stages later.
+    # Guard loudly instead (r10 review). The frequency table is
+    # materialized FIRST: the guard's size estimate, and BOTH broadcast
+    # join sides (n_a / n_b — exchange reuse is unreliable under
+    # broadcast, the r08 finding), then read one checkpointed dim-sized
+    # frame instead of re-aggregating bi three times. Net: the guarded
+    # path computes freq once where the unguarded path computed it twice.
     from bbt_etl_dw_spark.operators.guards import assert_broadcastable
 
+    freq = materialize(bi.groupBy("_item").agg(F.count(F.lit(1)).alias("_n")))
     freq = assert_broadcastable(
         freq,
         label="cooccurrence_pairs: per-item frequency table",
