@@ -6,17 +6,19 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Methodology (documented for BENCH_r0N comparisons): each query is forced
 end-to-end with a noop-format write (full compute, no driver-side result
-serialization cost). Per query: ONE discarded warmup run (absorbs
-whole-stage-codegen compilation, ~1-3s once per plan shape per JVM, plus
-shuffle-file page-cache priming), then $SPARK_GRAFT_BENCH_RUNS timed runs
-(default 3); the reported time is the MINIMUM timed run and ``spread`` is
-max-min over the TIMED runs only. Rationale: codegen amortizes to zero on
-a long-lived cluster, and single-run times on a shared machine carry ±30%
-ambient-load noise — min-of-N post-warmup is the stable estimator of the
-plan's actual cost, and discarding the warmup keeps the recorded spread a
-steady-state noise band instead of a compilation artifact (VERDICT r05 #2:
-spreads 10x the value made regressions untriageable). Cross-round deltas
-inside a query's recorded spread are machine load, not regression."""
+serialization cost). Per query: ADAPTIVE discarded warmup — re-run until
+two consecutive in-JVM executions agree within 5% (capped at 6 runs) —
+then $SPARK_GRAFT_BENCH_RUNS timed runs (default 3); the reported time is
+the MINIMUM timed run and ``spread`` is max-min over the TIMED runs only.
+Rationale: codegen amortizes to zero on a long-lived cluster, and
+single-run times on a shared machine carry ±30% ambient-load noise —
+min-of-N post-warmup is the stable estimator of the plan's actual cost.
+The warmup is adaptive rather than one fixed run because big codegen
+trees need several executions to reach C2 steady state (VERDICT r11 #1 /
+SCALING_r11 jit_ramp_protocol_note: minhash's 64-hash fold ramps
+21 -> 7.1 s over ~5 in-JVM executions; a 1-warmup protocol recorded the
+ramp as the query's wall). Cross-round deltas inside a query's recorded
+spread are machine load, not regression."""
 
 from __future__ import annotations
 
@@ -60,25 +62,38 @@ def main() -> None:
     ).save()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    warm_cap = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "6"))
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        queries[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    def warm_to_plateau(name: str) -> int:
+        # Adaptive discarded warmup (VERDICT r11 #1): repeat until two
+        # consecutive executions agree within 5% — the C2-JIT plateau —
+        # capped at warm_cap runs. One fixed warmup under-warms large
+        # codegen trees (minhash ramps over ~5 runs) and the ramp then
+        # reads as the query's wall; including warmups in the spread made
+        # the noise band up to 10x the value (VERDICT r05 #2), so they
+        # stay discarded.
+        prev = run_once(name)
+        for i in range(2, warm_cap + 1):
+            cur = run_once(name)
+            if abs(cur - prev) <= 0.05 * min(cur, prev):
+                return i
+            prev = cur
+        return warm_cap
 
     def time_pass(warmup: bool) -> tuple[dict[str, float], dict[str, float]]:
         timings: dict[str, float] = {}
         spreads: dict[str, float] = {}
         for name in names:
             if warmup:
-                # Discarded warmup: first execution of a plan shape pays
-                # codegen compilation and cold page cache; including it in
-                # the spread made the noise band read up to 10x the value
-                # (VERDICT r05 #2).
-                queries[name].builder(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            runs = []
-            for _ in range(n_runs):
-                t0 = time.perf_counter()
-                df = queries[name].builder(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
+                warmups_used[name] = warm_to_plateau(name)
+            runs = [run_once(name) for _ in range(n_runs)]
             timings[name] = round(min(runs), 4)
             # max-min across the TIMED (post-warmup) runs: the steady-state
             # ambient-load noise band. A future "regression" whose delta
@@ -91,6 +106,7 @@ def main() -> None:
     # misread as regressions when they were ambient load — a same-process
     # second pass bounds the noise per query IN the artifact, so a reader
     # compares rounds against noise_band instead of guessing.
+    warmups_used: dict[str, int] = {}
     timings, spreads = time_pass(warmup=True)
     timings2, _ = time_pass(warmup=False)
     noise_band = {
@@ -114,6 +130,8 @@ def main() -> None:
         "noise_band": noise_band,
         "spread": spreads,
         "runs_per_query": n_runs,
+        "warmup_protocol": f"adaptive-plateau-5pct-cap{warm_cap}",
+        "warmups_used": warmups_used,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail_path = os.path.join(
@@ -130,12 +148,19 @@ def main() -> None:
     }
     line = json.dumps(lean)
     if len(line) > 1900:  # stay inside the recorder's 2000-char tail
-        lean["queries"] = {
-            n: round(v, 3)
-            for n, v in sorted(timings.items(), key=lambda kv: -kv[1])[:40]
-        }
-        lean["queries_truncated_to_slowest"] = len(lean["queries"])
-        line = json.dumps(lean)
+        # Drop entries (slowest kept) until the RE-DUMPED line actually
+        # fits — a single fixed 40-entry cut could still exceed the bound
+        # with long query names, silently defeating the mitigation
+        # (ADVICE r11).
+        by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+        keep = min(40, len(by_cost))
+        while keep > 0:
+            lean["queries"] = {n: round(v, 3) for n, v in by_cost[:keep]}
+            lean["queries_truncated_to_slowest"] = keep
+            line = json.dumps(lean)
+            if len(line) <= 1900:
+                break
+            keep -= 1
     print(line)
 
 

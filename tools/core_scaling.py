@@ -9,7 +9,10 @@ the curve. If wall does not drop near-linearly in cores, the bound is
 wrong and the query needs plan work.
 
 Per core count one fresh JVM (master is static), bench protocol per
-query: ONE discarded warmup, two passes of min-of-3 timed noop writes.
+query: ADAPTIVE discarded warmup (repeat until two consecutive runs agree
+within 5%, cap 6 — VERDICT r11 #1: one fixed warmup under-warms large
+codegen trees; minhash ramps 21 -> 7.1 s over ~5 in-JVM executions), then
+two passes of min-of-3 timed noop writes.
 
 Usage:
     python tools/core_scaling.py <query> <sf_dir> [cores ...]
@@ -44,7 +47,16 @@ def _worker(query: str, sf_dir: str, cores: str) -> None:
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    run_once()  # discarded warmup
+    # adaptive discarded warmup: run to the C2-JIT plateau (two
+    # consecutive executions within 5%), cap 6 runs
+    warmups = 1
+    prev = run_once()
+    while warmups < 6:
+        cur = run_once()
+        warmups += 1
+        if abs(cur - prev) <= 0.05 * min(cur, prev):
+            break
+        prev = cur
     p1 = min(run_once() for _ in range(N_RUNS))
     p2 = min(run_once() for _ in range(N_RUNS))
     print(
@@ -55,6 +67,7 @@ def _worker(query: str, sf_dir: str, cores: str) -> None:
                 "min_pass2": round(p2, 4),
                 "noise_band": round(abs(p1 - p2), 4),
                 "best": round(min(p1, p2), 4),
+                "warmups_used": warmups,
             }
         )
     )
