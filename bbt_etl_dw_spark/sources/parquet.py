@@ -140,7 +140,22 @@ def _create_exclusive(fs, jvm, p):
         # for implementations that never override it — treat those as
         # non-local and take the generic create(overwrite=False) path.
         is_local = fs.getScheme() == "file"
-    except Exception:
+    except Exception as exc:
+        # Narrow demotion (ADVICE r11): ONLY the documented
+        # UnsupportedOperationException may fall through to the non-local
+        # path. Any other failure (a transient py4j error on a genuinely
+        # local FileSystem) must propagate — silently demoting it would
+        # route a local claim through Hadoop's non-atomic check-then-create,
+        # losing exactly the local-race atomicity this branch provides.
+        je = getattr(exc, "java_exception", None)
+        name = ""
+        if je is not None:
+            try:
+                name = je.getClass().getName()
+            except Exception:
+                name = ""
+        if name != "java.lang.UnsupportedOperationException":
+            raise
         is_local = False
     if is_local:
         f = jvm.java.io.File(p.toUri().getPath())

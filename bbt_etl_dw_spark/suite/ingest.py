@@ -47,14 +47,19 @@ _DIRTY_CSV_CACHE: dict[str, str] = {}
 
 
 def _dirty_csv_path(sf_dir: str) -> str:
-    if sf_dir not in _DIRTY_CSV_CACHE:
+    # The dirty-CSV fixture is STATIC (sf-independent), so it stages once
+    # per process under a sentinel key — keying on sf_dir made multi-sf
+    # runs stage duplicate temp dirs for identical bytes (ADVICE r11).
+    # The sf-DEPENDENT caches below keep their per-(process, sf_dir) key.
+    key = "__static__"
+    if key not in _DIRTY_CSV_CACHE:
         d = tempfile.mkdtemp(prefix="bbt_dirty_csv_")
         path = os.path.join(d, "sales.csv")
         with open(path, "w") as f:
             f.write(_DIRTY_CSV)
-        _DIRTY_CSV_CACHE[sf_dir] = path
+        _DIRTY_CSV_CACHE[key] = path
         atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return _DIRTY_CSV_CACHE[sf_dir]
+    return _DIRTY_CSV_CACHE[key]
 
 
 # Every expected cell, pinned: dup headers dedup to OrderID0/OrderID4

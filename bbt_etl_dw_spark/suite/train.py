@@ -314,8 +314,17 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bbt_etl_dw_spark.operators.clean import winsorize
 
     li = table(spark, sf_dir, "lineitem")
+    # accuracy >= row count makes the sketch exact (it keeps every value)
+    # — the oracle's quantile_disc assumes exactness, so ENFORCE the
+    # precondition from the data instead of assuming it (ADVICE r11: a
+    # fixed 1M constant silently diverges past sf0.1). The count() is a
+    # parquet metadata scan, not a data pass.
     capped = winsorize(
-        li, ["l_extendedprice", "l_discount"], 0.01, 0.99, accuracy=1_000_000
+        li,
+        ["l_extendedprice", "l_discount"],
+        0.01,
+        0.99,
+        accuracy=max(1_000_000, li.count()),
     )
     return (
         capped.groupBy("l_returnflag")

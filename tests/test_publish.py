@@ -742,6 +742,25 @@ def test_exclusive_create_makes_parent_dirs_on_local_fs(spark, tmp_path):
     assert _create_exclusive(fs, jvm, p) is None
 
 
+class _FakeJavaExc:
+    """Mimics py4j's Py4JJavaError.java_exception surface."""
+
+    def __init__(self, class_name: str):
+        self._name = class_name
+
+    def getClass(self):
+        return self
+
+    def getName(self):
+        return self._name
+
+
+class _FakePy4JError(RuntimeError):
+    def __init__(self, class_name: str):
+        super().__init__(class_name)
+        self.java_exception = _FakeJavaExc(class_name)
+
+
 def test_exclusive_create_tolerates_schemeless_filesystems(tmp_path):
     """Base Hadoop FileSystem.getScheme() throws
     UnsupportedOperationException when not overridden; the claim must
@@ -751,13 +770,40 @@ def test_exclusive_create_tolerates_schemeless_filesystems(tmp_path):
 
     class _SchemelessFS:
         def getScheme(self):
-            raise RuntimeError("Not implemented by the FileSystem implementation")
+            raise _FakePy4JError("java.lang.UnsupportedOperationException")
 
         def create(self, p, overwrite):
             assert overwrite is False
             return "generic-stream"
 
     assert _create_exclusive(_SchemelessFS(), None, None) == "generic-stream"
+
+
+def test_exclusive_create_propagates_real_getscheme_failures():
+    """ADVICE r11: ONLY UnsupportedOperationException may demote the
+    claim to the generic (non-atomic on local fs) create path. A
+    transient py4j/IO failure from getScheme() on a genuinely local
+    FileSystem must PROPAGATE — swallowing it would silently lose the
+    local-race atomicity the file:-URI branch exists to provide."""
+    import pytest
+
+    from bbt_etl_dw_spark.sources.publish import _create_exclusive
+
+    class _FlakyFS:
+        def __init__(self, exc):
+            self._exc = exc
+
+        def getScheme(self):
+            raise self._exc
+
+        def create(self, p, overwrite):  # pragma: no cover - must not reach
+            raise AssertionError("must not demote to the generic path")
+
+    with pytest.raises(_FakePy4JError):
+        _create_exclusive(_FlakyFS(_FakePy4JError("java.io.IOException")), None, None)
+    # a plain Python failure (no java_exception at all) propagates too
+    with pytest.raises(ValueError):
+        _create_exclusive(_FlakyFS(ValueError("py4j connection dropped")), None, None)
 
 
 def test_rollback_to_never_claimed_version_is_a_distinct_error(spark, tmp_path):

@@ -1522,3 +1522,37 @@ def test_jaccard_hot_shingle_guard_raises(spark):
         docs, "doc_id", "text", threshold=0.1, max_shingle_df_guard=None
     ).collect()))
     assert on == off and on  # non-empty: the shared shingle pairs them
+
+
+def test_winsorized_stats_builder_enforces_exact_accuracy(spark, sf_dir, monkeypatch):
+    """ADVICE r11: the lineitem_winsorized_stats oracle (quantile_disc)
+    assumes percentile_approx exactness, which only holds while accuracy
+    >= the table row count. The builder must DERIVE the accuracy from the
+    data (max(1M, count)) so the precondition is enforced at any sf, not
+    assumed from a constant."""
+    import bbt_etl_dw_spark.operators.clean as clean_mod
+    from bbt_etl_dw_spark.catalog import table
+    from bbt_etl_dw_spark.suite import load_all
+
+    n_rows = table(spark, sf_dir, "lineitem").count()
+    seen = {}
+    real = clean_mod.winsorize
+
+    def spy(df, cols, lower_pct=0.01, upper_pct=0.99, accuracy=10000):
+        seen["accuracy"] = accuracy
+        return real(df, cols, lower_pct, upper_pct, accuracy)
+
+    monkeypatch.setattr(clean_mod, "winsorize", spy)
+    load_all()["lineitem_winsorized_stats"].builder(spark, sf_dir).collect()
+    assert seen["accuracy"] >= max(1_000_000, n_rows)
+
+
+def test_dirty_csv_fixture_stages_once_across_sf_dirs():
+    """ADVICE r11: the dirty-CSV fixture is static (sf-independent), so
+    two different sf_dir values must resolve to the SAME staged file —
+    no duplicate temp dirs for identical bytes."""
+    from bbt_etl_dw_spark.suite.ingest import _dirty_csv_path
+
+    a = _dirty_csv_path("/root/testdata/sf0.001")
+    b = _dirty_csv_path("/root/testdata/sf0.01")
+    assert a == b
