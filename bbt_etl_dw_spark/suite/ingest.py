@@ -562,3 +562,278 @@ def audit_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="metric string, value long"
     ).orderBy("metric")
+
+
+# --------------------------------------------------------------------------
+# JSONL corpus source/sink round trip with quarantine (sources/jsonl.py)
+# --------------------------------------------------------------------------
+
+#: Static corpus with every ingestion pathology pinned (the JSONL analog
+#: of _DIRTY_CSV): an extra field (ignored), a missing field (typed
+#: NULL), a non-JSON line (quarantined verbatim), a type-mismatched field
+#: (PERMISSIVE marks the whole line corrupt -> quarantined), escaped
+#: quotes, and an empty string (preserved, not nulled).
+_DIRTY_JSONL = "\n".join(
+    [
+        '{"doc_id": 1, "text": "alpha beta"}',
+        '{"doc_id": 2, "text": "gamma", "extra": true}',
+        '{"doc_id": 3}',
+        "not json at all",
+        '{"doc_id": "x4", "text": "typed wrong"}',
+        '{"doc_id": 5, "text": "quoted \\"q\\" comma, ok"}',
+        '{"doc_id": 6, "text": ""}',
+    ]
+)
+
+_JSONL_CACHE: dict[str, str] = {}
+
+
+def _jsonl_paths() -> tuple[str, str]:
+    """Stage the static dirty JSONL once per process (sentinel key — the
+    content is sf-independent); returns (corpus_path, resink_dir)."""
+    key = "__static__"
+    if key not in _JSONL_CACHE:
+        d = tempfile.mkdtemp(prefix="bbt_dirty_jsonl_")
+        path = os.path.join(d, "corpus.jsonl")
+        with open(path, "w") as f:
+            f.write(_DIRTY_JSONL + "\n")
+        _JSONL_CACHE[key] = path
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    path = _JSONL_CACHE[key]
+    return path, os.path.join(os.path.dirname(path), "resunk")
+
+
+# Every cell pinned: the kept rows have survived a full read -> write ->
+# re-read cycle (write_jsonl omits NULL fields; the empty string must
+# come back as '' not NULL), the quarantined rows carry the offending
+# line VERBATIM.
+_JSONL_ORACLE = """
+SELECT * FROM (VALUES
+  ('kept',        CAST(1 AS BIGINT),    'alpha beta'),
+  ('kept',        CAST(2 AS BIGINT),    'gamma'),
+  ('kept',        CAST(3 AS BIGINT),    CAST(NULL AS VARCHAR)),
+  ('kept',        CAST(5 AS BIGINT),    'quoted "q" comma, ok'),
+  ('kept',        CAST(6 AS BIGINT),    ''),
+  ('quarantined', CAST(NULL AS BIGINT), 'not json at all'),
+  ('quarantined', CAST(NULL AS BIGINT),
+   '{"doc_id": "x4", "text": "typed wrong"}')
+) AS t(kind, doc_id, text)
+ORDER BY kind, doc_id
+"""
+
+
+@register("jsonl_corpus_roundtrip", oracle=_JSONL_ORACLE)
+def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus interchange path end to end (sources/jsonl.py
+    — the corpus-ingest analog of csv_dirty_parse): a JSONL landing file
+    with a non-JSON line and a type-mismatched line reads PERMISSIVE
+    with a quarantine output (bad lines kept VERBATIM for audit, never
+    silently dropped), the clean rows round-trip through write_jsonl ->
+    read_jsonl (NULL-field omission and empty-string preservation both
+    exercised), and every resulting cell is pinned by a VALUES oracle.
+    Scale: one streamed text scan per read — the from_json formulation
+    never caches the scan to split good/bad (the 100TB non-starter the
+    module exists to avoid)."""
+    from bbt_etl_dw_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src, resink = _jsonl_paths()
+    good, bad = read_jsonl(spark, src, schema)
+    write_jsonl(good, resink, partitions=1)
+    kept, requarantined = read_jsonl(spark, resink, schema)
+    # a lossy write would surface as rows moving to the re-read's
+    # quarantine — fold that output in so it cannot silently stay empty
+    out = (
+        kept.select(F.lit("kept").alias("kind"), "doc_id", "text")
+        .unionByName(
+            bad.select(
+                F.lit("quarantined").alias("kind"),
+                F.lit(None).cast("long").alias("doc_id"),
+                F.col("raw_line").alias("text"),
+            )
+        )
+        .unionByName(
+            requarantined.select(
+                F.lit("requarantined").alias("kind"),
+                F.lit(None).cast("long").alias("doc_id"),
+                F.col("raw_line").alias("text"),
+            )
+        )
+    )
+    return out.orderBy("kind", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# S4 at the reference's full shape: 6 dims + FactSales through Derby
+# --------------------------------------------------------------------------
+
+_FULL_STAR_CACHE: dict[str, str] = {}
+
+
+def _full_star_url(spark: SparkSession, sf_dir: str) -> str:
+    """Load (once per process+sf_dir) the reference's actual 7-table
+    warehouse shape (etl_load.py:38-61: DimCustomer, DimProduct,
+    DimStore, DimTaxRate, DimExchange, DimCalendar, FactSales) into an
+    embedded Derby star. The fact lands in TWO writes (overwrite +
+    append — the reference's accumulation mode); dims load once each."""
+    from bbt_etl_dw_spark.sources.jdbc import DERBY_DRIVER, jdbc_options, write_jdbc
+
+    if sf_dir in _FULL_STAR_CACHE:
+        return _FULL_STAR_CACHE[sf_dir]
+    d = tempfile.mkdtemp(prefix="bbt_jdbc_star_")
+    url = f"jdbc:derby:{d}/star;create=true"
+
+    def load(name: str, df: DataFrame, mode: str = "overwrite") -> None:
+        write_jdbc(
+            df, mode=mode, **jdbc_options(url, name, driver=DERBY_DRIVER)
+        )
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    prod = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    store = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    tax = table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_regionkey",
+        ((F.col("n_nationkey") % 5).cast("double") / F.lit(100.0)).alias(
+            "tax_rate"
+        ),
+    )
+    exch = table(spark, sf_dir, "region").select(
+        "r_regionkey",
+        (F.lit(1.0) + F.col("r_regionkey").cast("double") / F.lit(10.0)).alias(
+            "exch_rate"
+        ),
+    )
+    from pyspark.sql import Window
+
+    cal = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").alias("cal_date"))
+        .distinct()
+        .select(
+            "cal_date",
+            F.row_number()
+            .over(Window.orderBy("cal_date"))
+            .cast("long")
+            .alias("day_index"),
+        )
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    o = table(spark, sf_dir, "orders")
+    fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.col("o_custkey").alias("f_custkey"),
+        F.col("o_orderdate").alias("cal_date"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "amount"
+        ),
+    )
+    load("DimCustomer", cust)
+    load("DimProduct", prod)
+    load("DimStore", store)
+    load("DimTaxRate", tax)
+    load("DimExchange", exch)
+    load("DimCalendar", cal)
+    load("FactSales", fact.filter(F.col("l_orderkey") % 2 == 0))
+    load("FactSales", fact.filter(F.col("l_orderkey") % 2 == 1), mode="append")
+    _FULL_STAR_CACHE[sf_dir] = url
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return url
+
+
+# The oracle rebuilds the whole star from the raw tables with the exact
+# double expressions the staging computed BEFORE the JDBC write (Derby
+# DOUBLE round-trips bit-exactly), so any loss through the 8 writes or
+# the partitioned read-back — a dropped append slice, a duplicated
+# overwrite, timestamp/row damage — is a value mismatch.
+_FULL_STAR_ORACLE = f"""
+WITH cal AS (
+  SELECT cal_date, CAST(row_number() OVER (ORDER BY cal_date) AS BIGINT) AS day_index
+  FROM (SELECT DISTINCT o_orderdate AS cal_date FROM orders)
+)
+SELECT CAST(c.c_nationkey AS INT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_sales,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       {sql_dsum('(l.l_extendedprice * (1 - l.l_discount)) * (1.0 + (n.n_nationkey % 5) / 100.0)', 'taxed')},
+       {sql_dsum('(l.l_extendedprice * (1 - l.l_discount)) * (1.0 + r.r_regionkey / 10.0)', 'converted')},
+       CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands,
+       CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_stores,
+       CAST(MAX(cal.day_index) AS BIGINT) AS max_day
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN cal        ON o.o_orderdate = cal.cal_date
+WHERE l.l_orderkey % 5 = 0
+GROUP BY c.c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("jdbc_full_star_load", oracle=_FULL_STAR_ORACLE)
+def jdbc_full_star_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 at the reference's FULL star shape (etl_load.py:38-61): six
+    dimensions plus FactSales land in an embedded Derby warehouse (the
+    fact via overwrite + append, the reference's accumulation mode), all
+    seven read back — the fact through a partitioned parallel JDBC scan —
+    and the star joined and rolled up per customer nation. The oracle
+    rebuilds every dim and the fact from the raw parquet, so the taxed /
+    converted / calendar-index columns certify that each dimension's
+    values survived the warehouse round trip, not just the fact's.
+    Scale: dims broadcast; the fact read parallelizes on the key bounds;
+    the rollup is one hash aggregate."""
+    from bbt_etl_dw_spark.sources.jdbc import DERBY_DRIVER, jdbc_options, read_jdbc
+
+    url = _full_star_url(spark, sf_dir)
+
+    def dim(name: str) -> DataFrame:
+        return F.broadcast(
+            read_jdbc(spark, **jdbc_options(url, name, driver=DERBY_DRIVER))
+        )
+
+    fact = read_jdbc(
+        spark,
+        **jdbc_options(url, "FactSales", driver=DERBY_DRIVER),
+        partitionColumn="l_orderkey",
+        lowerBound="0",
+        upperBound="10000000",
+        numPartitions="4",
+    )
+    cust, prod, store = dim("DimCustomer"), dim("DimProduct"), dim("DimStore")
+    tax, exch, cal = dim("DimTaxRate"), dim("DimExchange"), dim("DimCalendar")
+    j = (
+        fact.join(cust, fact.f_custkey == cust.c_custkey)
+        .join(tax, cust.c_nationkey == tax.n_nationkey)
+        .join(exch, tax.n_regionkey == exch.r_regionkey)
+        .join(prod, fact.l_partkey == prod.p_partkey)
+        .join(store, fact.l_suppkey == store.s_suppkey)
+        .join(cal, "cal_date")
+    )
+    return (
+        j.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            dsum("amount", "revenue"),
+            dsum(F.col("amount") * (F.lit(1.0) + F.col("tax_rate")), "taxed"),
+            dsum(F.col("amount") * F.col("exch_rate"), "converted"),
+            F.countDistinct("p_brand").alias("n_brands"),
+            F.countDistinct("s_suppkey").alias("n_stores"),
+            F.max("day_index").alias("max_day"),
+        )
+        .orderBy("c_nationkey")
+    )
