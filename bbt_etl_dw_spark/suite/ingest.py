@@ -837,3 +837,284 @@ def jdbc_full_star_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming span-dedup ingest loop: three epochs, one replayed
+# --------------------------------------------------------------------------
+
+_SPAN_INGEST_CACHE: dict[str, str] = {}
+
+
+def _span_ingest_root(spark: SparkSession, sf_dir: str) -> str:
+    """Run the span-dedup ingest loop (streaming/ops.span_ingest_batch —
+    the exact function streaming_span_ingest's foreachBatch calls) over
+    three serial epochs split by ``doc_id % 3``, epoch 1 REPLAYED (the
+    stream-restart case: the spans and index partitions for the epoch are
+    dynamically overwritten, and the probe excludes the epoch's own
+    earlier digests so the replay detects the same spans)."""
+    from bbt_etl_dw_spark.streaming.ops import span_ingest_batch
+
+    if sf_dir in _SPAN_INGEST_CACHE:
+        return _SPAN_INGEST_CACHE[sf_dir]
+    root = tempfile.mkdtemp(prefix="bbt_span_ingest_")
+    spans, index = f"{root}/spans", f"{root}/index"
+    docs = table(spark, sf_dir, "documents", spread=True)
+    for epoch in (0, 1, 1, 2):  # 1 twice: replayed batch
+        batch = docs.filter(F.col("doc_id") % 3 == epoch)
+        span_ingest_batch(
+            batch, epoch, spans, index, n=8, idempotent=True
+        )
+    _SPAN_INGEST_CACHE[sf_dir] = root
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
+# Serial replay of the span ingest loop: a batch window (8 lower-cased
+# whitespace tokens, 16-hex md5 digest — byte-identical machinery to the
+# oracled doc_incremental_span_dedup) is duplicated iff its digest exists
+# in ANY earlier epoch's windows (the standing index holds every prior
+# batch's distinct digests) or in >=2 distinct docs of its own epoch;
+# duplicated windows then merge gaps-and-islands (break at pos >
+# prev + 8) into maximal spans.
+_SPAN_INGEST_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, doc_id % 3 AS epoch,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+win AS (
+  SELECT doc_id, epoch, CAST(i - 1 AS BIGINT) AS pos,
+         substring(md5(array_to_string(ws[i:i+7], ' ')), 1, 16) AS h
+  FROM (SELECT doc_id, epoch, ws, UNNEST(range(1, len(ws) - 6)) AS i FROM w)
+),
+dw AS (
+  SELECT b.doc_id, b.pos
+  FROM win b
+  WHERE EXISTS (SELECT 1 FROM win p WHERE p.h = b.h AND p.epoch < b.epoch)
+     OR EXISTS (SELECT 1 FROM win q WHERE q.h = b.h AND q.epoch = b.epoch
+                AND q.doc_id <> b.doc_id)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER win IS NULL OR pos > lag(pos) OVER win + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM dw WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+       MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
+FROM grp GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+@register("doc_span_ingest_corpus", oracle=_SPAN_INGEST_ORACLE)
+def doc_span_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming span-dedup ingest loop end to end with driver
+    evidence (streaming/ops.span_ingest_batch — the body of
+    streaming_span_ingest's foreachBatch): documents arrive in three
+    serial epochs, epoch 1 is replayed (exactly-once: its spans and
+    index partitions are dynamically overwritten, and the probe excludes
+    the epoch's own earlier attempt), each batch probes only the
+    digest-only standing index — corpus text is never re-read. The
+    oracle replays the window digests and the epoch-serial duplication
+    rule; a duplicated replay, a self-colliding retry, or a wrong index
+    probe all change the detected span set. Scale: O(batch) per append,
+    the standing state is the compact digest index only."""
+    from bbt_etl_dw_spark.streaming.ops import read_epoch_sink
+
+    root = _span_ingest_root(spark, sf_dir)
+    spans = read_epoch_sink(spark, f"{root}/spans")
+    return spans.select(
+        "doc_id", "span_start", "span_end", "span_tokens"
+    ).orderBy("doc_id", "span_start")
+
+
+# --------------------------------------------------------------------------
+# Streaming semantic-dedup ingest loop: three epochs, one replayed
+# --------------------------------------------------------------------------
+
+#: Frozen literal centroids for the ingest loop (8 stride-one-hot 64-d
+#: vectors): centroid j is 1.0 at dims i ≡ j (mod 8), 0.0 elsewhere —
+#: deterministic, engine-independent, and replayable as a SQL CTE. The
+#: production regime is the same: centroids are plan literals frozen
+#: across appends (retraining is a scheduled compaction).
+_SEM_CENTROIDS = [
+    [1.0 if i % 8 == j else 0.0 for i in range(64)] for j in range(8)
+]
+_SEM_THRESHOLD = 0.25
+
+_SEM_INGEST_CACHE: dict[str, str] = {}
+
+
+def _semantic_ingest_root(spark: SparkSession, sf_dir: str) -> str:
+    """Run the semantic-dedup ingest loop (streaming/ops.
+    semantic_ingest_batch — the body of streaming_semantic_ingest's
+    foreachBatch) over three serial epochs split by ``vec_id % 3``,
+    epoch 1 REPLAYED (exactly-once: per-epoch dynamic partition
+    overwrite + the probe excluding the epoch's own earlier attempt)."""
+    from bbt_etl_dw_spark.streaming.ops import semantic_ingest_batch
+
+    if sf_dir in _SEM_INGEST_CACHE:
+        return _SEM_INGEST_CACHE[sf_dir]
+    root = tempfile.mkdtemp(prefix="bbt_sem_ingest_")
+    corpus, index = f"{root}/corpus", f"{root}/index"
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "embedding"
+    )
+    for epoch in (0, 1, 1, 2):  # 1 twice: replayed batch
+        batch = emb.filter(F.col("vec_id") % 3 == epoch)
+        semantic_ingest_batch(
+            batch,
+            epoch,
+            corpus,
+            index,
+            centroids=_SEM_CENTROIDS,
+            threshold=_SEM_THRESHOLD,
+            idempotent=True,
+        )
+    _SEM_INGEST_CACHE[sf_dir] = root
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
+# Serial replay of the SemDeDup ingest survival rule: near-dup pairs are
+# same-assigned-cluster pairs at exact-decimal cosine >= threshold
+# (native-double sequential-fold prescreen at threshold - 1e-6 — a
+# prescreen may only ADMIT extra pairs; the exact finish decides), and a
+# batch vector is dropped iff it near-dups a PRIOR-EPOCH SURVIVOR (the
+# index holds survivors only) or a smaller-id vector of its own epoch.
+_SEM_INGEST_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(c AS INT) AS cid,
+         list_transform(range(0, 64), i -> CASE WHEN i % 8 = CAST(c AS INT)
+                        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS ce
+  FROM range(0, 8) t(c)
+),
+v AS (
+  SELECT vec_id, vec_id % 3 AS epoch,
+         list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+),
+d AS (
+  SELECT v.vec_id, v.epoch, c.cid,
+         list_reduce(list_transform(range(1, len(v.e)+1),
+           i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])), (a,b) -> a + b) AS dist
+  FROM v CROSS JOIN cents c
+),
+a AS (
+  SELECT vec_id, epoch, cid FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+prods AS (
+  SELECT vec_id, UNNEST(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS p
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(CAST(SUM(TRY_CAST(CAST(p AS VARCHAR) AS DECIMAL(35,18))) AS VARCHAR) AS DOUBLE)) AS nrm
+  FROM prods GROUP BY vec_id
+),
+screened AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM v x JOIN a ax ON ax.vec_id = x.vec_id
+  JOIN v y ON x.vec_id < y.vec_id
+  JOIN a ay ON ay.vec_id = y.vec_id AND ay.cid = ax.cid
+  JOIN norms nx ON nx.vec_id = x.vec_id
+  JOIN norms ny ON ny.vec_id = y.vec_id
+  WHERE list_reduce(list_transform(range(1, len(x.e)+1), i -> x.e[i] * y.e[i]),
+                    (p, q) -> p + q)
+        / (nx.nrm * ny.nrm) >= {_SEM_THRESHOLD} - 1e-6
+),
+pairprods AS (
+  SELECT s.id_a, s.id_b,
+         UNNEST(list_transform(range(1, 65), i -> ea.e[i] * eb.e[i])) AS p
+  FROM screened s
+  JOIN v ea ON ea.vec_id = s.id_a
+  JOIN v eb ON eb.vec_id = s.id_b
+),
+dots AS (
+  SELECT id_a, id_b,
+         CAST(CAST(SUM(TRY_CAST(CAST(p AS VARCHAR) AS DECIMAL(35,18))) AS VARCHAR) AS DOUBLE) AS dot
+  FROM pairprods GROUP BY id_a, id_b
+),
+pairs AS (
+  SELECT d.id_a, d.id_b FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+  WHERE d.dot / (na.nrm * nb.nrm) >= {_SEM_THRESHOLD}
+),
+nbrs AS (
+  SELECT id_a AS x, id_b AS y FROM pairs
+  UNION ALL
+  SELECT id_b AS x, id_a AS y FROM pairs
+),
+e0 AS (SELECT vec_id FROM v WHERE epoch = 0),
+e1 AS (SELECT vec_id FROM v WHERE epoch = 1),
+e2 AS (SELECT vec_id FROM v WHERE epoch = 2),
+s0 AS (
+  SELECT d.vec_id FROM e0 d
+  WHERE NOT EXISTS (SELECT 1 FROM nbrs n JOIN e0 p ON p.vec_id = n.y
+                    WHERE n.x = d.vec_id AND n.y < d.vec_id)
+),
+s1 AS (
+  SELECT d.vec_id FROM e1 d
+  WHERE NOT EXISTS (SELECT 1 FROM nbrs n JOIN s0 p ON p.vec_id = n.y
+                    WHERE n.x = d.vec_id)
+    AND NOT EXISTS (SELECT 1 FROM nbrs n JOIN e1 p ON p.vec_id = n.y
+                    WHERE n.x = d.vec_id AND n.y < d.vec_id)
+),
+s2 AS (
+  SELECT d.vec_id FROM e2 d
+  WHERE NOT EXISTS (SELECT 1 FROM nbrs n JOIN s0 p ON p.vec_id = n.y
+                    WHERE n.x = d.vec_id)
+    AND NOT EXISTS (SELECT 1 FROM nbrs n JOIN s1 p ON p.vec_id = n.y
+                    WHERE n.x = d.vec_id)
+    AND NOT EXISTS (SELECT 1 FROM nbrs n JOIN e2 p ON p.vec_id = n.y
+                    WHERE n.x = d.vec_id AND n.y < d.vec_id)
+),
+surv AS (
+  SELECT vec_id FROM s0 UNION ALL SELECT vec_id FROM s1
+  UNION ALL SELECT vec_id FROM s2
+)
+SELECT s.vec_id, a.cid AS cluster_id, n.nrm AS l2_norm
+FROM surv s
+JOIN a ON a.vec_id = s.vec_id
+JOIN norms n ON n.vec_id = s.vec_id
+ORDER BY s.vec_id
+"""
+
+
+@register("embedding_semantic_ingest_corpus", oracle=_SEM_INGEST_ORACLE)
+def embedding_semantic_ingest_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming semantic-dedup (SemDeDup) ingest loop end to end
+    with driver evidence (streaming/ops.semantic_ingest_batch — the body
+    of streaming_semantic_ingest's foreachBatch): embedding batches
+    arrive in three serial epochs under FROZEN literal centroids, epoch
+    1 is replayed (exactly-once via per-epoch dynamic partition
+    overwrite + the probe excluding the epoch's own earlier attempt),
+    each batch probes only the persisted assigned index in the clusters
+    it lands in. The oracle replays centroid assignment, the prescreen +
+    exact-decimal cosine, and the serial survival rule; the read-back
+    cluster ids and norms certify the surviving vectors' CONTENT made it
+    through the corpus sink intact. Scale: O(batch x touched clusters)
+    per append; centroids are plan literals, never per-batch state."""
+    from bbt_etl_dw_spark.operators.similarity import assign_centroid, norm_expr
+    from bbt_etl_dw_spark.streaming.ops import read_epoch_sink
+
+    root = _semantic_ingest_root(spark, sf_dir)
+    corpus = read_epoch_sink(spark, f"{root}/corpus")
+    v = F.col("embedding").cast("array<double>")
+    return corpus.select(
+        "vec_id",
+        assign_centroid(v, _SEM_CENTROIDS).alias("cluster_id"),
+        norm_expr(v).alias("l2_norm"),
+    ).orderBy("vec_id")
