@@ -231,3 +231,297 @@ def events_epoch_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Medallion snapshot write/read (sources/parquet.write_snapshot) — S2's
+# dynamic-overwrite day-partition contract with a pruning gate
+# --------------------------------------------------------------------------
+
+_SNAPSHOT_ROOT_CACHE: dict[str, str] = {}
+
+
+def _snapshot_root(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per process+sf_dir) a two-day medallion table: day1 =
+    the full events table, day2 = the even-event_id refresh — and RE-RUN
+    the day2 write (the re-run-a-day case: dynamic partition overwrite
+    must replace that day only, never append to it or touch day1)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bbt_etl_dw_spark.sources.parquet import write_snapshot
+
+    if sf_dir in _SNAPSHOT_ROOT_CACHE:
+        return _SNAPSHOT_ROOT_CACHE[sf_dir]
+    root = tempfile.mkdtemp(prefix="bbt_medallion_")
+    ev = table(spark, sf_dir, "events")
+    write_snapshot(ev, root, "bronze", "events", "day1")
+    sub = ev.filter(F.col("event_id") % 2 == 0)
+    write_snapshot(sub, root, "bronze", "events", "day2")
+    write_snapshot(sub, root, "bronze", "events", "day2")  # re-run
+    _SNAPSHOT_ROOT_CACHE[sf_dir] = root
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
+_SNAPSHOT_ORACLE = f"""
+SELECT 'day1' AS snapshot_date,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_dsum('value', 'total_value')},
+       TRUE AS pruned_ok
+FROM events
+UNION ALL
+SELECT 'day2',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       {sql_dsum('value', 'total_value')},
+       TRUE
+FROM events WHERE event_id % 2 = 0
+ORDER BY snapshot_date
+"""
+
+
+@register("snapshot_write_roundtrip", oracle=_SNAPSHOT_ORACLE)
+def snapshot_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2's snapshot layout end to end (sources/parquet.write_snapshot /
+    read_snapshot — the engine's answer to the reference's date-named
+    full-rewrite dirs, etl_extract.py:42): two snapshot days land via
+    dynamic partition overwrite, day2 is WRITTEN TWICE (re-running a day
+    must replace that day, not append), and the per-day aggregate over
+    the read-back must equal the oracle's direct aggregate — a re-run
+    that appended doubles day2, one that clobbered the table loses day1.
+    The day-pinned read must prune: the builder RAISES unless the
+    snapshot_date filter reaches the scan as a PartitionFilter, so this
+    row is green only if partition pruning actually happened (the 100TB
+    point of the layout). ``pruned_ok`` carries that gate's outcome."""
+    from bbt_etl_dw_spark.sources.parquet import read_snapshot
+
+    root = _snapshot_root(spark, sf_dir)
+    # partition-pruning gate on the day-pinned read (the
+    # ann_ivf_partitioned_topk pattern): built once per call, cheap.
+    pruned = read_snapshot(spark, root, "bronze", "events", "day2")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: [" not in plan or "snapshot_date" not in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]:
+        raise AssertionError(
+            "snapshot_date filter did not reach the scan as a "
+            f"PartitionFilter:\n{plan}"
+        )
+    full = read_snapshot(spark, root, "bronze", "events")
+    return (
+        full.groupBy("snapshot_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "total_value"),
+        )
+        .withColumn("pruned_ok", F.lit(True))
+        .orderBy("snapshot_date")
+    )
+
+
+# --------------------------------------------------------------------------
+# Size-targeted compaction round trip (sources/compact.compact_to_target)
+# --------------------------------------------------------------------------
+
+_COMPACT_CACHE: dict[str, str] = {}
+
+
+def _compacted_path(spark: SparkSession, sf_dir: str) -> str:
+    """Compact (once per process+sf_dir) the lineitem table into
+    size-targeted, l_orderkey-range-clustered files and VERIFY the
+    physical layout contract before any reader sees it:
+
+    - the on-disk data file count equals the count compact_to_target
+      chose (a silent coalesce/write mismatch would break the sizing);
+    - per-file [min, max] l_orderkey ranges are pairwise disjoint (the
+      sort_by clustering that makes parquet footer stats selective —
+      an interleaved layout silently loses the skipping).
+
+    Violations RAISE here, so the registered builder's pinned
+    files_ok/layout_ok flags are honest."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bbt_etl_dw_spark.sources.compact import compact_to_target
+
+    if sf_dir in _COMPACT_CACHE:
+        return _COMPACT_CACHE[sf_dir]
+    root = tempfile.mkdtemp(prefix="bbt_compacted_")
+    dst = f"{root}/lineitem"
+    li = table(spark, sf_dir, "lineitem")
+    n_files = compact_to_target(li, dst, target_file_mb=1, sort_by="l_orderkey")
+    got = spark.read.parquet(dst)
+    actual = len(got.inputFiles())
+    if actual != n_files:
+        raise AssertionError(
+            f"compact_to_target chose {n_files} files but wrote {actual}"
+        )
+    # bounded collect: one row per output FILE (n_files rows)
+    spans = sorted(
+        got.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx"))
+        .collect(),
+        key=lambda r: (r["mn"], r["mx"]),
+    )
+    overlaps = sum(
+        1 for prev, cur in zip(spans, spans[1:]) if cur["mn"] < prev["mx"]
+    )
+    if overlaps:
+        raise AssertionError(
+            f"range clustering violated: {overlaps} file-range interleavings"
+        )
+    _COMPACT_CACHE[sf_dir] = dst
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return dst
+
+
+_COMPACT_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+       {sql_dsum('l_extendedprice', 'price_sum')},
+       {sql_dsum('l_quantity', 'qty_sum')},
+       TRUE AS files_ok,
+       TRUE AS layout_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("compacted_layout_roundtrip", oracle=_COMPACT_ORACLE)
+def compacted_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files maintenance pass end to end (sources/compact.
+    compact_to_target): lineitem rewritten into size-targeted files
+    range-clustered on l_orderkey, with the physical contract gated at
+    staging — file count must equal the sizing decision, per-file key
+    ranges must be pairwise disjoint (the footer-stats clustering the
+    rewrite exists to produce; staging RAISES otherwise, so the pinned
+    files_ok/layout_ok flags are honest) — then aggregated and compared
+    against the oracle's direct aggregate over the raw table: the
+    rewrite must move every row exactly once. Scale: sizing is one
+    sampled-width estimate + one count, the rewrite one range shuffle;
+    at 100TB this is the compaction cadence that keeps scan cost
+    per-file-bounded."""
+    dst = _compacted_path(spark, sf_dir)
+    return (
+        spark.read.parquet(dst)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("l_orderkey").alias("max_key"),
+            dsum("l_extendedprice", "price_sum"),
+            dsum("l_quantity", "qty_sum"),
+        )
+        .withColumn("files_ok", F.lit(True))
+        .withColumn("layout_ok", F.lit(True))
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Publish retention lifecycle: N snapshots -> GC -> audit view survives
+# --------------------------------------------------------------------------
+
+_GC_ROOT_CACHE: dict[str, dict] = {}
+
+
+def _gc_lifecycle_state(spark: SparkSession, sf_dir: str) -> dict:
+    """Stage (once per process+sf_dir) a three-snapshot warehouse plus
+    one PLANTED ORPHAN staging dir (a crashed publisher's leftovers),
+    run gc_published(keep_last=2, min_age_seconds=0), and record the
+    observable lifecycle facts. The registered builder only reads the
+    recorded state + the SURVIVING snapshots."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bbt_etl_dw_spark.sources.publish import gc_published, publish_tables
+
+    if sf_dir in _GC_ROOT_CACHE:
+        return _GC_ROOT_CACHE[sf_dir]
+    root = tempfile.mkdtemp(prefix="bbt_publish_gc_")
+    o = table(spark, sf_dir, "orders")
+
+    def rollup(pred) -> DataFrame:
+        return (
+            o.filter(pred)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+
+    v1 = publish_tables({"fact": rollup(F.col("o_orderkey") % 3 == 0)}, root)
+    v2 = publish_tables(
+        {"fact": rollup(F.col("o_orderkey") % 2 == 0)}, root, expected_version=v1
+    )
+    v3 = publish_tables(
+        {"fact": rollup(F.lit(True))}, root, expected_version=v2
+    )
+    assert (v1, v2, v3) == (1, 2, 3)
+    # a crashed publisher's never-referenced staging dir: deletable once
+    # aged (min_age_seconds=0 forces "aged" in this known-quiet root)
+    o.limit(1).write.parquet(f"{root}/fact/v99-deadbeef")
+    deleted = gc_published(spark, root, keep_last=2, min_age_seconds=0.0)
+    state = {"root": root, "deleted": deleted}
+    _GC_ROOT_CACHE[sf_dir] = state
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return state
+
+
+_GC_ORACLE = """
+SELECT metric, value FROM (
+  SELECT 'current_version' AS metric, CAST(3 AS BIGINT) AS value
+  UNION ALL SELECT 'deleted_dirs', CAST(2 AS BIGINT)
+  UNION ALL SELECT 'live_snapshots', CAST(2 AS BIGINT)
+  UNION ALL SELECT 'v2_total_orders',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 2 = 0)
+  UNION ALL SELECT 'v3_total_orders',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+) ORDER BY metric
+"""
+
+
+@register("publish_gc_lifecycle", oracle=_GC_ORACLE)
+def publish_gc_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publish root's retention lifecycle end to end
+    (sources/publish.gc_published + list_snapshots): three committed
+    snapshots plus a planted orphan staging dir, then GC with
+    keep_last=2 — exactly the superseded v1 data dir and the orphan are
+    removed (deleted_dirs pins the count: one more means GC ate a kept
+    snapshot, one less means retention leaks), the audit view shows
+    exactly v2 and v3, and BOTH survivors remain readable: their
+    re-aggregated totals must equal the oracle's direct counts over
+    orders (v2 = the even-key refresh, v3 = the full refresh — time
+    travel to the pre-GC boundary survives). Scale: GC reads manifests
+    and directory listings only, never data files."""
+    from bbt_etl_dw_spark.sources.publish import (
+        current_version,
+        list_snapshots,
+        read_published,
+    )
+
+    st = _gc_lifecycle_state(spark, sf_dir)
+    root = st["root"]
+    snaps = list_snapshots(spark, root)
+
+    def total(version: int):
+        return read_published(spark, root, "fact", version=version).agg(
+            F.sum("n_orders").cast("long").alias("v")
+        )
+
+    fixed = spark.createDataFrame(
+        [
+            ("current_version", int(current_version(spark, root))),
+            ("deleted_dirs", int(st["deleted"])),
+            ("live_snapshots", len(snaps)),
+        ],
+        schema="metric string, value long",
+    )
+    v2 = total(2).select(F.lit("v2_total_orders").alias("metric"), F.col("v").alias("value"))
+    v3 = total(3).select(F.lit("v3_total_orders").alias("metric"), F.col("v").alias("value"))
+    return fixed.unionByName(v2).unionByName(v3).orderBy("metric")
