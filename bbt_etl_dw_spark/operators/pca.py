@@ -176,14 +176,20 @@ def pca_components(df: DataFrame, vec_col: str, k: int):
     return means, comps, eigs
 
 
-def pca_project(
-    df: DataFrame, vec_col: str, k: int, id_col: str = "vec_id"
+def project_components(
+    df: DataFrame,
+    vec_col: str,
+    means: list[float],
+    comps: list[list[float]],
+    id_col: str = "vec_id",
 ) -> DataFrame:
-    """Project each vector onto the top-k principal components: output
-    (id_col, pc0..pc{k-1}). Components and means inline as literal
-    arrays — the projection is a zip_with fold per component, zero
-    Python on the hot path (the random_projection pattern)."""
-    means, comps, _ = pca_components(df, vec_col, k)
+    """Project each vector onto PRE-FITTED components: output (id_col,
+    pc0..pc{k-1}). Components and means inline as literal arrays — the
+    projection is a zip_with fold per component, zero Python on the hot
+    path (the random_projection pattern). Split from :func:`pca_project`
+    so callers that already hold the model (invariant checks, resumed
+    pipelines, train-once/apply-many flows) pay no second covariance
+    pass."""
     v = F.col(vec_col).cast("array<double>")
     mean_lit = F.array(*[F.lit(m) for m in means])
     centered = F.zip_with(v, mean_lit, lambda x, m: x - m)
@@ -195,3 +201,12 @@ def pca_project(
             F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x).alias(f"pc{p}")
         )
     return df.select(F.col(id_col), *cols)
+
+
+def pca_project(
+    df: DataFrame, vec_col: str, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Fit-and-project convenience: top-k components from the exact
+    covariance pass, then :func:`project_components`."""
+    means, comps, _ = pca_components(df, vec_col, k)
+    return project_components(df, vec_col, means, comps, id_col)

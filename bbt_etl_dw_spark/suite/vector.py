@@ -1041,7 +1041,8 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from bbt_etl_dw_spark.operators.pca import (
     covariance_matrix,
-    pca_project,
+    pca_components,
+    project_components,
     sql_covariance_ctes,
 )
 
@@ -1069,17 +1070,126 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_matrix(emb, "embedding").orderBy("dim_i", "dim_j")
 
 
-@register("embedding_pca_projection", oracle=None)
+# VERDICT r11 stretch #7: this row was the registry's last rows-only
+# float query. The LAPACK eigendecomposition itself stays non-replayable
+# (libm-class drift), but the PROJECTION obeys exact linear-algebra
+# contracts against the bit-exact-oracled covariance twin — so the query
+# now verifies those contracts IN SPARK with tolerances and pins the
+# check/violation counts (plus the projected row count) with an oracle.
+_PCA_K = 4
+
+_PCA_INVARIANT_ORACLE = """
+SELECT chk, CAST(n_checks AS BIGINT) AS n_checks,
+       CAST(n_violations AS BIGINT) AS n_violations
+FROM (VALUES
+  ('component_orthonormal',                  10, 0),
+  ('eigenvalues_descending',                  3, 0),
+  ('projection_variance_matches_eigenvalue',  4, 0),
+  ('projections_uncorrelated',                6, 0),
+  ('reconstruction_error_matches_tail',       1, 0),
+  ('sign_convention',                         4, 0)
+) t(chk, n_checks, n_violations)
+UNION ALL
+SELECT 'projected_rows', (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings),
+       CAST(0 AS BIGINT)
+ORDER BY chk
+"""
+
+
+@register("embedding_pca_projection", oracle=_PCA_INVARIANT_ORACLE)
 def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-4 principal-component projection of the embeddings (rows-only
-    driver check: the LAPACK eigendecomposition is not SQL-replayable —
-    libm-class drift — but its INPUT is the bit-exact oracled
-    embedding_covariance, and the components obey pytest properties:
-    orthonormal, descending explained variance matching the projected
-    sample variance, deterministic sign convention). Projection inlines
-    components as literal arrays: zero Python per row."""
+    """Top-4 PCA projection verified by CONTRACT (VERDICT r11 #7 — was
+    the last rows-only float query): the eigendecomposition's input is
+    the bit-exact-oracled embedding_covariance, and the projection must
+    satisfy the exact linear-algebra identities that follow —
+    components orthonormal (driver-side, d×k), eigenvalues descending,
+    the deterministic sign convention, each projected coordinate's
+    sample variance equal to its eigenvalue, distinct coordinates
+    uncorrelated, and the rank-k reconstruction error equal to
+    (n-1)·(trace − Σ top-k eigenvalues) — every identity
+    tolerance-checked (rel 1e-6, ~7 orders above double noise) over the
+    DISTRIBUTED projection, with check/violation counts and the corpus
+    row count pinned by the oracle. A wrong component, a biased
+    centering, or a damaged projection breaks an identity and reds the
+    row. Scale: one covariance pass + one narrow projection pass; the
+    only driver state is d×d."""
     emb = table(spark, sf_dir, "embeddings", spread=True)
-    return pca_project(emb, "embedding", k=4).orderBy("vec_id")
+    means, comps, eigs = pca_components(emb, "embedding", k=64)
+    top_c, top_e = comps[:_PCA_K], eigs[:_PCA_K]
+    trace = sum(eigs)  # eigh of the full matrix: trace == Σ all eigenvalues
+
+    # -- driver-side identities (d×k floats, bounded) --
+    orth_viol = 0
+    for i in range(_PCA_K):
+        for j in range(i, _PCA_K):
+            dot = sum(a * b for a, b in zip(top_c[i], top_c[j]))
+            if abs(dot - (1.0 if i == j else 0.0)) > 1e-10:
+                orth_viol += 1
+    desc_viol = sum(
+        1 for i in range(_PCA_K - 1) if top_e[i] < top_e[i + 1] - 1e-12
+    )
+    sign_viol = 0
+    for comp in top_c:
+        jmax = max(range(len(comp)), key=lambda idx: abs(comp[idx]))
+        if comp[jmax] < 0:
+            sign_viol += 1
+
+    # -- distributed identities over the projection --
+    proj = project_components(emb, "embedding", means, top_c)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in range(_PCA_K):
+        aggs.append(F.sum(F.col(f"pc{p}")).alias(f"s{p}"))
+        aggs.append(F.sum(F.col(f"pc{p}") * F.col(f"pc{p}")).alias(f"ss{p}"))
+    for i in range(_PCA_K):
+        for j in range(i + 1, _PCA_K):
+            aggs.append(
+                F.sum(F.col(f"pc{i}") * F.col(f"pc{j}")).alias(f"sx{i}_{j}")
+            )
+    v = F.col("embedding").cast("array<double>")
+    mean_lit = F.array(*[F.lit(m) for m in means])
+    energy_col = F.aggregate(
+        F.zip_with(v, mean_lit, lambda x, m: (x - m) * (x - m)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    stats = (
+        proj.join(emb.select("vec_id", "embedding"), "vec_id")
+        .agg(*aggs, F.sum(energy_col).alias("energy"))
+        .collect()[0]  # ONE bounded row: 2k + k(k-1)/2 + 2 doubles
+    )
+    n = stats["n"]
+    var_viol = 0
+    for p in range(_PCA_K):
+        var = (stats[f"ss{p}"] - stats[f"s{p}"] ** 2 / n) / (n - 1)
+        if abs(var - top_e[p]) > 1e-6 * max(abs(top_e[p]), 1e-12):
+            var_viol += 1
+    cov_viol = 0
+    for i in range(_PCA_K):
+        for j in range(i + 1, _PCA_K):
+            cov = (
+                stats[f"sx{i}_{j}"] - stats[f"s{i}"] * stats[f"s{j}"] / n
+            ) / (n - 1)
+            tol = 1e-6 * ((top_e[i] * top_e[j]) ** 0.5 + 1e-12)
+            if abs(cov) > tol:
+                cov_viol += 1
+    resid_data = stats["energy"] - sum(stats[f"ss{p}"] for p in range(_PCA_K))
+    resid_theory = (n - 1) * (trace - sum(top_e))
+    recon_viol = int(
+        abs(resid_data - resid_theory) > 1e-6 * max((n - 1) * trace, 1e-12)
+    )
+
+    rows = [
+        ("component_orthonormal", 10, orth_viol),
+        ("eigenvalues_descending", 3, desc_viol),
+        ("projected_rows", int(n), 0),
+        ("projection_variance_matches_eigenvalue", _PCA_K, var_viol),
+        ("projections_uncorrelated", 6, cov_viol),
+        ("reconstruction_error_matches_tail", 1, recon_viol),
+        ("sign_convention", _PCA_K, sign_viol),
+    ]
+    return spark.createDataFrame(
+        rows, schema="chk string, n_checks long, n_violations long"
+    ).orderBy("chk")
 
 
 # --- Johnson-Lindenstrauss random projection --------------------------------
