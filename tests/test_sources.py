@@ -456,3 +456,38 @@ def test_read_resilient_survives_corrupt_file(spark, tmp_path):
     assert 0 < got < 1000          # the corrupt file's rows are gone...
     assert report["files"] == 4    # ...and the shrinkage is observable
     assert df.selectExpr("max(v - 2*id)").first()[0] == 0  # intact rows correct
+
+
+def test_write_jsonl_shuffle_variant_same_data(spark, tmp_path):
+    """write_jsonl(shuffle=True) repartitions instead of coalescing (the
+    heavy-narrow-upstream case): same rows, same requested file count —
+    only the exchange strategy differs."""
+    import glob
+
+    from pyspark.sql import types as T
+
+    from bbt_etl_dw_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    for shuffle in (False, True):
+        out = str(tmp_path / f"out_{shuffle}")
+        write_jsonl(df, out, partitions=2, shuffle=shuffle)
+        files = [
+            f
+            for f in glob.glob(f"{out}/part-*")
+            if not f.endswith(".crc")
+        ]
+        assert len(files) == 2
+        back, bad = read_jsonl(spark, out, schema)
+        assert bad.count() == 0
+        assert {(r.doc_id, r.text) for r in back.collect()} == {
+            (i, str(i)) for i in range(100)
+        }
