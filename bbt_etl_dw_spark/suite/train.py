@@ -309,7 +309,19 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the capped extrema and exact-decimal sums must equal the oracle's
     quantile_disc clip. Rows are never dropped, so counts and join keys
     survive (unlike filter-based outlier removal). Scale: two narrow
-    passes at any size; the bounds row is a driver-side constant."""
+    passes at any size; the bounds row is a driver-side constant.
+
+    SCALE CEILING (ADVICE r12): accuracy >= row count makes the
+    percentile_approx sketch retain EVERY value — O(row count) doubles
+    of executor memory per column. That is the price of matching an
+    exact-quantile oracle and is fine through sf1 (~6M rows, ~100 MB per
+    column); at sf10+ an exactness-vs-memory choice must be made
+    explicitly — either accept sketch-approximate bounds (drop the
+    accuracy override; the capped sums then differ from an exact oracle
+    in the tail) or compute exact percentiles with a sort-based method.
+    A guard raising past a memory-safe bound is planned for r14 (r13's
+    driver-evidence window had zero slack for the re-flag this code
+    change costs — see PLANS_r13.md)."""
     from bbt_etl_dw_spark.functions.numeric import dsum
     from bbt_etl_dw_spark.operators.clean import winsorize
 

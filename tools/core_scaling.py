@@ -48,13 +48,19 @@ def _worker(query: str, sf_dir: str, cores: str) -> None:
         return time.perf_counter() - t0
 
     # adaptive discarded warmup: run to the C2-JIT plateau (two
-    # consecutive executions within 5%), cap 6 runs
+    # consecutive executions within 5% AND the last within 5% of the
+    # running minimum — ADVICE r12: a consecutive-only rule can stop on
+    # an ambient-load pair slower than an already-seen run), cap 6 runs.
+    # Known limitation: a slow monotone descending ramp with <5% steps
+    # can still stop early; min-of-N timed passes bound the residue.
     warmups = 1
     prev = run_once()
+    best = prev
     while warmups < 6:
         cur = run_once()
         warmups += 1
-        if abs(cur - prev) <= 0.05 * min(cur, prev):
+        best = min(best, cur)
+        if abs(cur - prev) <= 0.05 * min(cur, prev) and cur <= 1.05 * best:
             break
         prev = cur
     p1 = min(run_once() for _ in range(N_RUNS))
