@@ -26,6 +26,18 @@ from bbt_etl_dw_spark.catalog import table
 from bbt_etl_dw_spark.functions.numeric import dsum, sql_dsum
 from bbt_etl_dw_spark.suite import register
 
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp with the rmtree cleanup registered IMMEDIATELY, before any
+    staging work runs (ADVICE r12: registering atexit only after staging
+    fully succeeds leaks the dir — and for the Derby star, an open
+    embedded-database instance — for the process lifetime whenever one
+    of the staging steps fails mid-way). Callers still cache the path
+    only on success, so a failed stage is retried from scratch."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
 # --------------------------------------------------------------------------
 # S1: dirty CSV — duplicate headers, ragged rows, quoted commas/quotes
 # --------------------------------------------------------------------------
@@ -685,7 +697,7 @@ def _full_star_url(spark: SparkSession, sf_dir: str) -> str:
 
     if sf_dir in _FULL_STAR_CACHE:
         return _FULL_STAR_CACHE[sf_dir]
-    d = tempfile.mkdtemp(prefix="bbt_jdbc_star_")
+    d = _scratch_dir("bbt_jdbc_star_")
     url = f"jdbc:derby:{d}/star;create=true"
 
     def load(name: str, df: DataFrame, mode: str = "overwrite") -> None:
@@ -749,7 +761,6 @@ def _full_star_url(spark: SparkSession, sf_dir: str) -> str:
     load("FactSales", fact.filter(F.col("l_orderkey") % 2 == 0))
     load("FactSales", fact.filter(F.col("l_orderkey") % 2 == 1), mode="append")
     _FULL_STAR_CACHE[sf_dir] = url
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
     return url
 
 
@@ -857,7 +868,7 @@ def _span_ingest_root(spark: SparkSession, sf_dir: str) -> str:
 
     if sf_dir in _SPAN_INGEST_CACHE:
         return _SPAN_INGEST_CACHE[sf_dir]
-    root = tempfile.mkdtemp(prefix="bbt_span_ingest_")
+    root = _scratch_dir("bbt_span_ingest_")
     spans, index = f"{root}/spans", f"{root}/index"
     docs = table(spark, sf_dir, "documents", spread=True)
     for epoch in (0, 1, 1, 2):  # 1 twice: replayed batch
@@ -866,7 +877,6 @@ def _span_ingest_root(spark: SparkSession, sf_dir: str) -> str:
             batch, epoch, spans, index, n=8, idempotent=True
         )
     _SPAN_INGEST_CACHE[sf_dir] = root
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
     return root
 
 
@@ -963,7 +973,7 @@ def _semantic_ingest_root(spark: SparkSession, sf_dir: str) -> str:
 
     if sf_dir in _SEM_INGEST_CACHE:
         return _SEM_INGEST_CACHE[sf_dir]
-    root = tempfile.mkdtemp(prefix="bbt_sem_ingest_")
+    root = _scratch_dir("bbt_sem_ingest_")
     corpus, index = f"{root}/corpus", f"{root}/index"
     emb = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", "embedding"
@@ -980,7 +990,6 @@ def _semantic_ingest_root(spark: SparkSession, sf_dir: str) -> str:
             idempotent=True,
         )
     _SEM_INGEST_CACHE[sf_dir] = root
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
     return root
 
 

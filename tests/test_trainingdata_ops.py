@@ -358,13 +358,26 @@ def test_sample_frames(spark):
 
 
 def test_cardinality_sketch_error_bound(spark, sf_dir):
+    # r13: the query now emits the bound CHECK itself (within_bound) at
+    # per-status grains PLUS the rollup 'ALL' grain; exact counts are
+    # oracle-pinned by the driver. Here: every grain within bound, the
+    # rollup row present exactly once, and statuses mutually exclusive.
     from bbt_etl_dw_spark.suite import load_all
 
     rows = load_all()["customer_cardinality_sketch"].builder(spark, sf_dir).collect()
     assert rows
+    by_status = {r["o_orderstatus"]: r for r in rows}
+    assert len(by_status) == len(rows)  # one row per grain
+    assert "ALL" in by_status
     for r in rows:
-        rel_err = abs(r["approx_customers"] - r["exact_customers"]) / max(r["exact_customers"], 1)
-        assert rel_err < 0.1, f"{r['o_orderstatus']}: {rel_err}"
+        assert r["within_bound"] is True, r["o_orderstatus"]
+        assert r["exact_customers"] > 0
+    # the global grain is a distinct-union, not a sum (customers span
+    # statuses), so it's bounded by the per-status total
+    per_status_sum = sum(
+        r["exact_customers"] for r in rows if r["o_orderstatus"] != "ALL"
+    )
+    assert by_status["ALL"]["exact_customers"] <= per_status_sum
 
 
 def test_word_ngrams_and_repetition(spark):
