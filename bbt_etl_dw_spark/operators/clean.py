@@ -221,18 +221,36 @@ def winsorize(
     lower_pct: float = 0.01,
     upper_pct: float = 0.99,
     accuracy: int = 10000,
+    exact: bool = False,
 ) -> DataFrame:
     """Cap numeric outliers at their percentile bounds (winsorization) —
     the standard pre-aggregation defense against fat-fingered magnitudes
     that survive type cleaning (a 10^6x price typo still parses as a
     valid double and would dominate every mean/sum downstream).
 
-    Bounds come from ONE percentile_approx pass over all columns at once
-    (a mergeable sketch — partial aggregation, no sort, no second scan of
-    the raw data per column), collected as a single tiny row and inlined
-    as literals into one clip projection. Two narrow passes total at any
-    scale. Rows are never dropped — capping preserves row counts and
-    join keys, unlike filter-based outlier removal."""
+    Bounds come from ONE bounds pass over all columns at once, collected
+    as a single tiny row and inlined as literals into one clip
+    projection. Two narrow passes total at any scale. Rows are never
+    dropped — capping preserves row counts and join keys, unlike
+    filter-based outlier removal.
+
+    Two bounds modes:
+
+    - ``exact=False`` (default): ``percentile_approx`` with ``accuracy``
+      — a mergeable GK sketch, memory O(accuracy) per column regardless
+      of data size. The 100 TB path. NOT deterministic to the exact rank:
+      even with ``accuracy >= row count`` (every value retained), merging
+      per-partition summaries introduces nonzero rank deltas, so the
+      returned element can sit one rank off the ANSI percentile_disc
+      element (observed at sf0.1: n=600000, q=0.01 -> rank 5999 instead
+      of 6000; caught by the r13 full-registry sweep at sf0.1 after
+      sf0.001/0.01 probes happened to agree).
+    - ``exact=True``: ANSI ``percentile_disc`` (smallest element with
+      cume_dist >= q, i.e. rank ceil(q*n)) — exact at any row count and
+      identical to DuckDB's quantile_disc, at memory O(distinct values)
+      per column (Spark's value->count map implementation). Use when a
+      downstream contract pins the exact bound element; prefer the
+      sketch when the column's distinct count is unbounded."""
     from pyspark.sql import types as T
 
     pcts = F.array(F.lit(float(lower_pct)), F.lit(float(upper_pct)))
@@ -248,12 +266,41 @@ def winsorize(
             return F.when(~F.isnan(c), F.col(c))
         return F.col(c)
 
-    bounds_row = df.agg(
-        *[
-            F.percentile_approx(_bounds_input(c), pcts, accuracy).alias(c)
-            for c in cols
-        ]
-    ).first()
+    if exact:
+        # percentile_disc is WITHIN GROUP syntax only (no DataFrame
+        # function); the ORDER BY expression mirrors _bounds_input's
+        # NaN exclusion (the aggregate already skips NULLs, so CASE
+        # WHEN yields the same inlier set).
+        def _disc(c: str, q: float):
+            quoted = "`" + c.replace("`", "``") + "`"
+            src = (
+                f"CASE WHEN NOT isnan({quoted}) THEN {quoted} END"
+                if isinstance(dtypes[c], (T.DoubleType, T.FloatType))
+                else quoted
+            )
+            return F.expr(
+                f"percentile_disc(CAST({q!r} AS DOUBLE)) "
+                f"WITHIN GROUP (ORDER BY {src})"
+            )
+
+        raw = df.agg(
+            *[
+                b
+                for c in cols
+                for b in (
+                    _disc(c, float(lower_pct)).alias(f"{c}__lo"),
+                    _disc(c, float(upper_pct)).alias(f"{c}__hi"),
+                )
+            ]
+        ).first()
+        bounds_row = {c: (raw[f"{c}__lo"], raw[f"{c}__hi"]) for c in cols}
+    else:
+        bounds_row = df.agg(
+            *[
+                F.percentile_approx(_bounds_input(c), pcts, accuracy).alias(c)
+                for c in cols
+            ]
+        ).first()
     clips = {}
     for c in cols:
         b = bounds_row[c]

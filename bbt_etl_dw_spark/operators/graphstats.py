@@ -106,10 +106,21 @@ def sql_triangle_ctes(edge_sql: str) -> str:
     relation ``{edge_sql}`` exposing columns (src, dst). Yields a
     relation ``tri_stats`` with the operator's output columns; the
     coefficient arithmetic mirrors the builder operation-for-operation.
+
+    ``raw_pairs``/``und`` are MATERIALIZED (r13): with inlined CTEs,
+    DuckDB 1.0 pushes the ``src <> dst`` predicate into the edge
+    relation's join tree as a NESTED_LOOP_JOIN between the two
+    vertex-map sides — an |V-map|^2 intermediate BEFORE the fact join
+    (~150M rows / >20 GB temp spill at sf0.1, found by the r13
+    full-registry sf0.1 sweep; invisible at sf0.01 where the maps are
+    10x smaller) — and re-evaluates that misplan once per downstream
+    CTE reference. Materializing pins the intended shape: build the
+    edge list once, dedup once, run the wedge join on the dim-scale
+    distinct edges.
     """
     return f"""
-raw_pairs AS ({edge_sql}),
-und AS (
+raw_pairs AS MATERIALIZED ({edge_sql}),
+und AS MATERIALIZED (
   SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
   FROM raw_pairs WHERE src <> dst
 ),

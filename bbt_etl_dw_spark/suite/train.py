@@ -278,10 +278,12 @@ def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 # winsorize: percentile-capped outliers, exact at full sketch accuracy
 # --------------------------------------------------------------------------
 
-# accuracy >= n makes percentile_approx exact (the sketch keeps every
-# value) and its discrete percentile — smallest element at the target
-# rank — equals DuckDB's quantile_disc, probed identical at sf0.001 and
-# sf0.01 on both tails; the clip is then pure least/greatest arithmetic.
+# The bounds contract is ANSI percentile_disc — smallest element with
+# cume_dist >= q, i.e. rank ceil(q*n) — which is exactly DuckDB's
+# quantile_disc, so the clip is pure least/greatest arithmetic on an
+# identical bound element at ANY row count. (percentile_approx at
+# accuracy >= n is NOT that: partition-summary merges leave +-1 rank
+# slack — green at sf0.001/0.01 by luck, red at sf0.1; see winsorize.)
 _WINSOR_ORACLE = f"""
 WITH b AS (
   SELECT quantile_disc(l_extendedprice, 0.01) AS plo,
@@ -311,32 +313,28 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive (unlike filter-based outlier removal). Scale: two narrow
     passes at any size; the bounds row is a driver-side constant.
 
-    SCALE CEILING (ADVICE r12): accuracy >= row count makes the
-    percentile_approx sketch retain EVERY value — O(row count) doubles
-    of executor memory per column. That is the price of matching an
-    exact-quantile oracle and is fine through sf1 (~6M rows, ~100 MB per
-    column); at sf10+ an exactness-vs-memory choice must be made
-    explicitly — either accept sketch-approximate bounds (drop the
-    accuracy override; the capped sums then differ from an exact oracle
-    in the tail) or compute exact percentiles with a sort-based method.
-    A guard raising past a memory-safe bound is planned for r14 (r13's
-    driver-evidence window had zero slack for the re-flag this code
-    change costs — see PLANS_r13.md)."""
+    EXACT MODE (r13, supersedes the r11/r12 accuracy override): the
+    r13 full-registry sweep at sf0.1 proved percentile_approx with
+    accuracy >= row count is still NOT rank-exact — merging partition
+    summaries leaves +-1 rank slack (n=600000: rank 5999 chosen where
+    ceil(q*n)=6000), so the sketch can never pin a quantile_disc
+    oracle across scale tiers. winsorize(exact=True) computes bounds
+    with ANSI percentile_disc instead — the same ceil(q*n) element as
+    the oracle at any n, memory O(distinct values) per column rather
+    than the override's O(row count) sketch (which also closes the
+    ADVICE r12 unbounded-retention concern and drops the extra count()
+    job). The approx sketch remains winsorize's default 100 TB path
+    for callers without an exact-bound contract."""
     from bbt_etl_dw_spark.functions.numeric import dsum
     from bbt_etl_dw_spark.operators.clean import winsorize
 
     li = table(spark, sf_dir, "lineitem")
-    # accuracy >= row count makes the sketch exact (it keeps every value)
-    # — the oracle's quantile_disc assumes exactness, so ENFORCE the
-    # precondition from the data instead of assuming it (ADVICE r11: a
-    # fixed 1M constant silently diverges past sf0.1). The count() is a
-    # parquet metadata scan, not a data pass.
     capped = winsorize(
         li,
         ["l_extendedprice", "l_discount"],
         0.01,
         0.99,
-        accuracy=max(1_000_000, li.count()),
+        exact=True,
     )
     return (
         capped.groupBy("l_returnflag")

@@ -1537,27 +1537,51 @@ def test_jaccard_hot_shingle_guard_raises(spark):
     assert on == off and on  # non-empty: the shared shingle pairs them
 
 
-def test_winsorized_stats_builder_enforces_exact_accuracy(spark, sf_dir, monkeypatch):
-    """ADVICE r11: the lineitem_winsorized_stats oracle (quantile_disc)
-    assumes percentile_approx exactness, which only holds while accuracy
-    >= the table row count. The builder must DERIVE the accuracy from the
-    data (max(1M, count)) so the precondition is enforced at any sf, not
-    assumed from a constant."""
+def test_winsorized_stats_builder_uses_exact_bounds(spark, sf_dir, monkeypatch):
+    """r13 (supersedes the r11 accuracy-override fix): percentile_approx
+    with accuracy >= row count is still not rank-exact after partition-
+    summary merges (+-1 rank slack, red at sf0.1 against quantile_disc),
+    so the builder must request winsorize's exact percentile_disc mode —
+    the only bounds path that equals the oracle at every sf."""
     import bbt_etl_dw_spark.operators.clean as clean_mod
-    from bbt_etl_dw_spark.catalog import table
     from bbt_etl_dw_spark.suite import load_all
 
-    n_rows = table(spark, sf_dir, "lineitem").count()
     seen = {}
     real = clean_mod.winsorize
 
-    def spy(df, cols, lower_pct=0.01, upper_pct=0.99, accuracy=10000):
-        seen["accuracy"] = accuracy
-        return real(df, cols, lower_pct, upper_pct, accuracy)
+    def spy(df, cols, lower_pct=0.01, upper_pct=0.99, accuracy=10000, exact=False):
+        seen["exact"] = exact
+        return real(df, cols, lower_pct, upper_pct, accuracy, exact)
 
     monkeypatch.setattr(clean_mod, "winsorize", spy)
     load_all()["lineitem_winsorized_stats"].builder(spark, sf_dir).collect()
-    assert seen["accuracy"] >= max(1_000_000, n_rows)
+    assert seen["exact"] is True
+
+
+def test_winsorize_exact_picks_ansi_disc_rank(spark):
+    """winsorize(exact=True) must clip at the ceil(q*n)-th order
+    statistic (ANSI percentile_disc / DuckDB quantile_disc) even when
+    q*n lands exactly on an integer rank across a multi-partition
+    aggregate — the configuration where the approx sketch's post-merge
+    rank slack picks the neighboring element (the sf0.1 sweep red)."""
+    from pyspark.sql import functions as F
+
+    from bbt_etl_dw_spark.operators.clean import winsorize
+
+    n = 200
+    df = spark.range(1, n + 1).repartition(8).select(
+        F.col("id").cast("double").alias("v")
+    )
+    # q*n integer on both tails: lower rank ceil(0.02*200)=4 -> bound 4.0,
+    # upper rank ceil(0.98*200)=196 -> bound 196.0
+    out = winsorize(df, ["v"], lower_pct=0.02, upper_pct=0.98, exact=True)
+    lo, hi = out.agg(F.min("v"), F.max("v")).first()
+    assert (lo, hi) == (4.0, 196.0)
+    # non-integer q*n for completeness: ceil(0.985*200)=197
+    out2 = winsorize(df, ["v"], lower_pct=0.005, upper_pct=0.985, exact=True)
+    lo2, hi2 = out2.agg(F.min("v"), F.max("v")).first()
+    assert (lo2, hi2) == (1.0, 197.0)
+    assert out.count() == n  # capping never drops rows
 
 
 def test_dirty_csv_fixture_stages_once_across_sf_dirs():
