@@ -739,8 +739,13 @@ def order_stats_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregates + exact percentiles per group — absent from the
     reference (SURVEY §2.4 'distinct-agg absent'). Spark plans multiple
     count-distincts via Expand (one shuffle); percentiles here are EXACT
-    (sort-based) to stay oracle-checkable — at 100TB swap in
-    approx_percentile (t-digest sketch, single pass)."""
+    to stay oracle-checkable — percentile() (continuous, = DuckDB
+    median) and ANSI percentile_disc (rank ceil(q*n), = DuckDB
+    quantile_disc). r13: p90 moved off percentile_approx(accuracy=
+    INT_MAX), which the sf0.1 sweep proved is still ±1 rank after
+    partition-summary merges (the winsorize red) — green here only by
+    merge-pattern luck. At 100TB swap in approx_percentile (t-digest
+    sketch, single pass)."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
@@ -749,7 +754,9 @@ def order_stats_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderpriority").alias("n_priorities"),
             F.count(F.lit(1)).alias("n_orders"),
             F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
-            F.expr("percentile_approx(o_totalprice, 0.9, 2147483647)")
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+            )
             .cast("double")
             .alias("p90_price"),
         )
