@@ -197,6 +197,16 @@ def item_cosine_topk(
     pairs = cooccurrence_pairs(
         df, basket_col, item_col, min_pair_count, max_basket_size=max_basket_size
     )
+    # The symmetrize union references `pairs` TWICE (fwd + rev), and a
+    # DataFrame referenced twice is PLANNED twice: the whole upstream
+    # pipeline — the basket self-join, the pair aggregation, both
+    # frequency broadcasts — executed once per union branch (r14 plan
+    # audit: the before-plan carried 2x every operator, 16 broadcast
+    # joins and 24 checkpoint scans for a pipeline that has 8 and 12).
+    # One materialization of the surviving pairs (skinny: ids + counts,
+    # already cut by min_pair_count) halves the query's actual work; at
+    # corpus scale it halves the C(k,2) self-join, the dominant stage.
+    pairs = materialize(pairs)
     fwd = pairs.select(
         F.col("item_a").alias("item"),
         F.col("item_b").alias("neighbor"),

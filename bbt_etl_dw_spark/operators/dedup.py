@@ -277,11 +277,25 @@ def jaccard_verify(
     cand_ids = candidates.select(
         F.explode(F.array("id_a", "id_b")).alias("doc_id")
     ).distinct()
+    # cand_ids is BROADCAST into the semi-join (r14 plan audit: left to
+    # Catalyst the semi planned as a sort-merge join — a full sort +
+    # exchange of the corpus scan, twice, since `sh` feeds both pair
+    # sides). It is bounded by 2x|candidate pairs| — small is the point
+    # of LSH, and the downstream pair-attach joins already broadcast the
+    # strictly LARGER candidate-pruned doc frame, so this adds no new
+    # memory assumption.
     sh = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-        .join(cand_ids, "doc_id", "left_semi")
+        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
         .select("doc_id", shingles(text_col, shingle_k).alias("sh"))
     )
+    # `sh` is referenced TWICE below (id_a attach + id_b attach): left
+    # un-materialized, the corpus scan + semi-join + the lambda-heavy
+    # shingle transform execute once per side (r14 before-plan: two
+    # parquet scans of documents, two LeftSemi joins). One checkpoint of
+    # the candidate-pruned (doc_id, shingle-array) rows — O(candidates)
+    # by the semi-join — halves the operator's dominant CPU.
+    sh = _ckpt(sh, None)
     out = (
         candidates.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), "id_b")
@@ -357,13 +371,22 @@ def ngram_jaccard_pairs(
         sh = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     sh = _ckpt(sh, None)  # one shingle pass feeds both join sides
     if max_shingle_df_guard is not None:
+        # The violator set is BROADCAST (r14 plan audit): left as a plain
+        # left join, Catalyst picked a sort-merge join keyed on the
+        # shingle — a full sort + exchange of the materialized index on
+        # EACH self-join side, ~5s of the 7.2s pair stage at sf0.1, all
+        # spent guarding against a set that is empty whenever the query
+        # survives. `hot` is bounded by construction: a shingle needs
+        # df > guard to enter it, so |hot| <= n_index_rows / guard
+        # (one row per million index rows at the default), and any
+        # non-empty hot set raises at execution anyway.
         hot = (
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("_sdf"))
             .filter(F.col("_sdf") > max_shingle_df_guard)
         )
         sh = (
-            sh.join(hot, "sh", "left")
+            sh.join(F.broadcast(hot), "sh", "left")
             .withColumn(
                 "sh",
                 F.when(
@@ -784,7 +807,27 @@ def dedup_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    labels = _ckpt(labels, reliable_checkpoint)
+    # Per-round truncation flavor (r14): on the localCheckpoint path the
+    # checkpoint is taken LAZILY — the convergence probe right after it
+    # is a full-scan aggregate, so one job both materializes the round's
+    # blocks (truncating lineage exactly as the eager form does) and
+    # computes the certificate. Eagerly, every round paid TWO driver
+    # jobs (checkpoint write + probe); at sf0.1 the 3-round loop's cost
+    # was almost entirely this per-round fixed overhead (4.1s for 498
+    # edges). The reliable-checkpoint path stays EAGER: a lazy reliable
+    # checkpoint recomputes its input a second time for the checkpoint
+    # file write, which is the wrong trade on a real cluster.
+    lazy_local = reliable_checkpoint is False or (
+        reliable_checkpoint is None
+        and pairs.sparkSession.sparkContext.getCheckpointDir() is None
+    )
+
+    def round_ckpt(df: DataFrame) -> DataFrame:
+        if lazy_local:
+            return df.localCheckpoint(eager=False)
+        return _ckpt(df, reliable_checkpoint)
+
+    labels = round_ckpt(labels)
 
     # Convergence certificate: per-node labels are MONOTONE NON-INCREASING
     # (each round's label is the min over a set containing the old label),
@@ -818,9 +861,8 @@ def dedup_clusters(
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
-        new_labels = _ckpt(
-            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label")),
-            reliable_checkpoint,
+        new_labels = round_ckpt(
+            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
         )
         if numeric_ids:
             new_sum = label_sum(new_labels)

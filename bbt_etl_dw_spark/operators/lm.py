@@ -215,27 +215,42 @@ def oov_rate_vs_reference(
             "reference corpus's charset) or replace the broadcast model "
             "join with a shuffle join",
         )
+    # explode_outer keeps one NULL-gram row for gramless (empty-text)
+    # documents, so every doc survives the aggregation and the old
+    # re-join of the doc-id list back onto the scores — a second corpus
+    # scan plus a doc-id shuffle and sort-merge join — is gone (r14 plan
+    # audit: 2 Exchange + 1 SMJ removed, one scan instead of two). A NULL
+    # hash key never matches the broadcast model, so the _hit logic needs
+    # only the isNotNull guards below to keep gramless rows out of both
+    # counters; n_grams=0 then yields a NULL rate exactly as the old
+    # left-join shape (and the oracle) did.
     grams = docs.select(
-        F.col(id_col), F.explode(_char_ngrams(text_col, n)).alias("ngram")
-    ).select(F.col(id_col), F.xxhash64("ngram").alias("ngram_h"))
+        F.col(id_col), F.explode_outer(_char_ngrams(text_col, n)).alias("ngram")
+    ).select(
+        F.col(id_col),
+        F.when(
+            F.col("ngram").isNotNull(), F.xxhash64("ngram")
+        ).alias("ngram_h"),
+    )
     scored = (
         grams.join(F.broadcast(model), "ngram_h", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.count(F.col("ngram_h")).alias("n_grams"),
+            F.sum(
+                F.when(
+                    F.col("ngram_h").isNotNull() & F.col("_hit").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_oov"),
         )
     )
-    return (
-        docs.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
-            (
-                F.col("n_oov").cast("double") / F.col("n_grams").cast("double")
-            ).alias("oov_rate"),
-        )
+    return scored.select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_oov").cast("double") / F.col("n_grams").cast("double"),
+        ).alias("oov_rate"),
     )
 
 

@@ -10,10 +10,12 @@ admits "not fully implemented"). This operator implements the actual merge:
       -> changed + brand-new keys get a fresh current version
 
 Change detection hashes the tracked columns (xxhash64 — JVM-side, one
-expression) instead of comparing column-by-column. The merge is two
-hash joins on the natural key + a union — one shuffle each side at scale,
-broadcast-eligible when the incoming snapshot is small. Works on plain
-parquet; swap the final write for Delta/Iceberg MERGE when available.
+expression) instead of comparing column-by-column. The merge is ONE
+full-outer hash join on the natural key whose every row emits 0-2 output
+rows (expired/unchanged/insert) via array+explode — one shuffle each
+side at scale, broadcast-eligible when the incoming snapshot is small.
+Works on plain parquet; swap the final write for Delta/Iceberg MERGE
+when available.
 """
 
 from __future__ import annotations
@@ -68,55 +70,66 @@ def scd2_merge(
     live = cur.filter(F.col(IS_CURRENT))
     closed = cur.filter(~F.col(IS_CURRENT)).drop("__h")
 
-    # Which live rows changed / which incoming rows are new versions?
-    inc_keyed = inc.select(
-        *[F.col(c).alias(f"__k_{c}") for c in key], F.col("__h").alias("__h_inc")
+    # ONE full-outer join decides every merge action (r14 plan audit: the
+    # previous shape — a live->incoming left join filtered twice for
+    # unchanged/expired plus a SECOND incoming->live join for inserts —
+    # evaluated both input pipelines once per union branch: 6 scans of
+    # the dimension source for a 3-way classification). Each joined row
+    # emits 0-2 output rows via an array+explode (the MERGE shape):
+    #   live only            -> [expired]            (deleted key)
+    #   both, hash equal     -> [unchanged]
+    #   both, hash differs   -> [expired, insert]    (new version)
+    #   incoming only        -> [insert]             (brand-new key)
+    # The SCD2 invariant (at most one live row per natural key) makes the
+    # full-outer join key-unique on each side, so no action can double-
+    # fire. Null-safe key equality (eqNullSafe) kept from the review
+    # finding: a live row with a NULL natural-key column must still meet
+    # its incoming twin or every merge expires + re-inserts it forever;
+    # <=> remains a hash-joinable equi-key.
+    lv = live.select(
+        *[F.col(c).alias(f"__lk_{c}") for c in key],
+        F.struct(*live.columns).alias("__lv"),
     )
-    # Null-safe key equality: a live row with a NULL natural-key column
-    # would never equi-join its incoming twin, so EVERY merge would
-    # expire it and re-insert it — one spurious closed version per run,
-    # forever (review finding). eqNullSafe (<=>) is still a hash-joinable
-    # equi-key, so the plan shape is unchanged.
-    cond = [live[c].eqNullSafe(inc_keyed[f"__k_{c}"]) for c in key]
-    live_vs_inc = live.join(inc_keyed, cond, "left")
-
-    unchanged = live_vs_inc.filter(
-        F.col("__h_inc").isNotNull() & (F.col("__h") == F.col("__h_inc"))
-    ).select(live.columns).drop("__h")
-
-    # Changed (new hash) or deleted (no incoming row): expire.
-    expired = (
-        live_vs_inc.filter(F.col("__h_inc").isNull() | (F.col("__h") != F.col("__h_inc")))
-        .select(live.columns)
-        .drop("__h")
-        .withColumns({IS_CURRENT: F.lit(False), END: F.lit(asof)})
+    ic = inc.select(
+        *[F.col(c).alias(f"__ik_{c}") for c in key],
+        F.struct(*inc.columns).alias("__in"),
     )
-
-    # Incoming rows that are brand-new keys or changed versions: insert.
-    live_keyed = live.select(
-        *[F.col(c).alias(f"__k_{c}") for c in key], F.col("__h").alias("__h_cur")
-    )
-    cond2 = [inc[c].eqNullSafe(live_keyed[f"__k_{c}"]) for c in key]
-    inserts = (
-        inc.join(live_keyed, cond2, "left")
-        .filter(F.col("__h_cur").isNull() | (F.col("__h") != F.col("__h_cur")))
-        .select(incoming.columns)
-        .withColumns(
-            {
-                IS_CURRENT: F.lit(True),
-                START: F.lit(asof),
-                END: F.lit(None).cast("date"),
-            }
-        )
-    )
+    cond = [F.col(f"__lk_{c}").eqNullSafe(F.col(f"__ik_{c}")) for c in key]
+    j = lv.join(ic, cond, "full_outer")
 
     out_cols = closed.columns
-    return (
-        closed.select(out_cols)
-        .unionByName(unchanged.select(out_cols))
-        .unionByName(expired.select(out_cols))
-        .unionByName(inserts.select(out_cols))
+
+    def mk_row(payload, is_cur, start, end):
+        fields = []
+        for c in out_cols:
+            if c == IS_CURRENT:
+                fields.append(is_cur.alias(c))
+            elif c == START:
+                fields.append(start.alias(c))
+            elif c == END:
+                fields.append(end.alias(c))
+            else:
+                fields.append(payload[c].alias(c))
+        return F.struct(*fields)
+
+    lvc = F.col("__lv")
+    unchanged_row = mk_row(lvc, lvc[IS_CURRENT], lvc[START], lvc[END])
+    expired_row = mk_row(lvc, F.lit(False), lvc[START], F.lit(asof))
+    insert_row = mk_row(
+        F.col("__in"), F.lit(True), F.lit(asof), F.lit(None).cast("date")
     )
+    has_live = F.col("__lv").isNotNull()
+    has_inc = F.col("__in").isNotNull()
+    rows = (
+        F.when(~has_inc, F.array(expired_row))
+        .when(~has_live, F.array(insert_row))
+        .when(lvc["__h"] == F.col("__in")["__h"], F.array(unchanged_row))
+        .otherwise(F.array(expired_row, insert_row))
+    )
+    merged = j.select(F.explode(rows).alias("__r")).select(
+        *[F.col("__r")[c].alias(c) for c in out_cols]
+    )
+    return closed.select(out_cols).unionByName(merged)
 
 
 def scd2_apply_changes(

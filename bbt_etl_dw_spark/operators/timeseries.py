@@ -133,6 +133,18 @@ def gap_fill_linear(
     keys = list(key_cols)
     b = F.col(bucket_col)
     observed = df.select(*keys, b.alias(bucket_col), F.col(value_col).alias("__v"))
+    # `observed` feeds TWO subtrees (the per-key bounds aggregate that
+    # builds the spine, and the join back) and exchange reuse does not
+    # bridge them: left un-materialized, the caller's ENTIRE upstream
+    # pipeline — typically a fact scan + joins + rollup — executes once
+    # per subtree (r14 plan audit of nation_revenue_gapfill: orders
+    # scanned and aggregated twice). The (key, bucket, value) frame is
+    # strictly smaller than the caller's fact by the one-row-per-
+    # (key, bucket) contract, so one checkpoint write is the right trade
+    # at any scale.
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    observed = materialize(observed)
 
     # sequence() materializes one ARRAY per key: a pathological span (one
     # stray epoch-0 row under a minute-grain bucket) would build a

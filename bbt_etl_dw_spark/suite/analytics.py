@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from bbt_etl_dw_spark.catalog import table
 from bbt_etl_dw_spark.functions.numeric import dsum, sql_dsum
 from bbt_etl_dw_spark.operators.basket import cooccurrence_pairs, item_cosine_topk
+from bbt_etl_dw_spark.operators.ckpt import materialize
 from bbt_etl_dw_spark.operators.graphstats import sql_triangle_ctes, triangle_stats
 from bbt_etl_dw_spark.operators.er import blocked_fuzzy_lookup
 from bbt_etl_dw_spark.operators.smooth import trailing_ewma
@@ -817,6 +818,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         dsum(F.col("o_totalprice"), "monetary"),
     )
+    # per_cust feeds FOUR subtrees (three boundary frames + the scored
+    # pass) and exchange reuse does not fire across them (r14 plan audit:
+    # the before-plan scanned and aggregated `orders` four times). One
+    # materialization of the customer-grain rollup makes the fact
+    # contribute exactly one scan + one shuffle; the three rank windows
+    # then sort the skinny materialized frame, not the fact.
+    per_cust = materialize(per_cust)
 
     def bounds(metric: str, prefix: str) -> DataFrame:
         b = exact_group_percentiles(

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bbt_etl_dw_spark.catalog import table
+from bbt_etl_dw_spark.operators.ckpt import materialize
 from bbt_etl_dw_spark.operators.dedup import (
     exact_dup_groups,
     minhash_dedup_pairs,
@@ -1380,6 +1381,12 @@ def doc_token_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_heldout"),
     )
     kept = counts.filter(F.col("n_train") + F.col("n_heldout") >= 5)
+    # `kept` feeds both the marginals aggregate and the scored projection;
+    # referenced twice it is EXECUTED twice — the corpus tokenize/explode
+    # and the token aggregation ran once per branch (r14 plan audit:
+    # documents scanned 2x). Materializing the vocabulary-sized frame
+    # makes the corpus contribute one scan + one shuffle.
+    kept = materialize(kept)
     tot = kept.agg(
         F.sum("n_train").cast("long").alias("t_tr"),
         F.sum("n_heldout").cast("long").alias("t_he"),

@@ -396,10 +396,14 @@ def test_mannwhitney_bins_before_ranking(plans):
 
 
 def test_rfm_one_customer_shuffle_boundaries_broadcast(plans):
-    # fact reduces on o_custkey once; quantile boundaries re-attach as
-    # one-row broadcasts (scoring is a map stage over customers)
+    # the customer-grain rollup is materialized ONCE (its o_custkey
+    # shuffle runs in the checkpoint job, so the final plan reads the
+    # checkpointed RDD — no orders parquet scan survives); quantile
+    # boundaries re-attach as one-row broadcasts (scoring is a map
+    # stage over customers)
     plan = plans["customer_rfm_segments"]
-    assert plan.count("hashpartitioning(o_custkey") >= 1
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan, "orders must not be re-scanned"
     assert plan.count("BroadcastNestedLoopJoin") >= 3
 
 
