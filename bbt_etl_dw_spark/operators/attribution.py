@@ -233,12 +233,24 @@ def linear_attribution(
         us.alias("__c_us"),
         F.col(value_col).alias("__val"),
     )
-    pairs = c.join(
-        t,
-        (c["__u"] == t["__u"])
-        & (t["__t_us"] <= c["__c_us"])
-        & (t["__t_us"] >= c["__c_us"] - F.lit(lookback_us)),
-    ).select("__cid", "__val", "channel")
+    # `c` feeds the range join AND the no-touch anti-join, and `pairs`
+    # feeds THREE consumers (per-conversion normalizer, per-channel
+    # rollup, anti-join key set). Left un-materialized, Spark plans each
+    # reference independently: the events scan ran ~5x and the range
+    # join — the expensive fan-out stage — 3x (r14 plan audit). Both
+    # frames are skinny and bounded (conversions; in-window touch pairs),
+    # so one checkpoint each makes the scan and the range join run once.
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    c = materialize(c)
+    pairs = materialize(
+        c.join(
+            t,
+            (c["__u"] == t["__u"])
+            & (t["__t_us"] <= c["__c_us"])
+            & (t["__t_us"] >= c["__c_us"] - F.lit(lookback_us)),
+        ).select("__cid", "__val", "channel")
+    )
     ntot = pairs.groupBy("__cid").agg(F.count(F.lit(1)).alias("__n"))
     per_cc = pairs.groupBy("__cid", "channel").agg(
         F.count(F.lit(1)).alias("__cnt"), F.first("__val").alias("__val")

@@ -1101,6 +1101,11 @@ def cosine_near_dups(
     sigs = df.select(F.col(id_col).alias("doc_id"), F.explode(fams).alias("s")).select(
         "doc_id", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket")
     )
+    # the hyperplane signatures (tables x planes dot products per vector —
+    # the operator's dominant map CPU) feed BOTH self-join sides: one
+    # checkpoint of the skinny (id, tbl, bucket) rows computes them once
+    # (r14 plan audit, same class as ngram_jaccard_pairs' shingle index)
+    sigs = _ckpt(sigs, None)
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = (
         a.join(
@@ -1116,8 +1121,20 @@ def cosine_near_dups(
         # collide in >=1 table => verify once
         .dropDuplicates()
     )
+    # candidate list is LSH-bounded (that is the point): materialize it so
+    # the bucket self-join runs once, then semi-join-prune the vector side
+    # to candidate members BEFORE attaching vectors — the verify joins
+    # below otherwise shuffle the full corpus embeddings twice
+    # (jaccard_verify's shape, applied here)
+    pairs = _ckpt(pairs, None)
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("_id")
+    ).distinct()
     normed = df.select(F.col(id_col).alias("_id"), v.alias("_v")).withColumn(
         "_nrm", norm_expr(F.col("_v"))
+    )
+    normed = _ckpt(
+        normed.join(F.broadcast(cand_ids), "_id", "left_semi"), None
     )
     cand = pairs.join(
         normed.select(
@@ -1179,6 +1196,10 @@ def prefix_jaccard_candidates(
     sh = df.select(
         F.col(id_col).alias("doc_id"), shingles(text_col, shingle_k).alias("shs")
     ).select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("sh"))
+    # one shingle pass feeds the global-df aggregate AND the rank join
+    # (same class as ngram_jaccard_pairs: un-materialized, the corpus
+    # scan + the lambda-heavy shingle transform run once per reference)
+    sh = _ckpt(sh, None)
     gdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("gdf"))
     w = Window.partitionBy("doc_id").orderBy("gdf", "sh")
     num, den = int(threshold_num), int(threshold_den)
@@ -1191,6 +1212,9 @@ def prefix_jaccard_candidates(
         .filter(F.col("_pos") <= plen)
         .select("doc_id", "n", "sh")
     )
+    # the prefix index (rarest-first rank join + window) feeds both
+    # self-join sides — materialize once
+    prefix = _ckpt(prefix, None)
     a, b = prefix.alias("a"), prefix.alias("b")
     size_ok = F.lit(den) * F.least(F.col("a.n"), F.col("b.n")) >= F.lit(
         num

@@ -215,7 +215,15 @@ def decode_media(
                     out["feature"].append(feat)
                 yield pd.DataFrame(out)
 
-    return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+    # Project to exactly the columns the decoder touches BEFORE the Arrow
+    # boundary: Spark cannot see inside the Python function, so without
+    # this every input column (mime, source_uri, ...) is read from
+    # storage, transposed to Arrow and shipped to the Python worker just
+    # to be dropped by the output schema (guide: opaque functions defeat
+    # column pruning — select first).
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        decode_batches, schema=DECODED_SCHEMA
+    )
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, n_frames_col: str = "n_frames") -> DataFrame:

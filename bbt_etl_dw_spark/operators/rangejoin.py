@@ -126,6 +126,15 @@ def interval_join(
     ).drop("_bucket")
     if how == "inner":
         return joined
+    # how='left': `joined` feeds BOTH the output union and the anti-join
+    # key set; un-materialized, the bucket-explode join — two fact-sized
+    # exchanges — executed twice (r14 plan audit of
+    # events_interval_join_left). One checkpoint of the matched pairs
+    # (bounded by the in-window fan-out, i.e. the output itself) is
+    # strictly cheaper than re-shuffling both inputs.
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    joined = materialize(joined)
     unmatched = left.join(
         joined.select(left_id).distinct(), left_id, "left_anti"
     ).withColumns(

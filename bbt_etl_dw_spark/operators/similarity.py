@@ -608,6 +608,16 @@ def semantic_dedup(
         v.alias("v"),
         assign_centroid(v, cents).alias("cid"),
     ).withColumn("nrm", norm_expr(F.col("v")))
+    # `assigned` feeds THREE subtrees (both pair-join sides + the final
+    # disposition join): un-materialized, the per-row argmin over nlist
+    # centroids — which grows with the SemDeDup k~sqrt(n) regime — and
+    # the corpus scan executed once per reference (r14 plan audit). One
+    # checkpoint of (vec_id, v, cid, nrm) replaces two full recomputes;
+    # the write is the same order as ONE corpus read, which each avoided
+    # recompute would have paid anyway.
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    assigned = materialize(assigned)
 
     a, b = assigned.alias("a"), assigned.alias("b")
     fast_dot = fast_dot_expr(F.col("a.v"), F.col("b.v"))
@@ -673,6 +683,14 @@ def incremental_semantic_dedup(
     probed through the cid-keyed join only in clusters the batch lands
     in; corpus embeddings outside those clusters are never read."""
     b = semantic_index(batch, centroids, id_col, vec_col)
+    # `b` feeds FOUR subtrees (index probe, both self-join sides, the
+    # cluster-id attach): un-materialized, the per-row argmin centroid
+    # assignment — the operator's dominant expression — executed once per
+    # reference (r14 plan audit). The frame is O(batch) by this
+    # operator's own contract, so one checkpoint is always safe.
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    b = materialize(b)
 
     def _near(left, right):
         fast_dot = fast_dot_expr(F.col(f"{left}.v"), F.col(f"{right}.v"))

@@ -133,44 +133,61 @@ def gap_fill_linear(
     keys = list(key_cols)
     b = F.col(bucket_col)
     observed = df.select(*keys, b.alias(bucket_col), F.col(value_col).alias("__v"))
-    # `observed` feeds TWO subtrees (the per-key bounds aggregate that
-    # builds the spine, and the join back) and exchange reuse does not
-    # bridge them: left un-materialized, the caller's ENTIRE upstream
-    # pipeline — typically a fact scan + joins + rollup — executes once
-    # per subtree (r14 plan audit of nation_revenue_gapfill: orders
-    # scanned and aggregated twice). The (key, bucket, value) frame is
-    # strictly smaller than the caller's fact by the one-row-per-
-    # (key, bucket) contract, so one checkpoint write is the right trade
-    # at any scale.
-    from bbt_etl_dw_spark.operators.ckpt import materialize
 
-    observed = materialize(observed)
-
-    # sequence() materializes one ARRAY per key: a pathological span (one
-    # stray epoch-0 row under a minute-grain bucket) would build a
-    # multi-GB array inside a single row. Fail loudly instead — the
-    # remedy (fix the stray bucket, or coarsen the grain) is a data
-    # decision the operator must not make silently.
-    span_ok = (F.col("__hi") - F.col("__lo")) <= int(max_span)
-    guarded_lo = F.when(span_ok, F.col("__lo")).otherwise(
+    # Densify WITHOUT a spine join (r14): each observed row generates the
+    # buckets [its own, next observed - 1] via lead + explode(sequence) —
+    # per key these ranges are disjoint and exactly tile [min, max], and
+    # a generated bucket carries the observed value iff it IS the
+    # generating row's bucket (at most one row per (key, bucket) by
+    # contract), so the dense frame is row-identical to the old
+    # bounds-aggregate -> spine -> left-join construction. What this
+    # removes: the per-key bounds aggregate, the spine exchange, the
+    # join (and the double execution of the caller's entire upstream
+    # pipeline that feeding `observed` to two subtrees caused — r14 plan
+    # audit of nation_revenue_gapfill: orders scanned and aggregated
+    # twice). The lead window shares the fill windows' partitioning, so
+    # the whole operator now rides ONE exchange on the key columns.
+    # Memory also improves: the old shape built one span-sized array per
+    # KEY; this builds one gap-sized array per ROW.
+    wk = Window.partitionBy(*keys)
+    w_lead = wk.orderBy(bucket_col)
+    # sequence() materializes arrays in a single row: a pathological span
+    # (one stray epoch-0 row under a minute-grain bucket) would build a
+    # multi-GB array. Fail loudly instead — the remedy (fix the stray
+    # bucket, or coarsen the grain) is a data decision the operator must
+    # not make silently. The guard keys on the PER-KEY span (max-min),
+    # exactly as before, so it raises on exactly the same inputs.
+    span = F.max(b).over(wk) - F.min(b).over(wk)
+    guarded_start = F.when(span <= int(max_span), b).otherwise(
         F.raise_error(
             F.format_string(
                 "gap_fill_linear: key span %s exceeds max_span="
                 + str(int(max_span))
                 + " buckets — stray bucket or too-fine grain",
-                (F.col("__hi") - F.col("__lo")).cast("string"),
+                span.cast("string"),
             )
         )
     )
-    spine = (
-        observed.groupBy(*keys)
-        .agg(F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
-        .select(
-            *keys,
-            F.explode(F.sequence(guarded_lo, F.col("__hi"))).alias(bucket_col),
-        )
+    gap_end = F.coalesce(F.lead(b).over(w_lead) - 1, b)
+    # window expressions must resolve in their own projection before the
+    # generator consumes them (explode over a windowspec is unresolvable)
+    bounded = observed.select(
+        *keys,
+        b.alias("__ob"),
+        F.col("__v").alias("__ov"),
+        guarded_start.alias("__start"),
+        gap_end.alias("__end"),
     )
-    joined = spine.join(observed, [*keys, bucket_col], "left")
+    dense = bounded.select(
+        *keys,
+        F.col("__ob"),
+        F.col("__ov"),
+        F.explode(F.sequence(F.col("__start"), F.col("__end"))).alias(bucket_col),
+    ).select(
+        *keys,
+        bucket_col,
+        F.when(F.col(bucket_col) == F.col("__ob"), F.col("__ov")).alias("__v"),
+    )
 
     w_prev = (
         Window.partitionBy(*keys)
@@ -192,7 +209,7 @@ def gap_fill_linear(
         (next_b - prev_b).cast("double")
     )
     interp = prev_v + (next_v - prev_v) * frac
-    return joined.select(
+    return dense.select(
         *keys,
         bucket_col,
         F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(interp).alias(out_col),
