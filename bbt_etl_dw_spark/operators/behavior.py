@@ -142,7 +142,13 @@ def retention_cohorts(
     wk = events.select(
         F.col(user_col).alias("user_id"), week_index(ts_col).alias("w")
     )
-    first_wk = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
+    # user-grain first-week dimension feeds the cohort sizes AND the
+    # retention join — materialized (this IS the "maintained incremental
+    # dimension" of the docstring), the fact contributes two scans (min
+    # pass + distinct pass) instead of three (r14 plan audit)
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    first_wk = materialize(wk.groupBy("user_id").agg(F.min("w").alias("cw")))
     cohort_sizes = first_wk.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
     active = wk.distinct()
     ret = (

@@ -685,6 +685,15 @@ def incremental_minhash_pairs(
         .withColumn("is_new", F.lit(0))
         .unionByName(bx.withColumn("is_new", F.lit(1)))
     )
+    # `allx` feeds the band-key explode AND both shingle-set attach
+    # joins: composed lazily, the index construction — the 64-hash
+    # MinHash fold plus the shingle-set build, the operator's dominant
+    # CPU — executed once per reference (r14 plan audit of
+    # doc_incremental_near_dup: documents scanned 8x). The frame is the
+    # COMPACT index (~100s of bytes per doc by design — the thing a real
+    # deployment persists), so one checkpoint is exactly the persisted
+    # shape the docstring prescribes.
+    allx = _ckpt(allx, None)
     keys = allx.select("doc_id", "is_new", F.explode("bands").alias("bk")).select(
         "doc_id", "is_new", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
     )

@@ -47,8 +47,17 @@ def triangle_stats(pairs: DataFrame, src: str = "src", dst: str = "dst") -> Data
     clustering NULL for degree < 2 (the coefficient is undefined, and a
     0.0 would poison averages).
     """
-    und = undirected_edges(pairs, src, dst)
-    deg = (
+    # Reference fan-out here is MULTIPLICATIVE: `und` feeds the degree
+    # union (2x) and the rank join, `deg` feeds du/dv/the final join,
+    # `directed` feeds both wedge sides and the closing set — composed
+    # lazily that is ~15 executions of the caller's entire edge pipeline
+    # (r14 plan audit of nation_trade_triangles: each base fact scanned
+    # 17x). All three frames are graph-grain (edges / vertices), so one
+    # checkpoint each collapses the caller's pipeline to a single run.
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    und = materialize(undirected_edges(pairs, src, dst))
+    deg = materialize(
         und.select(F.col("u").alias("vertex"))
         .unionAll(und.select(F.col("v").alias("vertex")))
         .groupBy("vertex")
@@ -61,11 +70,13 @@ def triangle_stats(pairs: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # orient lower-(degree, id) -> higher; total order, so exactly one
     # direction per edge and every triangle has a unique pivot vertex
     lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    directed = ranked.select(
-        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(lo_first, F.col("du")).otherwise(F.col("dv")).alias("da"),
-        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    directed = materialize(
+        ranked.select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lo_first, F.col("du")).otherwise(F.col("dv")).alias("da"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
     )
 
     e1 = directed.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))

@@ -13,10 +13,12 @@ where D is the total rank held by dangling nodes (no out-edges).
 Scale design: the rank vector is one row per vertex, partitioned by
 vertex id; each iteration is ONE keyed join (edges ⋈ ranks on src — at
 dim-scale vertex counts the rank side broadcasts; at web scale both
-sides co-partition on src) plus one aggregation on dst. The iteration
-count is a fixed small constant, so the lazy plan composes without
-checkpointing; for deep iteration counts reuse the per-round
-checkpoint pattern from dedup_clusters.
+sides co-partition on src) plus one aggregation on dst. Edge fractions
+are materialized once and the rank vector once per iteration (the
+dedup_clusters per-round truncation discipline): the loop references
+the rank vector three times per iteration, so a lazy composition grows
+3^iters subtrees — not iters — and re-executes the caller's entire
+edge pipeline dozens of times even at iters=3 (r14 plan audit).
 
 Cross-engine determinism: edge-weight fractions and the damping
 arithmetic are fixed IEEE sequences over exact-decimal sums (cross-row
@@ -69,13 +71,31 @@ def pagerank(
         e.join(out_w, "_src")
         .select("_src", "_dst", (F.col("_w") / F.col("_out")).alias("_frac"))
     )
+    # The loop references `frac` once and `ranks` THREE times per
+    # iteration (contribution join, dangling anti-join, rank update), and
+    # Spark plans every reference independently: left lazy, the subtree
+    # count grows 3^iters — the r14 plan audit measured the caller's
+    # whole edge pipeline (a 4-table fact join) executing 26x for
+    # iters=3. Materialize the edge fractions ONCE and each iteration's
+    # rank vector (one row per vertex) — the same per-round truncation
+    # discipline as dedup_clusters; the old "fixed small constant, no
+    # checkpointing needed" note was wrong because composition is
+    # exponential in the per-iteration reference count, not linear.
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    frac = materialize(frac)
 
     # p0 = 1/N for every vertex
-    ranks = v.crossJoin(F.broadcast(n_df)).select(
-        "_vid", (F.lit(1.0) / F.col("_n").cast("double")).alias("_p")
+    ranks = materialize(
+        v.crossJoin(F.broadcast(n_df)).select(
+            "_vid", (F.lit(1.0) / F.col("_n").cast("double")).alias("_p")
+        )
     )
 
-    srcs = e.select("_src").distinct()
+    # every edge survives the out-weight join (out(u) exists for every
+    # edge src), so the src set can ride the materialized fractions
+    # instead of re-deriving from the raw edge pipeline each iteration
+    srcs = frac.select("_src").distinct()
     for _ in range(iters):
         contrib = (
             frac.join(ranks, frac._src == ranks._vid)
@@ -88,7 +108,7 @@ def pagerank(
             ranks.join(srcs, ranks._vid == srcs._src, "left_anti")
             .agg(dsum(F.col("_p"), "_dm"))
         )
-        ranks = (
+        ranks = materialize(
             ranks.join(contrib, ranks._vid == contrib._dst, "left")
             .crossJoin(F.broadcast(dangling))
             .crossJoin(F.broadcast(n_df))

@@ -118,16 +118,31 @@ def pq_adc_topk(
     qv = F.col(vec_col).cast("array<double>")
 
     # LUT: (query_id, j, code, pdist) — m×ksub rows per query, broadcast.
-    luts = None
-    for j in range(m):
-        part = queries.select(
+    # Built in ONE pass over the query side: an array of m per-subspace
+    # distance tables exploded twice (r14: the previous m-way union
+    # planned the query subtree once per subspace — 8 scans of the
+    # caller's query pipeline for m=8; one generator per select, so the
+    # j-explode and the code-posexplode stack in two projections).
+    subtables = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                _centroid_dists(_sub_slice(qv, j, sub), books[j]).alias("pd"),
+            )
+            for j in range(m)
+        ]
+    )
+    luts = (
+        queries.select(
             F.col(query_id_col).alias("query_id"),
-            F.lit(j).alias("j"),
-            F.posexplode(_centroid_dists(_sub_slice(qv, j, sub), books[j])).alias(
-                "code", "pdist"
-            ),
+            F.explode(subtables).alias("e"),
         )
-        luts = part if luts is None else luts.unionByName(part)
+        .select(
+            "query_id",
+            F.col("e.j").alias("j"),
+            F.posexplode(F.col("e.pd")).alias("code", "pdist"),
+        )
+    )
 
     exploded = codes.select(
         "corpus_id", F.posexplode("codes").alias("j", "code")

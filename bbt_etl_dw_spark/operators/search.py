@@ -66,14 +66,30 @@ def bm25_topk(
     # diverge from the oracle, whose SUM skips NULLs). Treat NULL text as
     # an empty document on both engines.
     dl = F.when(F.col("_ws").isNull(), F.lit(0)).otherwise(F.size("_ws"))
-    lens = base.select("_id", dl.cast("long").alias("dl"))
+    # ONE corpus tokenize pass (r14 plan audit: doc lengths, corpus
+    # stats, tf and df each re-derived `base`, tokenizing the corpus 4x).
+    # The materialized frame is DOC-GRAIN and skinny — the length plus
+    # only the query terms present in the doc (array filter BEFORE the
+    # explode), never the full token list — so the checkpoint does not
+    # carry a tokens-sized intermediate.
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    slim = materialize(
+        base.select(
+            "_id",
+            dl.cast("long").alias("dl"),
+            F.filter(
+                F.col("_ws"),
+                lambda w: w.isin(terms),
+            ).alias("_qws"),
+        )
+    )
+    lens = slim.select("_id", "dl")
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("n_tokens")
     )
 
-    toks = base.select("_id", F.explode("_ws").alias("term")).filter(
-        F.col("term").isin(terms)
-    )
+    toks = slim.select("_id", F.explode("_qws").alias("term"))
     tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_t = toks.groupBy("term").agg(F.countDistinct("_id").alias("df"))
 

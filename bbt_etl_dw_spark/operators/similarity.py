@@ -256,7 +256,18 @@ def lsh_topk(
         .select("query_id", "corpus_id")
         .dropDuplicates()  # collide in >=1 table => score once
     )
-    cvecs = corpus.select(F.col(id_col).alias("corpus_id"), v.alias("cv"))
+    # candidate list is LSH-bounded: materialize it, then semi-join-prune
+    # the vector attach to candidate members — otherwise the re-rank join
+    # shuffles the FULL corpus vectors to score a candidate set ~100x
+    # smaller (r14 plan audit; the jaccard_verify/cosine_near_dups shape)
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    cands = materialize(cands)
+    cand_ids = cands.select(F.col("corpus_id")).distinct()
+    cvecs = (
+        corpus.select(F.col(id_col).alias("corpus_id"), v.alias("cv"))
+        .join(F.broadcast(cand_ids), "corpus_id", "left_semi")
+    )
     qvecs = queries.select(F.col(query_id_col).alias("query_id"), v.alias("qv"))
     scored = (
         cands.join(F.broadcast(qvecs), "query_id")

@@ -670,6 +670,12 @@ def benford_digit_audit(
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))
     )
+    # the <=10-row digit histogram feeds four subtrees (dense join,
+    # out-of-range union, in-range total, final projection) — left lazy
+    # the fact hash-agg ran 4x (r14 plan audit of lineitem_benford_audit)
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    counts = materialize(counts)
     spark = df.sparkSession
     frame = spark.range(1, 10).select(F.col("id").cast("long").alias("digit"))
     full = frame.join(counts, "digit", "left").select(

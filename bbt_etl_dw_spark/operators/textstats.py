@@ -516,11 +516,21 @@ def collocation_lift(
 
     Output: (bigram, n_xy, n_x, n_y, lift), one row per surviving bigram.
     """
+    # both count tables are materialized: `big_all` feeds the min-count
+    # filter AND the bigram total, `uni` feeds the token total AND two
+    # vocabulary joins — composed lazily the bigram explode ran 2x and
+    # the unigram explode 3x over the corpus (r14 plan audit of
+    # doc_pmi_collocations: 5 corpus scans for 2 irreducible passes).
+    # Both frames are vocabulary-sized aggregates, never corpus-sized.
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
     grams = docs.select(F.explode(word_ngrams(text_col, 2)).alias("bigram"))
-    big_all = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_xy"))
+    big_all = materialize(
+        grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_xy"))
+    )
     big = big_all.filter(F.col("n_xy") >= min_count)
     toks = docs.select(F.explode(words(text_col)).alias("word"))
-    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    uni = materialize(toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_w")))
     # corpus totals fold the ALREADY-BUILT count tables (vocab-sized
     # aggregates; r07 review: agg over `grams`/`toks` re-exploded and
     # re-tokenized the full corpus twice — doubling the most expensive

@@ -70,10 +70,19 @@ def autocorrelation(
     """
     spark = series.sparkSession
     b, v = F.col(bucket_col), F.col(value_col)
-    base = series.select(b.alias("__b"), v.cast("double").alias("__x"))
+    # `base` feeds the mean aggregate AND the deviation projection;
+    # `dev` feeds the denominator and BOTH lag-join sides. Composed
+    # lazily that re-executes the caller's entire series pipeline (a
+    # fact rollup, typically) ~6x (r14 plan audit of events_daily_acf).
+    # Both frames are series-grain (one row per bucket) — materialize.
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    base = materialize(
+        series.select(b.alias("__b"), v.cast("double").alias("__x"))
+    )
 
     stats = base.agg(davg(F.col("__x"), "__mean"))
-    dev = (
+    dev = materialize(
         base.crossJoin(F.broadcast(stats))
         .select("__b", (F.col("__x") - F.col("__mean")).alias("__d"))
     )
@@ -239,19 +248,28 @@ def cross_correlation(
     lags surface with n_pairs=0/NULL) and the same davg mean discipline.
     Returns ``(lag, n_pairs, xcorr)`` ordered by lag."""
     spark = series.sparkSession
-    base = series.select(
-        F.col(bucket_col).alias("__b"),
-        F.col(x_col).cast("double").alias("__x"),
-        F.col(y_col).cast("double").alias("__y"),
+    # same shared-frame discipline as autocorrelation: base feeds the
+    # means and the deviations, dev feeds the denominator and both lag
+    # sides — series-grain frames, materialized once each
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    base = materialize(
+        series.select(
+            F.col(bucket_col).alias("__b"),
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
     )
     stats = base.agg(
         davg(F.col("__x"), "__mx"),
         davg(F.col("__y"), "__my"),
     )
-    dev = base.crossJoin(F.broadcast(stats)).select(
-        "__b",
-        (F.col("__x") - F.col("__mx")).alias("__dx"),
-        (F.col("__y") - F.col("__my")).alias("__dy"),
+    dev = materialize(
+        base.crossJoin(F.broadcast(stats)).select(
+            "__b",
+            (F.col("__x") - F.col("__mx")).alias("__dx"),
+            (F.col("__y") - F.col("__my")).alias("__dy"),
+        )
     )
     denom = dev.agg(
         dsum(F.col("__dx") * F.col("__dx"), "__den_x"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bbt_etl_dw_spark.catalog import table
+from bbt_etl_dw_spark.operators.ckpt import materialize
 from bbt_etl_dw_spark.operators.behavior import WEEK_ANCHOR_DAY as _EPOCH_ANCHOR_DAY
 from bbt_etl_dw_spark.suite import register
 
@@ -337,7 +338,11 @@ def signup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort cardinality is calendar-scale, users never collect). All time
     arithmetic is epoch-µs (timezone-immune)."""
     ev = table(spark, sf_dir, "events")
-    s = (
+    # `s` (first signup per user) feeds the purchase filter AND the
+    # latency join; `lat` feeds the percentile AND count rollups — both
+    # user-grain aggregates, materialized once each (r14 plan audit:
+    # events scanned 6x in this builder, 2x is irreducible).
+    s = materialize(
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("st"))
@@ -355,6 +360,7 @@ def signup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("latency_us"),
     )
+    lat = materialize(lat)
     pcts = exact_group_percentiles(
         lat, ["cohort_week"], "latency_us",
         {"p50_latency_us": 0.5, "p90_latency_us": 0.9},
@@ -1026,7 +1032,10 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     never quadratic in users); the two audience attaches broadcast the
     5-row type rollup. Jaccard is one IEEE division of exact longs."""
     ev = table(spark, sf_dir, "events")
-    d = ev.select("user_id", "event_type").distinct()
+    # the distinct incidence feeds both self-join sides AND the audience
+    # rollup — materialized so the fact reduces once, as the docstring
+    # promises (r14 plan audit: the distinct ran 3x)
+    d = materialize(ev.select("user_id", "event_type").distinct())
     a = d.select("user_id", F.col("event_type").alias("type_a"))
     b = d.select("user_id", F.col("event_type").alias("type_b"))
     pairs = (
@@ -1528,7 +1537,10 @@ def events_seasonal_adjusted_anomalies(
     series; exact-decimal sums, fixed IEEE close."""
     ev = table(spark, sf_dir, "events")
     day = F.expr("unix_micros(ts) div 86400000000")
-    daily = (
+    # day-grain rollup feeds three consumers (overall, per-dow, the
+    # adjusted projection) and `adjusted` two more — materialized, the
+    # fact contributes one scan + one shuffle (r14 plan audit: 6x)
+    daily = materialize(
         ev.select(day.alias("day"), "value")
         .groupBy("day")
         .agg(_dsum(F.col("value"), "day_value"))
@@ -1544,7 +1556,7 @@ def events_seasonal_adjusted_anomalies(
     idx = (F.col("dow_tot") / F.col("n_days_dow").cast("double")) / (
         F.col("tot") / F.col("n_days").cast("double")
     )
-    adjusted = (
+    adjusted = materialize(
         daily.join(F.broadcast(per_dow), "dow")
         .crossJoin(F.broadcast(overall))
         .select("day", "dow", "day_value", (F.col("day_value") / idx).alias("adj"))

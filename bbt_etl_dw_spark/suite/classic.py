@@ -184,6 +184,12 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_dec")
         )
     )
+    # the nation-grain rollup feeds the global total AND the share
+    # projection: materialized (|nations| rows), the lineitem⋈orders
+    # pipeline runs once instead of twice (r14 plan audit)
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    nr = materialize(nr)
     tot = nr.agg(F.sum("rev_dec").alias("tot_dec"))
     share = F.col("rev_dec").cast("string").cast("double") / F.col("tot_dec").cast(
         "string"
@@ -1136,6 +1142,12 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(unit_cost).alias("supply_cost"))
     )
+    # the (part, supplier) cost rollup feeds the per-part min AND the
+    # tie-keeping join-back — materialized (dim-grain), the semi-pruned
+    # fact aggregation runs once, not twice (r14 plan audit)
+    from bbt_etl_dw_spark.operators.ckpt import materialize as _mat
+
+    ps = _mat(ps)
     min_pp = ps.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
     winners = ps.join(min_pp, "l_partkey").filter(
         F.col("supply_cost") == F.col("min_cost")

@@ -431,8 +431,22 @@ def simhash_pairs_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bbt_etl_dw_spark.operators.dedup import simhash
 
     docs = table(spark, sf_dir, "documents", spread=True)
-    emitted = simhash_near_dups(docs, "doc_id", "text")
-    sigs = docs.select(F.col("doc_id"), simhash("text").alias("sig"))
+    # the emitted pair list is tiny: materialize it and prune the
+    # recompute side to pair members before the two attaches (the full
+    # corpus simhash otherwise recomputes once per attach — r14 audit).
+    # Semi-pruning preserves the LEFT-join absent-id semantics: an id
+    # missing from the corpus is missing from the pruned side too.
+    emitted = materialize(simhash_near_dups(docs, "doc_id", "text"))
+    pair_ids = (
+        emitted.select(F.col("id_a").alias("doc_id"))
+        .unionByName(emitted.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sigs = materialize(
+        docs.select(F.col("doc_id"), simhash("text").alias("sig")).join(
+            F.broadcast(pair_ids), "doc_id", "left_semi"
+        )
+    )
     # LEFT joins from the emitted side: an emitted pair referencing an id
     # absent from the corpus must surface as a bad pair (null sig), not
     # silently drop out of an inner join and evade every counter.
@@ -1748,8 +1762,15 @@ def doc_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(words("text")).alias("term")).filter(
         F.col("term") != ""
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is materialized and the document frequency DERIVES from it:
+    # (doc_id, term) is unique in tf, so counting tf rows per term IS
+    # countDistinct(doc_id) over the raw tokens — the corpus tokenize
+    # runs once instead of twice (r14 plan audit), and the checkpoint
+    # carries the (doc, term) count table, never the raw token stream.
+    tf = materialize(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     dfd = F.col("df").cast("double")
     scored = (
@@ -1826,10 +1847,15 @@ def doc_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     would break the bit-exact oracle; the upsample_factor column is the
     number a sampler feeds straight into per-source rates."""
     docs = table(spark, sf_dir, "documents", spread=True)
-    per_source = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(words("text")).cast("long")).cast("bigint")
-        .alias("n_tokens"),
+    # sources-grain rollup feeds the grand total AND the weighting pass
+    # (and `weighted` fans out again below): materialized, the corpus
+    # tokenize+count runs once instead of 4x (r14 plan audit)
+    per_source = materialize(
+        docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(words("text")).cast("long")).cast("bigint")
+            .alias("n_tokens"),
+        )
     )
     tot = per_source.agg(F.sum("n_tokens").cast("bigint").alias("tok_total"))
     raw = F.col("n_tokens").cast("double") / F.col("tok_total").cast("double")

@@ -496,8 +496,22 @@ def _ann_result_check(res: DataFrame, emb: DataFrame) -> DataFrame:
 
     from bbt_etl_dw_spark.operators.similarity import cosine_expr
 
-    vecs = emb.select(
-        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    # res is k x queries rows (tiny): materialize it, collect the member
+    # ids, and prune + materialize the vector side once — the two
+    # re-check attaches below otherwise each re-scanned the full
+    # embeddings table (r14 plan audit of the *_precision twins)
+    res = materialize(res)
+    ids = (
+        res.select(F.col("query_id").alias("vec_id"))
+        .unionByName(res.select(F.col("corpus_id").alias("vec_id")))
+        .distinct()
+    )
+    vecs = materialize(
+        emb.select(
+            F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+        ).join(F.broadcast(ids), "vec_id", "left_semi")
     )
     j = (
         res.join(
@@ -990,12 +1004,22 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bbt_etl_dw_spark.operators.similarity import _l2sq
 
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
     emb = table(spark, sf_dir, "embeddings", spread=True)
     books = pq_codebooks(emb, m=8, ksub=32, iters=2)
-    codes = pq_encode(emb, books)
+    # codes feed BOTH operating points (raw ADC + shortlist-rerank) and
+    # queries feed three consumers (two ADC passes + the exact side):
+    # materialized once, the encode map pass and the query scan run once
+    # instead of per reference (r14 plan audit: embeddings scanned 24x
+    # in this builder). The code table is the persisted-index frame —
+    # m small ints per vector — and queries are 5 rows.
+    codes = materialize(pq_encode(emb, books))
     v = F.col("embedding").cast("array<double>")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    queries = materialize(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
     )
     adc_top = pq_adc_topk(codes, queries, books, k=10).select(
         "query_id", "corpus_id"
@@ -1012,7 +1036,9 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "corpus_id", _l2sq(F.col("cv"), F.col("qv")).alias("d")
     )
     w = _W.partitionBy("query_id").orderBy("d", "corpus_id")
-    exact_top = (
+    # the exact ground truth feeds both hit counts — materialized (50
+    # rows), the bounded-quadratic brute-force pass runs once, not twice
+    exact_top = materialize(
         exact.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
         .select("query_id", "corpus_id")
