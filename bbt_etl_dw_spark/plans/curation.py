@@ -64,7 +64,15 @@ def run_curation_pipeline(
     # mutually exact duplicates) and flow through every stage.
     fp = F.coalesce(md5_fingerprint(text_col), F.lit("<null-text>"))
     with_fp = docs.select(ids, F.col(text_col), fp.alias("fp"))
-    keepers = with_fp.groupBy("fp").agg(F.min(ids).alias("keep_id"))
+    # the min-id representative map is (fp -> keep_id) — fingerprint
+    # grain, no text — so one checkpoint keeps the dedup aggregation
+    # (and its corpus scan) from re-running inside the disposition join
+    # (r14 plan audit: documents scanned 4x in doc_curation_pipeline,
+    # 3 is the floor while with_fp deliberately stays unmaterialized —
+    # it carries the raw text).
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    keepers = materialize(with_fp.groupBy("fp").agg(F.min(ids).alias("keep_id")))
     # check_broadcast=False keeps this ONE lazy Catalyst plan (the
     # guard's eager jobs otherwise run at plan-construction time); the
     # standalone decontamination operator keeps the loud guard

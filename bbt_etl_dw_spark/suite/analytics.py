@@ -1822,6 +1822,9 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "start_day")
         .agg(F.max("ship_day").alias("close_day"))
     )
+    # order-grain span frame feeds both sweep-line delta branches —
+    # materialized, the orders⋈lineitem agg runs once (r14 plan audit)
+    spans = materialize(spans)
     deltas = spans.select(
         F.col("start_day").alias("day"),
         F.lit(1).alias("delta"), F.lit(1).alias("opened"), F.lit(0).alias("closed"),

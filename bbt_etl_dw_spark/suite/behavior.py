@@ -1624,7 +1624,9 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     wk = ev.select("user_id", week_index("ts").alias("w"), "event_type", "value")
-    first_wk = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
+    # user-grain first-week dimension feeds the cohort sizes AND the
+    # revenue join — materialized once (r14 plan audit: events x3 -> x2)
+    first_wk = materialize(wk.groupBy("user_id").agg(F.min("w").alias("cw")))
     sizes = first_wk.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
     rev = (
         wk.filter(F.col("event_type") == "purchase")

@@ -1217,6 +1217,12 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").try_cast(DEC)).alias("qd"))
     )
+    # the (part, supplier) quantity rollup feeds the per-part total AND
+    # the majority join — materialized (dim-grain), the semi-pruned fact
+    # aggregation runs once, not twice (r14 plan audit)
+    from bbt_etl_dw_spark.operators.ckpt import materialize as _m
+
+    pair = _m(pair)
     tot = pair.groupBy("l_partkey").agg(F.sum("qd").alias("td"))
     winners = (
         pair.join(tot, "l_partkey")
