@@ -667,6 +667,7 @@ def incremental_minhash_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int = 2000,
+    materialize_index: bool = True,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING an incoming batch (id_a < id_b, jaccard):
     batch-vs-corpus via the persisted band-key ``index`` plus in-batch
@@ -692,8 +693,13 @@ def incremental_minhash_pairs(
     # doc_incremental_near_dup: documents scanned 8x). The frame is the
     # COMPACT index (~100s of bytes per doc by design — the thing a real
     # deployment persists), so one checkpoint is exactly the persisted
-    # shape the docstring prescribes.
-    allx = _ckpt(allx, None)
+    # shape the docstring prescribes. ``materialize_index=False`` keeps
+    # the whole operator one lazy Catalyst plan — for callers composing
+    # it into a larger plan and for tests that introspect inputFiles()
+    # to assert the O(batch) never-rereads-corpus-text property (a
+    # checkpointed plan reads an RDD and reports no input files).
+    if materialize_index:
+        allx = _ckpt(allx, None)
     keys = allx.select("doc_id", "is_new", F.explode("bands").alias("bk")).select(
         "doc_id", "is_new", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
     )

@@ -381,10 +381,15 @@ def test_pmi_topk_is_heap_not_global_sort(plans):
 
 
 def test_triangles_all_joins_keyed(plans):
-    # wedge + closing joins are equi-joins; geo dims broadcast
+    # wedge + closing joins are equi-joins, never a nested loop; the
+    # edge/degree/oriented frames are materialized ONCE (r14 — lazy
+    # composition multiplied the caller's edge pipeline ~15x), so the
+    # final plan reads checkpointed RDDs instead of re-running the geo
+    # broadcast joins per subtree
     plan = plans["nation_trade_triangles"]
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan, "edge pipeline must not re-run"
 
 
 def test_mannwhitney_bins_before_ranking(plans):

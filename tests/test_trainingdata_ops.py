@@ -772,8 +772,15 @@ def test_incremental_minhash_never_rereads_corpus_text(spark, tmp_path):
         "doc_id long, text string",
     ).write.parquet(batch_path)
 
+    # materialize_index=False keeps one lazy plan so inputFiles() can see
+    # the scan relations (the default checkpoints the combined index,
+    # which reads an RDD and reports no input files — r14)
     out = incremental_minhash_pairs(
-        spark.read.parquet(index_path), spark.read.parquet(batch_path), "doc_id", "text"
+        spark.read.parquet(index_path),
+        spark.read.parquet(batch_path),
+        "doc_id",
+        "text",
+        materialize_index=False,
     )
     scanned = out.inputFiles()
     assert any("corpus_index" in f for f in scanned)
