@@ -798,20 +798,27 @@ def dedup_clusters(
     With ``star_fallback=False`` it raises — never silently-split
     clusters."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    # edges persist: every round joins against them — without this the
-    # whole upstream pair-emission pipeline (e.g. a corpus-wide shingle
-    # self-join) would re-execute once per round.
-    edges = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
+    # edges are CHECKPOINTED, not merely persisted (r14): persist() keeps
+    # the LOGICAL plan, so while cached blocks stop the upstream
+    # pair-emission pipeline from re-EXECUTING each round, every round's
+    # label plan still embeds (and Catalyst re-optimizes) the entire
+    # upstream tree — for a corpus-wide shingle self-join that planning
+    # constant dominated the tiny per-round jobs (A/B at sf0.1:
+    # doc_dedup_clusters steady-state ~5.1-5.4 s checkpointed vs
+    # ~5.6-7.0 s persisted). Truncated lineage also drops the plan-size
+    # growth risk for deep iteration counts outright.
+    edges = _ckpt(
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        reliable_checkpoint,
     )
-    # One count materializes the persisted edges up front (the first round
-    # would anyway) and feeds the scale counters. Per-round shuffle widths
-    # are left to the session default + AQE coalescing: an experiment
-    # sizing them explicitly from n_edges (repartition(parts) per round)
-    # measured NO win — the per-round constant is driver-side planning and
-    # codegen compilation, which AQE-coalesced 32-task stages don't add to.
+    # One count feeds the scale counters (cheap: a block scan of the
+    # checkpointed edges). Per-round shuffle widths are left to the
+    # session default + AQE coalescing: an experiment sizing them
+    # explicitly from n_edges (repartition(parts) per round) measured NO
+    # win — the per-round constant is driver-side planning and codegen
+    # compilation, which AQE-coalesced 32-task stages don't add to.
     n_edges = edges.count()
     LAST_CLUSTER_STATS.clear()
     LAST_CLUSTER_STATS.update(
