@@ -280,10 +280,22 @@ def jaccard_verify(
     # cand_ids is BROADCAST into the semi-join (r14 plan audit: left to
     # Catalyst the semi planned as a sort-merge join — a full sort +
     # exchange of the corpus scan, twice, since `sh` feeds both pair
-    # sides). It is bounded by 2x|candidate pairs| — small is the point
-    # of LSH, and the downstream pair-attach joins already broadcast the
-    # strictly LARGER candidate-pruned doc frame, so this adds no new
-    # memory assumption.
+    # sides). Bounded by 2x|candidate pairs| — small is the point of
+    # LSH — but a degenerate high-duplication corpus can push it toward
+    # O(N), so the forced hint sits behind the loud size guard: a clear
+    # error naming the frame instead of a driver OOM three stages later
+    # (same discipline as the basket frequency table).
+    from bbt_etl_dw_spark.operators.guards import assert_broadcastable
+
+    cand_ids = assert_broadcastable(
+        cand_ids,
+        label="jaccard_verify: candidate doc-id set",
+        remedy=(
+            "the candidate set is corpus-scale — tighten the LSH bands/"
+            "threshold upstream, or replace the broadcast semi-join with "
+            "a shuffle semi-join"
+        ),
+    )
     sh = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
         .join(F.broadcast(cand_ids), "doc_id", "left_semi")
@@ -902,23 +914,21 @@ def dedup_clusters(
         # raise, if the caller opted out of the fallback).
         if star_fallback:
             LAST_CLUSTER_STATS["star_fallback"] = True
-            try:
-                out = _star_components(edges, reliable_checkpoint=reliable_checkpoint)
-                return _ckpt(
-                    out.select(F.col("doc_id"), F.col("cluster_id")),
-                    reliable_checkpoint,
-                )
-            finally:
-                edges.unpersist()
-        edges.unpersist()
+            out = _star_components(edges, reliable_checkpoint=reliable_checkpoint)
+            return _ckpt(
+                out.select(F.col("doc_id"), F.col("cluster_id")),
+                reliable_checkpoint,
+            )
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds "
             "(labels still changing) — raise max_iters or enable "
             "star_fallback (large-star/small-star) for high-diameter graphs"
         )
-    edges.unpersist()
-    # labels is checkpointed (materialized, lineage-free): consumption is
-    # one cheap scan; superseded rounds' blocks free on GC.
+    # no explicit cleanup: edges/labels are checkpointed, not persist()ed —
+    # DataFrame.unpersist() would be a no-op on checkpoint blocks (it only
+    # uncaches CacheManager entries; r14 review finding), and the blocks
+    # free via GC + ContextCleaner once the frames drop out of scope (the
+    # retention contract documented in operators/ckpt.py).
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -1149,9 +1159,17 @@ def cosine_near_dups(
     # below otherwise shuffle the full corpus embeddings twice
     # (jaccard_verify's shape, applied here)
     pairs = _ckpt(pairs, None)
-    cand_ids = pairs.select(
-        F.explode(F.array("id_a", "id_b")).alias("_id")
-    ).distinct()
+    from bbt_etl_dw_spark.operators.guards import assert_broadcastable
+
+    cand_ids = assert_broadcastable(
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("_id")).distinct(),
+        label="cosine_near_dups: candidate vec-id set",
+        remedy=(
+            "the candidate set is corpus-scale — raise planes / lower "
+            "tables upstream, or replace the broadcast semi-join with a "
+            "shuffle semi-join"
+        ),
+    )
     normed = df.select(F.col(id_col).alias("_id"), v.alias("_v")).withColumn(
         "_nrm", norm_expr(F.col("_v"))
     )

@@ -59,6 +59,13 @@ def pagerank(
 
     v = vertices.select(F.col(id_col).alias("_vid"))
     n_df = v.agg(F.count(F.lit(1)).alias("_n"))
+    # n_df is crossJoined into EVERY iteration's rank update: left lazy it
+    # re-runs the caller's vertex pipeline once per iteration even with
+    # the rank vector materialized (r14 review finding) — one checkpoint
+    # of the 1-row scalar ends that
+    from bbt_etl_dw_spark.operators.ckpt import materialize
+
+    n_df = materialize(n_df)
 
     # out-edge weight fractions, computed once: w/out(u) per edge
     e = edges.select(
@@ -81,8 +88,6 @@ def pagerank(
     # discipline as dedup_clusters; the old "fixed small constant, no
     # checkpointing needed" note was wrong because composition is
     # exponential in the per-iteration reference count, not linear.
-    from bbt_etl_dw_spark.operators.ckpt import materialize
-
     frac = materialize(frac)
 
     # p0 = 1/N for every vertex

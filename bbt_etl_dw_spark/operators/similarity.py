@@ -263,7 +263,17 @@ def lsh_topk(
     from bbt_etl_dw_spark.operators.ckpt import materialize
 
     cands = materialize(cands)
-    cand_ids = cands.select(F.col("corpus_id")).distinct()
+    from bbt_etl_dw_spark.operators.guards import assert_broadcastable
+
+    cand_ids = assert_broadcastable(
+        cands.select(F.col("corpus_id")).distinct(),
+        label="lsh_topk: candidate corpus-id set",
+        remedy=(
+            "the candidate set is corpus-scale — raise planes (fewer "
+            "collisions) or replace the broadcast semi-join with a "
+            "shuffle semi-join"
+        ),
+    )
     cvecs = (
         corpus.select(F.col(id_col).alias("corpus_id"), v.alias("cv"))
         .join(F.broadcast(cand_ids), "corpus_id", "left_semi")

@@ -177,7 +177,13 @@ def gap_fill_linear(
             )
         )
     )
-    gap_end = F.coalesce(F.lead(b).over(w_lead) - 1, b)
+    # clamp at the row's own bucket: under the one-row-per-(key, bucket)
+    # contract lead > b always holds, but a contract-VIOLATING duplicate
+    # bucket would make sequence(b, b-1) run DESCENDING (default step -1)
+    # and fabricate below-span buckets silently (r14 review finding) —
+    # clamped, duplicates degrade to in-span fan-out like the old
+    # spine-join shape
+    gap_end = F.greatest(F.coalesce(F.lead(b).over(w_lead) - 1, b), b)
     # window expressions must resolve in their own projection before the
     # generator consumes them (explode over a windowspec is unresolvable)
     bounded = observed.select(

@@ -52,8 +52,11 @@ def run_curation_pipeline(
     max_hits: int = 0,
 ) -> CurationResult:
     """Compose exact dedup → quality filter → decontamination → split
-    into one lazy disposition plan. See module docstring for precedence
-    and the scale shape of each stage."""
+    into one disposition plan. See module docstring for precedence and
+    the scale shape of each stage. NOT fully lazy since r14: the min-id
+    representative map is checkpointed at construction time (one eager
+    corpus pass) so the dedup aggregation does not re-run inside the
+    disposition join; everything else composes lazily."""
     ids = F.col(id_col)
 
     # NULL-text docs get a sentinel fingerprint: md5(NULL) is NULL, the

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bbt_etl_dw_spark.catalog import table
+from bbt_etl_dw_spark.operators.ckpt import materialize
 from bbt_etl_dw_spark.functions.numeric import (
     DEC,
     SQL_DEC,
@@ -187,8 +188,6 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the nation-grain rollup feeds the global total AND the share
     # projection: materialized (|nations| rows), the lineitem⋈orders
     # pipeline runs once instead of twice (r14 plan audit)
-    from bbt_etl_dw_spark.operators.ckpt import materialize
-
     nr = materialize(nr)
     tot = nr.agg(F.sum("rev_dec").alias("tot_dec"))
     share = F.col("rev_dec").cast("string").cast("double") / F.col("tot_dec").cast(
@@ -1145,9 +1144,7 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (part, supplier) cost rollup feeds the per-part min AND the
     # tie-keeping join-back — materialized (dim-grain), the semi-pruned
     # fact aggregation runs once, not twice (r14 plan audit)
-    from bbt_etl_dw_spark.operators.ckpt import materialize as _mat
-
-    ps = _mat(ps)
+    ps = materialize(ps)
     min_pp = ps.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
     winners = ps.join(min_pp, "l_partkey").filter(
         F.col("supply_cost") == F.col("min_cost")
@@ -1220,9 +1217,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (part, supplier) quantity rollup feeds the per-part total AND
     # the majority join — materialized (dim-grain), the semi-pruned fact
     # aggregation runs once, not twice (r14 plan audit)
-    from bbt_etl_dw_spark.operators.ckpt import materialize as _m
-
-    pair = _m(pair)
+    pair = materialize(pair)
     tot = pair.groupBy("l_partkey").agg(F.sum("qd").alias("td"))
     winners = (
         pair.join(tot, "l_partkey")

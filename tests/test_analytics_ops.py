@@ -699,3 +699,20 @@ def test_gap_fill_span_guard_raises(spark):
     # and a sane span still works with the guard in the plan
     ok = gap_fill_linear(df.filter("b = 0"), ["k"], "b", "v").collect()
     assert len(ok) == 1
+
+
+def test_gap_fill_never_emits_below_span_on_duplicate_buckets(spark):
+    """Contract-violating duplicate (key, bucket) rows must not fabricate
+    out-of-span buckets: the lead-based densify (r14) would otherwise
+    build sequence(b, b-1) — a DESCENDING range under Spark's default
+    step — and emit below-min buckets with NULL fill. The clamp keeps
+    duplicates as in-span fan-out (the old spine-join behavior class)."""
+    from bbt_etl_dw_spark.operators.timeseries import gap_fill_linear
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 1, 11.0), ("k", 4, 40.0)],
+        "k string, b bigint, v double",
+    )
+    rows = gap_fill_linear(df, ["k"], "b", "v").collect()
+    assert min(r["b"] for r in rows) == 1, rows
+    assert max(r["b"] for r in rows) == 4, rows

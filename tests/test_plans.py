@@ -385,11 +385,23 @@ def test_triangles_all_joins_keyed(plans):
     # edge/degree/oriented frames are materialized ONCE (r14 — lazy
     # composition multiplied the caller's edge pipeline ~15x), so the
     # final plan reads checkpointed RDDs instead of re-running the geo
-    # broadcast joins per subtree
+    # broadcast joins per subtree. The subtree join strategies are pinned
+    # by the _lazy twin below.
     plan = plans["nation_trade_triangles"]
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan, "edge pipeline must not re-run"
+
+
+def test_triangles_lazy_subplan_joins_keyed(spark, sf_dir, monkeypatch):
+    # identity-materialize twin (r14 review finding): the full lazy plan
+    # must keep the geo dims broadcast and every join an equi-join
+    import bbt_etl_dw_spark.operators.ckpt as C
+
+    monkeypatch.setattr(C, "materialize", lambda df, reliable=None: df)
+    plan = _plan(load_all()["nation_trade_triangles"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
 
 
 def test_mannwhitney_bins_before_ranking(plans):
@@ -405,10 +417,25 @@ def test_rfm_one_customer_shuffle_boundaries_broadcast(plans):
     # shuffle runs in the checkpoint job, so the final plan reads the
     # checkpointed RDD — no orders parquet scan survives); quantile
     # boundaries re-attach as one-row broadcasts (scoring is a map
-    # stage over customers)
+    # stage over customers). The join/partitioning properties inside the
+    # materialized subtree are pinned by the _lazy twin below.
     plan = plans["customer_rfm_segments"]
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan, "orders must not be re-scanned"
+    assert plan.count("BroadcastNestedLoopJoin") >= 3
+
+
+def test_rfm_lazy_subplan_one_customer_shuffle(spark, sf_dir, monkeypatch):
+    # with materialize patched to identity the WHOLE pipeline is one lazy
+    # plan again, so the properties the materialization hides stay
+    # testable: the fact reduces on o_custkey, and the boundaries attach
+    # as one-row broadcasts (r14 review finding: checkpoint jobs are
+    # invisible to the final plan)
+    import bbt_etl_dw_spark.suite.analytics as A
+
+    monkeypatch.setattr(A, "materialize", lambda df, reliable=None: df)
+    plan = _plan(load_all()["customer_rfm_segments"].builder(spark, sf_dir))
+    assert plan.count("hashpartitioning(o_custkey") >= 1
     assert plan.count("BroadcastNestedLoopJoin") >= 3
 
 

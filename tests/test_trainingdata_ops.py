@@ -791,6 +791,17 @@ def test_incremental_minhash_never_rereads_corpus_text(spark, tmp_path):
     # and the probe actually finds the cross-boundary near-dup
     got = {(r.id_a, r.id_b) for r in out.collect()}
     assert (1, 14) in got  # batch doc 1 ~ history doc 14 ("number 7")
+    # the DEFAULT (checkpointed-index) mode must return exactly the same
+    # pairs — pins the two modes' equivalence so the lazy-mode plan
+    # assertions above keep covering the production default (r14 review)
+    out_default = incremental_minhash_pairs(
+        spark.read.parquet(index_path),
+        spark.read.parquet(batch_path),
+        "doc_id",
+        "text",
+    )
+    got_default = {(r.id_a, r.id_b) for r in out_default.collect()}
+    assert got_default == got
 
 
 def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
