@@ -26,6 +26,7 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -63,6 +64,58 @@ def main() -> None:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     warm_cap = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "6"))
+    # Ramp-heavy queries (sf1 part_basket_neighbors: a fresh JVM descends
+    # 35 -> 8 s over ~10 executions, PROBE_PBN_SF1_r14) need more warmups
+    # than the default cap, but granting 12 to every query doubles total
+    # bench wall for nothing. EXTENSION policy (VERDICT r14 #3): the cap
+    # doubles ONLY while the plateau test keeps failing — a query that
+    # plateaus by 2-3 runs never pays extra, one still mid-ramp at
+    # warm_cap gets up to warm_cap_ext runs before timing starts.
+    # Warmups stay discarded; the timed region is unchanged.
+    warm_cap_ext = int(
+        os.environ.get("SPARK_GRAFT_BENCH_WARMUPS_EXT", str(2 * warm_cap))
+    )
+
+    # Executor CPU time per query (VERDICT r14 #2): the sf0.1 low-core vs
+    # high-core wall comparison is overhead-bound and undecidable from
+    # walls alone; cumulative stage executorCpuTime over the TIMED runs
+    # makes serial-vs-parallel decidable from the artifact (cpu/wall ~
+    # effective parallelism). REST read of the local UI, untimed region
+    # only — never inside a timed run.
+    # Stage-id WATERMARK accounting (same protocol as shuffle_audit.py):
+    # the UI store evicts old stages past spark.ui.retainedStages, so a
+    # cumulative sum can go DOWN between reads; summing only stages above
+    # the pre-run max stage id is eviction-proof for the short window of
+    # one query's timed runs.
+    def _stages() -> list[dict] | None:
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            app_id = spark.sparkContext.applicationId
+            url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+            return json.load(urllib.request.urlopen(url, timeout=10))
+        except Exception:
+            return None
+
+    def stage_watermark() -> int | None:
+        stages = _stages()
+        if stages is None:
+            return None
+        return max((s["stageId"] for s in stages), default=-1)
+
+    def cpu_since_sec(watermark: int | None) -> float | None:
+        if watermark is None:
+            return None
+        stages = _stages()
+        if stages is None:
+            return None
+        return (
+            sum(
+                s.get("executorCpuTime", 0)
+                for s in stages
+                if s["stageId"] > watermark
+            )
+            / 1e9
+        )
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -87,7 +140,7 @@ def main() -> None:
         # timed min-of-N passes after it bound the residual error.
         prev = run_once(name)
         best = prev
-        for i in range(2, warm_cap + 1):
+        for i in range(2, warm_cap_ext + 1):
             cur = run_once(name)
             best = min(best, cur)
             if (
@@ -95,8 +148,13 @@ def main() -> None:
                 and cur <= 1.05 * best
             ):
                 return i
+            if i >= warm_cap and cur > 0.95 * prev:
+                # Past the base cap and no longer descending >=5% per
+                # run: the residual wobble is ambient, not ramp — stop
+                # extending (the timed min-of-N bounds what remains).
+                return i
             prev = cur
-        return warm_cap
+        return warm_cap_ext
 
     def time_pass(warmup: bool) -> tuple[dict[str, float], dict[str, float]]:
         timings: dict[str, float] = {}
@@ -104,7 +162,12 @@ def main() -> None:
         for name in names:
             if warmup:
                 warmups_used[name] = warm_to_plateau(name)
+                mark = stage_watermark()
             runs = [run_once(name) for _ in range(n_runs)]
+            if warmup:
+                cpu = cpu_since_sec(mark)
+                if cpu is not None:
+                    cpu_sec[name] = round(cpu / n_runs, 4)
             timings[name] = round(min(runs), 4)
             # max-min across the TIMED (post-warmup) runs: the steady-state
             # ambient-load noise band. A future "regression" whose delta
@@ -118,6 +181,7 @@ def main() -> None:
     # second pass bounds the noise per query IN the artifact, so a reader
     # compares rounds against noise_band instead of guessing.
     warmups_used: dict[str, int] = {}
+    cpu_sec: dict[str, float] = {}
     timings, spreads = time_pass(warmup=True)
     timings2, _ = time_pass(warmup=False)
     noise_band = {
@@ -140,8 +204,15 @@ def main() -> None:
         "queries_run2": timings2,
         "noise_band": noise_band,
         "spread": spreads,
+        # avg executor CPU seconds per timed run (first pass): cpu/wall >> 1
+        # means the query parallelizes; cpu/wall ~ 1 at a wall that does not
+        # drop with cores means fixed overhead, not a serialization defect.
+        "cpu_sec_per_run": cpu_sec,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "runs_per_query": n_runs,
-        "warmup_protocol": f"adaptive-plateau-5pct-min-cap{warm_cap}",
+        "warmup_protocol": (
+            f"adaptive-plateau-5pct-min-cap{warm_cap}-ext{warm_cap_ext}"
+        ),
         "warmups_used": warmups_used,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
