@@ -381,7 +381,11 @@ def ngram_jaccard_pairs(
         # but never in the intersection, biasing jaccard low near the
         # threshold. One extra window shuffle on doc_id — audit path only.
         sh = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    sh = _ckpt(sh, None)  # one shingle pass feeds both join sides
+    # One shingle pass feeds both join sides. LAZY on the local path: the
+    # guard's hot-shingle aggregate (or, with the guard disabled, the
+    # pair join itself) materializes the blocks in the same job (r15) —
+    # the eager form paid a separate ckpt-write job per execution.
+    sh = _lazy_ckpt(sh, None)
     if max_shingle_df_guard is not None:
         # The violator set is BROADCAST (r14 plan audit): left as a plain
         # left join, Catalyst picked a sort-merge join keyed on the
@@ -495,6 +499,17 @@ def collapsed_jaccard_edges(
     # min-id representative per identical-text group: one skinny hash agg
     repmap = grp.groupBy("_fp").agg(F.min("doc_id").alias("_rep"))
     members = grp.join(repmap, "_fp").filter(F.col("doc_id") != F.col("_rep"))
+    # `members` feeds TWO subtrees (the intra edge list and the reps
+    # anti-join below) and a DataFrame referenced twice is PLANNED twice
+    # (the r14 systemic finding): left lazy, the corpus is scanned and
+    # md5-fingerprinted once inside the shingle-index checkpoint AND
+    # again inside the edge checkpoint (r15 job profile: two extra
+    # single-threaded document scans per execution). The frame is skinny
+    # (doc_id, _rep — text dropped) and bounded by the corpus row count,
+    # the same grain the minhash corpus index persists. Lazy: the first
+    # consumer (the shingle-index materialization, whose reps side
+    # anti-joins it) writes the blocks inside its own job.
+    members = _lazy_ckpt(members.select("doc_id", "_rep"), None)
     intra = members.select(
         F.col("_rep").alias("id_a"),
         F.col("doc_id").alias("id_b"),
@@ -537,6 +552,23 @@ def _ckpt(df: DataFrame, reliable: bool | None) -> DataFrame:
     return materialize(df, reliable)
 
 
+def _lazy_ckpt(df: DataFrame, reliable: bool | None) -> DataFrame:
+    """Lineage truncation whose materialization MERGES into the next
+    action: on the local path the checkpoint is taken lazily, so the
+    consumer right after it (a guard aggregate, an edge count, a
+    convergence probe) both writes the blocks and computes its result in
+    ONE driver job instead of two (r14 dedup_clusters round trick,
+    generalized in r15). The reliable path stays EAGER — a lazy reliable
+    checkpoint recomputes its input a second time for the checkpoint
+    file write, the wrong trade on a real cluster."""
+    if reliable is False or (
+        reliable is None
+        and df.sparkSession.sparkContext.getCheckpointDir() is None
+    ):
+        return df.localCheckpoint(eager=False)
+    return _ckpt(df, reliable)
+
+
 def _star_components(
     edges: DataFrame, max_rounds: int = 40, reliable_checkpoint: bool | None = None
 ) -> DataFrame:
@@ -558,7 +590,10 @@ def _star_components(
     list (src, dst). Returns (doc_id, cluster_id). Raises if the edge set
     has not stabilized after ``max_rounds`` (never silently wrong); the
     star-forest shape of the result is asserted outright."""
-    cur = _ckpt(edges, reliable_checkpoint)
+    # Lazy per-round truncation throughout (local path): the convergence
+    # count right after each round materializes that round's blocks in
+    # the same job (r15; same contract as dedup_clusters' round_ckpt).
+    cur = _lazy_ckpt(edges, reliable_checkpoint)
     stable = False
     for _ in range(max_rounds):
         def nbhd_min(nbr: DataFrame) -> DataFrame:
@@ -582,7 +617,7 @@ def _star_components(
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
-        sym_large = _ckpt(sym_large, reliable_checkpoint)
+        sym_large = _lazy_ckpt(sym_large, reliable_checkpoint)
         # small-star: (v, m(u)) for each neighbor v <= u, plus (u, m(u))
         smin = nbhd_min(sym_large)
         small = (
@@ -600,7 +635,7 @@ def _star_components(
                 nxt.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             ).distinct()
         )
-        sym_nxt = _ckpt(sym_nxt, reliable_checkpoint)
+        sym_nxt = _lazy_ckpt(sym_nxt, reliable_checkpoint)
         # converged when the (distinct, symmetric) edge set is unchanged
         if (
             sym_nxt.count() == cur.count()
@@ -819,14 +854,17 @@ def dedup_clusters(
     # doc_dedup_clusters steady-state ~5.1-5.4 s checkpointed vs
     # ~5.6-7.0 s persisted). Truncated lineage also drops the plan-size
     # growth risk for deep iteration counts outright.
-    edges = _ckpt(
+    # LAZY on the local path (r15): the scale-counter count right below
+    # materializes the blocks — one job runs the whole pair pipeline AND
+    # counts it, where the eager form paid a separate checkpoint job.
+    edges = _lazy_ckpt(
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct(),
         reliable_checkpoint,
     )
-    # One count feeds the scale counters (cheap: a block scan of the
-    # checkpointed edges). Per-round shuffle widths are left to the
+    # One count feeds the scale counters (and materializes the lazy
+    # checkpoint). Per-round shuffle widths are left to the
     # session default + AQE coalescing: an experiment sizing them
     # explicitly from n_edges (repartition(parts) per round) measured NO
     # win — the per-round constant is driver-side planning and codegen
@@ -851,15 +889,8 @@ def dedup_clusters(
     # edges). The reliable-checkpoint path stays EAGER: a lazy reliable
     # checkpoint recomputes its input a second time for the checkpoint
     # file write, which is the wrong trade on a real cluster.
-    lazy_local = reliable_checkpoint is False or (
-        reliable_checkpoint is None
-        and pairs.sparkSession.sparkContext.getCheckpointDir() is None
-    )
-
     def round_ckpt(df: DataFrame) -> DataFrame:
-        if lazy_local:
-            return df.localCheckpoint(eager=False)
-        return _ckpt(df, reliable_checkpoint)
+        return _lazy_ckpt(df, reliable_checkpoint)
 
     labels = round_ckpt(labels)
 
