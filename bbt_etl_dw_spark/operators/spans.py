@@ -25,11 +25,17 @@ Scale shape (the reason this formulation survives 100 TB):
 - The island merge windows over ``doc_id`` — the third shuffle carries
   only the duplicated windows, typically a small fraction of the corpus.
 - The windows relation feeds two consumers (the digest aggregate and the
-  join-back), so the tokenize+md5 map stage runs twice. That is the
-  right trade at scale: re-running a narrow CPU stage is cheaper than
-  materializing a tokens-sized intermediate through the shuffle service;
-  pin ``windows`` via checkpoint only if the corpus scan itself is the
-  bottleneck (e.g. remote object storage without caching).
+  join-back), so the tokenize+md5 map stage runs twice. MEASURED at the
+  sf1 tier (AB_RECOMPUTE_r15.json, interleaved same-JVM A/B): a
+  checkpointed ``windows`` is 0.87x the recompute wall locally, because
+  the page-cached corpus makes the re-scan free and the duplicated
+  tokenize+md5 CPU is the whole cost. Recompute stays the default for
+  the 100 TB contract anyway: ``windows`` is ~30 bytes/token (~5x the
+  raw text), so materializing it writes multiple corpus volumes to
+  executor-local disk — the trade only reverses where that storage
+  exists and the corpus scan itself is the bottleneck (e.g. remote
+  object storage without caching). Pin via checkpoint deliberately in
+  such deployments.
 
 Reference: the BBT-ETL-DW reference has no span-level operator (its dedup
 is row-level `dropDuplicates`, deduplication.py); this is part of the

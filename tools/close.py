@@ -122,6 +122,39 @@ def main() -> int:
         ok = False
         report.append(f"sweep produced no output (rc={sw.returncode}) — close invalid")
 
+    # 3b. registry duplicated-scan gate (VERDICT r14 stretch #10): the
+    # round fails its close if duplicated-scan mass grew vs the committed
+    # baseline without the baseline being consciously updated (a growth
+    # is a new duplicated-subtree instance — the r14 systemic class).
+    print(f"[close {tag}] scan_audit ...", flush=True)
+    sa = _run([sys.executable, "tools/scan_audit.py"])
+    base_path = os.path.join(REPO, "SCAN_AUDIT_BASELINE.json")
+    if sa.returncode != 0 or not sa.stdout.strip():
+        ok = False
+        report.append(f"scan_audit FAILED (rc={sa.returncode}) — close invalid")
+    else:
+        audit = json.loads(sa.stdout)
+        mass = audit.get("total_duplicated_scans")
+        with open(os.path.join(REPO, f"SCAN_AUDIT_{tag}.json"), "w") as f:
+            f.write(sa.stdout)
+        if os.path.exists(base_path):
+            with open(base_path) as f:
+                base_mass = json.load(f).get("total_duplicated_scans")
+            verdict = "OK" if mass <= base_mass else "GREW — close invalid"
+            report.append(
+                f"scan audit: duplicated-scan mass {mass} vs baseline "
+                f"{base_mass} -> {verdict}"
+            )
+            if mass > base_mass:
+                ok = False
+        else:
+            with open(base_path, "w") as f:
+                f.write(sa.stdout)
+            report.append(
+                f"scan audit: baseline created ({mass} duplicated scans) — "
+                "commit SCAN_AUDIT_BASELINE.json"
+            )
+
     # 4 + 5. evidence artifacts, then byte-diff against the committed ones
     print(f"[close {tag}] emit_force_recheck + emit_window ...", flush=True)
     fr = _run([sys.executable, "tools/emit_force_recheck.py"])

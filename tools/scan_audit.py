@@ -51,7 +51,19 @@ def main() -> None:
         cart = plan.count("CartesianProduct") // 2
         if dup or cart:
             out[name] = {"dup_scans": dup, "smj": smj, "cartesian": cart}
-    print(json.dumps(out, indent=1))
+    # One scalar for the close gate (tools/close.py): sum over queries of
+    # (scan count - 1) per table scanned more than once — "how many extra
+    # times is some base pipeline planned registry-wide".
+    total = sum(
+        c - 1
+        for q in out.values()
+        for c in q.get("dup_scans", {}).values()
+    )
+    print(
+        json.dumps(
+            {"total_duplicated_scans": total, "queries": out}, indent=1
+        )
+    )
 
 
 if __name__ == "__main__":
