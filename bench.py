@@ -89,6 +89,18 @@ def main() -> None:
     # one query's timed runs.
     def _stages() -> list[dict] | None:
         try:
+            # The REST store is fed by an async listener bus: stages that
+            # just completed can be invisible for a beat, which skews both
+            # the watermark (too low -> warm stages counted) and the read
+            # (too early -> timed stages missed). Drain the bus first —
+            # untimed region, bounded wait. (The r15 OPEN artifact's cpu
+            # field was taken before this guard and the watermark landed;
+            # its handful of negative values are that earlier read's
+            # cumulative-diff-under-eviction bug, kept as committed.)
+            try:
+                spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10000)
+            except Exception:
+                pass
             ui = spark.sparkContext.uiWebUrl
             app_id = spark.sparkContext.applicationId
             url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
